@@ -1,0 +1,71 @@
+"""Return metrics: pct-change, log return, cumulative return, drawdown.
+
+The reference computes ``DailyReturn = groupby(Ticker).Close.pct_change()``
+(fetch_stocks.py:213) driver-side in pandas. Here each is a window
+expression partitioned by the series key — per-key state never leaves
+the executor that owns the key's partition, so the op scales linearly
+with the number of series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _series_window(key_col: str, order_col: str):
+    return Window.partitionBy(key_col).orderBy(order_col)
+
+
+def pct_change(value_col: str, key_col: str, order_col: str) -> Column:
+    """(v - lag(v)) / lag(v) per key; NULL on the first row (pandas parity)."""
+    prev = F.lag(value_col).over(_series_window(key_col, order_col))
+    return (F.col(value_col) - prev) / prev
+
+
+def with_daily_return(
+    df: DataFrame,
+    value_col: str = "close",
+    key_col: str = "series_key",
+    order_col: str = "date",
+    out_col: str = "daily_return",
+) -> DataFrame:
+    return df.withColumn(out_col, F.round(pct_change(value_col, key_col, order_col), 6))
+
+
+def with_log_return(
+    df: DataFrame,
+    value_col: str = "close",
+    key_col: str = "series_key",
+    order_col: str = "date",
+    out_col: str = "log_return",
+) -> DataFrame:
+    prev = F.lag(value_col).over(_series_window(key_col, order_col))
+    return df.withColumn(out_col, F.round(F.log(F.col(value_col) / prev), 6))
+
+
+def with_cumulative_return(
+    df: DataFrame,
+    return_col: str = "daily_return",
+    key_col: str = "series_key",
+    order_col: str = "date",
+    out_col: str = "cum_return",
+) -> DataFrame:
+    """Running product of (1 + r) - 1, via sum-of-logs (associative →
+    partial-aggregatable window; a running product UDF would not be)."""
+    w = _series_window(key_col, order_col).rowsBetween(Window.unboundedPreceding, 0)
+    log1p = F.log(F.lit(1.0) + F.coalesce(F.col(return_col), F.lit(0.0)))
+    return df.withColumn(out_col, F.round(F.exp(F.sum(log1p).over(w)) - 1, 6))
+
+
+def with_drawdown(
+    df: DataFrame,
+    value_col: str = "close",
+    key_col: str = "series_key",
+    order_col: str = "date",
+    out_col: str = "drawdown",
+) -> DataFrame:
+    """(v - running_max(v)) / running_max(v); 0 at new highs."""
+    w = _series_window(key_col, order_col).rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max(value_col).over(w)
+    return df.withColumn(out_col, F.round((F.col(value_col) - peak) / peak, 6))

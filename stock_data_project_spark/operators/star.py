@@ -1,0 +1,104 @@
+"""Star-schema build: dims + fact with derived metrics.
+
+Spark-first re-expression of the reference's DuckDB star-schema stage
+(fetch_stocks.py:122-282):
+
+- ``dim_date``    <- DimDate        (fetch_stocks.py:165-184)
+- ``dim_entity``  <- DimStockIndex  (fetch_stocks.py:187-199): md5
+  surrogate key over the series key.
+- ``build_fact``  <- FactMarketEconomicIndicators
+  (fetch_stocks.py:221-241): daily bars + DailyReturn + Volatility,
+  joined to the dims, annual macro indicators LEFT JOINed on year.
+
+Scale notes: the fact table is built with ONE shuffle (the daily-bar
+groupBy); the return/volatility windows reuse that partitioning by
+series key; both dims and the annual indicator table are tiny
+aggregates and are explicitly broadcast, so no second large shuffle
+exists in the plan. At 100 TB the plan is scan -> partial agg ->
+shuffle on (key, day) -> window -> broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.functions.dateparts import dow, is_weekend
+from stock_data_project_spark.functions.keys import surrogate_key
+from stock_data_project_spark.operators.returns import with_daily_return
+from stock_data_project_spark.operators.series import daily_bars
+from stock_data_project_spark.operators.volatility import with_rolling_volatility
+
+
+def dim_date(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Distinct calendar rows: date_key, year, month, dow, is_weekend."""
+    d = F.to_date(F.col(ts_col)).alias("date_key")
+    return (
+        events.select(d)
+        .distinct()
+        .select(
+            "date_key",
+            F.year("date_key").alias("year"),
+            F.month("date_key").alias("month"),
+            dow("date_key").alias("dow"),
+            is_weekend("date_key").alias("is_weekend"),
+        )
+    )
+
+
+def dim_entity(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Distinct series keys with an md5 surrogate (DimStockIndex analog)."""
+    return (
+        events.select(F.col(key_col).alias("entity_name"))
+        .distinct()
+        .select(
+            surrogate_key("entity_name").alias("entity_key"),
+            "entity_name",
+            F.upper(F.col("entity_name")).alias("entity_code"),
+        )
+    )
+
+
+def annual_indicators(events: DataFrame, ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Annual macro analog of the reference's World-Bank table: one row
+    per year with economy-wide aggregates (joined to daily facts on
+    year, like GDPGrowthRate/InflationRate at fetch_stocks.py:239)."""
+    return (
+        events.groupBy(F.year(F.col(ts_col)).alias("year"))
+        .agg(
+            F.round(F.avg(value_col), 6).alias("annual_avg_value"),
+            F.round(F.stddev_samp(value_col), 6).alias("annual_value_dispersion"),
+        )
+    )
+
+
+def build_fact(events: DataFrame) -> DataFrame:
+    """The flagship pipeline: events -> daily bars -> returns ->
+    volatility -> dim joins -> annual indicator left-join."""
+    bars = daily_bars(events)
+    bars = with_daily_return(bars, value_col="close")
+    bars = with_rolling_volatility(bars, return_col="daily_return", window=20)
+
+    dates = dim_date(events)
+    entities = dim_entity(events)
+    annual = annual_indicators(events)
+
+    return (
+        bars.join(F.broadcast(dates), bars.date == dates.date_key, "inner")
+        .join(F.broadcast(entities), bars.series_key == entities.entity_name, "inner")
+        .join(F.broadcast(annual), dates.year == annual.year, "left")
+        .select(
+            "date_key",
+            "entity_key",
+            "entity_name",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "daily_return",
+            "volatility",
+            "annual_avg_value",
+            "annual_value_dispersion",
+        )
+    )

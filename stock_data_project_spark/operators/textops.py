@@ -1,0 +1,110 @@
+"""Text analysis operators: normalization, tokens, language ID,
+quality scoring, fingerprinting.
+
+All pure Column expressions (JVM-side regex/array functions — no
+Python in the hot path), so at 100 TB these run inside whole-stage
+codegen over the document scan with zero shuffles.
+
+Expressions are written to be reproducible 1:1 in ANSI SQL (the
+DuckDB oracle), so: no locale-dependent functions, explicit
+character classes, deterministic tie-breaking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the heuristic language ID.
+# Deliberately small + hard-coded: the op demonstrates the shape
+# (token-overlap scoring) — swap in real lists at deployment.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de": ("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "ist"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"),
+}
+# Fixed evaluation order for deterministic argmax ties.
+LANG_ORDER = ("en", "es", "fr", "de", "zh")
+
+PUNCT_CLASS = r"[.,!?;:()\-]"
+WORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalized(text_col: str = "text") -> Column:
+    """lower + trim + collapse whitespace — the canonical form used
+    by dedup and fingerprinting."""
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def words(text_col: str = "text") -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalized(text_col), " ")
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Per-language stopword-overlap score over distinct tokens."""
+    w = F.array_distinct(words(text_col))
+    return {
+        lang: F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in STOPWORDS[lang]])))
+        for lang in LANG_ORDER
+    }
+
+
+def predicted_lang(text_col: str = "text") -> Column:
+    """Argmax language with fixed-order tie-breaking (first language
+    in LANG_ORDER that attains the max wins)."""
+    scores = lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-token and regex-token (BPE-ish pre-tokenizer
+    pattern) counts."""
+    return df.withColumn("n_ws_tokens", F.size(words(text_col))).withColumn(
+        "n_regex_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(WORD_PATTERN), F.lit(0))),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / alpha / stopword ratios + a composite
+    quality score in [0,1] (heuristic linear blend)."""
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    w = words(text_col)
+    n_words = F.size(w)
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(en_stop, x)))
+    n_punct = n_chars - F.length(F.regexp_replace(txt, PUNCT_CLASS, ""))
+    n_alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
+    avg_wl = F.length(F.regexp_replace(normalized(text_col), " ", "")) / n_words
+    punct_ratio = n_punct.cast("double") / n_chars
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_words
+    score = (
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.35
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.25
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.15
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("avg_word_len", F.round(avg_wl, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (the reference's MD5 surrogate-key idiom, fetch_stocks.py:190,
+    applied to content identity)."""
+    return df.withColumn("fingerprint", F.md5(normalized(text_col)))

@@ -1,0 +1,98 @@
+"""Rolling volatility and indicator bands.
+
+The reference computes ``Volatility = rolling(window=20).std()`` of
+the daily return per ticker (fetch_stocks.py:216). pandas'
+``rolling(20)`` yields NULL until 20 observations exist
+(min_periods == window); the Spark expression reproduces that by
+masking rows with fewer than ``window`` preceding values.
+
+All rolling stats are ``rowsBetween`` window aggregates partitioned
+by the series key: per-key sorted state, no cross-key shuffle beyond
+the initial hash partition, codegen'd stddev/avg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _rolling(key_col: str, order_col: str, window: int):
+    return (
+        Window.partitionBy(key_col).orderBy(order_col).rowsBetween(-(window - 1), 0)
+    )
+
+
+def with_rolling_volatility(
+    df: DataFrame,
+    return_col: str = "daily_return",
+    key_col: str = "series_key",
+    order_col: str = "date",
+    window: int = 20,
+    out_col: str = "volatility",
+) -> DataFrame:
+    """Sample stddev of the last ``window`` returns; NULL until the
+    window is full (pandas ``rolling(window).std()`` parity)."""
+    w = _rolling(key_col, order_col, window)
+    n = F.count(return_col).over(w)
+    vol = F.when(n >= window, F.stddev_samp(return_col).over(w))
+    return df.withColumn(out_col, F.round(vol, 6))
+
+
+def with_sma(
+    df: DataFrame,
+    value_col: str = "close",
+    key_col: str = "series_key",
+    order_col: str = "date",
+    window: int = 20,
+    out_col: str | None = None,
+) -> DataFrame:
+    w = _rolling(key_col, order_col, window)
+    return df.withColumn(out_col or f"sma_{window}", F.round(F.avg(value_col).over(w), 6))
+
+
+def with_bollinger(
+    df: DataFrame,
+    value_col: str = "close",
+    key_col: str = "series_key",
+    order_col: str = "date",
+    window: int = 20,
+    num_std: float = 2.0,
+    prefix: str = "bb",
+) -> DataFrame:
+    """SMA ± num_std · rolling sample stddev (NULL until window full)."""
+    w = _rolling(key_col, order_col, window)
+    n = F.count(value_col).over(w)
+    mid = F.avg(value_col).over(w)
+    sd = F.when(n >= window, F.stddev_samp(value_col).over(w))
+    return (
+        df.withColumn(f"{prefix}_mid", F.round(mid, 6))
+        .withColumn(f"{prefix}_upper", F.round(mid + num_std * sd, 6))
+        .withColumn(f"{prefix}_lower", F.round(mid - num_std * sd, 6))
+    )
+
+
+def with_rsi(
+    df: DataFrame,
+    value_col: str = "close",
+    key_col: str = "series_key",
+    order_col: str = "date",
+    window: int = 14,
+    out_col: str = "rsi",
+) -> DataFrame:
+    """Simple-average RSI: 100 - 100/(1 + avg_gain/avg_loss) over the
+    last ``window`` price changes (the window-expressible variant;
+    Wilder's recursive smoothing is intentionally not used so the op
+    stays a pure window aggregate)."""
+    seq = Window.partitionBy(key_col).orderBy(order_col)
+    delta = F.col(value_col) - F.lag(value_col).over(seq)
+    df2 = df.withColumn("_delta", delta)
+    w = _rolling(key_col, order_col, window)
+    gain = F.avg(F.when(F.col("_delta") > 0, F.col("_delta")).otherwise(0.0)).over(w)
+    loss = F.avg(F.when(F.col("_delta") < 0, -F.col("_delta")).otherwise(0.0)).over(w)
+    n = F.count("_delta").over(w)
+    rsi = F.when(
+        n >= window,
+        F.when(loss == 0, F.lit(100.0)).otherwise(100.0 - 100.0 / (1.0 + gain / loss)),
+    )
+    return df2.withColumn(out_col, F.round(rsi, 6)).drop("_delta")

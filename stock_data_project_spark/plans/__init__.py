@@ -1,0 +1,39 @@
+"""Named end-to-end query plans.
+
+Each plan module exposes:
+- ``QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]``
+- ``ORACLE: dict[str, str]`` — equivalent ANSI SQL for the DuckDB
+  correctness oracle (keys without an entry get a rows-only check).
+
+Column-name + rounding parity rule: every computed column is aliased
+identically on both sides, and every float that passes through a
+non-associative aggregate is rounded to 6 decimals on both sides so
+summation-order differences between engines can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stock_data_project_spark.plans import llm, olap, stock
+
+_MODULES = (stock, olap, llm)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query keys: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    return out

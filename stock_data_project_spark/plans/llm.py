@@ -1,0 +1,218 @@
+"""Training-data pipeline plans: dedup, similarity search, text
+analysis over ``documents`` / ``embeddings``.
+
+Oracle parity notes: word lists and regex classes live in
+operators/textops.py and are inlined into the SQL here; every float
+is rounded to 6dp on both sides; approximate ops (minhash, simhash,
+LSH ANN) are deterministic (fixed xxhash64 seeds) but not
+SQL-expressible, so they get rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.dedup import (
+    blocked_jaccard_pairs,
+    exact_duplicates,
+    minhash_candidates,
+    simhash_candidates,
+)
+from stock_data_project_spark.operators.similarity import cosine_topk, lsh_topk
+from stock_data_project_spark.operators.textops import (
+    STOPWORDS,
+    predicted_lang,
+    with_fingerprint,
+    with_quality,
+    with_token_counts,
+)
+
+N_QUERY_VECS = 10
+TOPK = 5
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blocked_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk(emb, queries, k=TOPK)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return lsh_topk(emb, queries, k=TOPK)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", predicted_lang("text").alias("pred_lang"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality(docs).select(
+        "doc_id",
+        "n_words",
+        "avg_word_len",
+        "punct_ratio",
+        "alpha_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_counts(docs).select("doc_id", "n_chars", "n_ws_tokens", "n_regex_tokens")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+# SQL fragments shared with operators/textops.py (keep in sync).
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+def _sql_list(xs: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
+def _lang_score(lang: str) -> str:
+    return f"len(list_intersect(list_distinct({_WORDS}), {_sql_list(STOPWORDS[lang])}))"
+
+
+_LANG_CASE = (
+    "CASE WHEN best > 0 THEN CASE "
+    + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in ("en", "es", "fr", "de", "zh"))
+    + " ELSE 'und' END ELSE 'und' END"
+)
+
+ORACLE = {
+    "dedup_exact": f"""
+        SELECT md5({_NORM}) AS content_hash,
+               min(doc_id) AS keeper_id, count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "ngram_jaccard": f"""
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+                   list_distinct({_WORDS}) AS wordset
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.wordset, b.wordset)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.wordset, b.wordset))), 6) AS jaccard
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.wordset, b.wordset)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.wordset, b.wordset))), 6) >= 0.4
+    """,
+    "ann_cosine_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+        ),
+        e AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_cosine_similarity(qv, nv), 6) AS cosine_sim
+            FROM e CROSS JOIN q
+            WHERE neighbor_id <> query_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {TOPK}
+    """,
+    "lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_lang_score('en')} AS s_en,
+                   {_lang_score('es')} AS s_es,
+                   {_lang_score('fr')} AS s_fr,
+                   {_lang_score('de')} AS s_de,
+                   {_lang_score('zh')} AS s_zh
+            FROM documents
+        ),
+        best_t AS (
+            SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS best FROM scored
+        )
+        SELECT doc_id, lang, {_LANG_CASE} AS pred_lang FROM best_t
+    """,
+    "text_quality": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   length(text) AS nc,
+                   CAST(len({_WORDS}) AS INT) AS n_words,
+                   length(regexp_replace(text, '[.,!?;:()\\-]', '', 'g')) AS nc_nopunct,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nc_alpha,
+                   length(replace({_NORM}, ' ', '')) AS nc_nospace,
+                   len(list_filter({_WORDS},
+                       w -> list_contains({_sql_list(STOPWORDS["en"])}, w))) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, n_words,
+               round(CAST(nc_nospace AS DOUBLE) / n_words, 6) AS avg_word_len,
+               round(CAST(nc - nc_nopunct AS DOUBLE) / nc, 6) AS punct_ratio,
+               round(CAST(nc_alpha AS DOUBLE) / nc, 6) AS alpha_ratio,
+               round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+               round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.25
+                     + (CAST(nc_alpha AS DOUBLE) / nc) * 0.35
+                     + least((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25
+                     + (1.0 - least((CAST(nc - nc_nopunct AS DOUBLE) / nc) * 10.0, 1.0)) * 0.15,
+                     6) AS quality_score
+        FROM base
+    """,
+    "token_count": r"""
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS INT)
+                   AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+                   AS n_regex_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+    """,
+}

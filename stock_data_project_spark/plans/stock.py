@@ -1,0 +1,327 @@
+"""Reference-derived star-schema + stock-analytics plans.
+
+Maps the reference's pipeline (fetch_stocks.py:122-282) and query
+layer (streamlit/app.py:82-132) onto the ``events`` table:
+event_type ≈ ticker, ts ≈ trade time, value ≈ price.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.returns import (
+    with_cumulative_return,
+    with_daily_return,
+    with_drawdown,
+)
+from stock_data_project_spark.operators.series import daily_bars
+from stock_data_project_spark.operators.star import (
+    annual_indicators,
+    build_fact,
+    dim_date,
+    dim_entity,
+)
+from stock_data_project_spark.operators.volatility import (
+    with_bollinger,
+    with_rolling_volatility,
+    with_rsi,
+    with_sma,
+)
+
+# ---------------------------------------------------------------- SQL
+# Shared oracle CTEs (DuckDB dialect == ANSI + arg_min/arg_max).
+# Must mirror operators/series.py::daily_bars and operators/returns.py
+# exactly, including where rounding is applied.
+
+_BARS = """
+bars AS (
+    SELECT event_type AS series_key,
+           CAST(ts AS DATE) AS date,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           count(*) AS volume,
+           round(sum(value), 6) AS turnover
+    FROM events
+    GROUP BY 1, 2
+)"""
+
+_RET = """
+ret AS (
+    SELECT series_key, date, open, high, low, close, volume, turnover,
+           round((close - lag(close) OVER w) / lag(close) OVER w, 6) AS daily_return
+    FROM bars
+    WINDOW w AS (PARTITION BY series_key ORDER BY date)
+)"""
+
+_VOL = """
+vol AS (
+    SELECT *,
+           round(CASE WHEN count(daily_return) OVER w20 >= 20
+                      THEN stddev_samp(daily_return) OVER w20 END, 6) AS volatility
+    FROM ret
+    WINDOW w20 AS (PARTITION BY series_key ORDER BY date
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)"""
+
+_ANNUAL = """
+annual AS (
+    SELECT CAST(year(CAST(ts AS DATE)) AS INT) AS year,
+           round(avg(value), 6) AS annual_avg_value,
+           round(stddev_samp(value), 6) AS annual_value_dispersion
+    FROM events
+    GROUP BY 1
+)"""
+
+
+# ------------------------------------------------------------ queries
+
+def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_date(load_table(spark, sf_dir, "events"))
+
+
+def q_dim_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_entity(load_table(spark, sf_dir, "events"))
+
+
+def q_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_fact(load_table(spark, sf_dir, "events"))
+
+
+def q_daily_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    return with_daily_return(bars).select("series_key", "date", "close", "daily_return")
+
+
+def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = with_daily_return(daily_bars(load_table(spark, sf_dir, "events")))
+    return with_rolling_volatility(bars, window=20).select(
+        "series_key", "date", "daily_return", "volatility"
+    )
+
+
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Streamlit charts query (app.py:106-110): one series key,
+    date-range filter, ordered time series. Filter lands before the
+    aggregation so partition pruning applies at the scan."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "click")
+        & (F.to_date("ts") >= F.lit("2024-01-10"))
+        & (F.to_date("ts") <= F.lit("2024-01-20"))
+    )
+    bars = with_daily_return(daily_bars(ev))
+    return bars.select("series_key", "date", "close", "daily_return").orderBy("date")
+
+
+def q_annual_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bars = daily_bars(ev)
+    ann = annual_indicators(ev)
+    return (
+        bars.join(F.broadcast(ann), F.year(bars.date) == ann.year, "left")
+        .select("series_key", "date", "close", "annual_avg_value", "annual_value_dispersion")
+    )
+
+
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_bars(load_table(spark, sf_dir, "events"))
+
+
+def q_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    bars = with_sma(bars, window=5, out_col="sma_5")
+    bars = with_sma(bars, window=20, out_col="sma_20")
+    return bars.select(
+        "series_key",
+        "date",
+        "close",
+        "sma_5",
+        "sma_20",
+        (F.col("sma_5") > F.col("sma_20")).alias("golden_cross"),
+    )
+
+
+def q_cumulative_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = with_daily_return(daily_bars(load_table(spark, sf_dir, "events")))
+    return with_cumulative_return(bars).select("series_key", "date", "daily_return", "cum_return")
+
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    return with_drawdown(bars).select("series_key", "date", "close", "drawdown")
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    return with_bollinger(bars, window=20).select(
+        "series_key", "date", "close", "bb_mid", "bb_upper", "bb_lower"
+    )
+
+
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    return with_rsi(bars, window=14).select("series_key", "date", "close", "rsi")
+
+
+def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest watermark per source key (get_last_saved_date analog,
+    fetch_stocks.py:19-37): the max already-stored timestamp drives
+    the next incremental fetch."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("series_key")).agg(
+        F.max("ts").alias("high_watermark"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+QUERIES = {
+    "dim_date": q_dim_date,
+    "dim_entity": q_dim_entity,
+    "fact_build": q_fact_build,
+    "daily_return": q_daily_return,
+    "rolling_volatility": q_rolling_volatility,
+    "filter_range": q_filter_range,
+    "annual_join": q_annual_join,
+    "ohlc_daily": q_ohlc_daily,
+    "sma_cross": q_sma_cross,
+    "cumulative_return": q_cumulative_return,
+    "drawdown": q_drawdown,
+    "bollinger": q_bollinger,
+    "rsi": q_rsi,
+    "incremental_watermark": q_incremental_watermark,
+}
+
+ORACLE = {
+    "dim_date": """
+        SELECT DISTINCT
+            CAST(ts AS DATE) AS date_key,
+            CAST(year(CAST(ts AS DATE)) AS INT) AS year,
+            CAST(month(CAST(ts AS DATE)) AS INT) AS month,
+            CAST(date_part('dow', CAST(ts AS DATE)) AS INT) AS dow,
+            date_part('dow', CAST(ts AS DATE)) IN (0, 6) AS is_weekend
+        FROM events
+    """,
+    "dim_entity": """
+        SELECT md5(entity_name) AS entity_key, entity_name,
+               upper(entity_name) AS entity_code
+        FROM (SELECT DISTINCT event_type AS entity_name FROM events)
+    """,
+    "fact_build": f"""
+        WITH {_BARS}, {_RET}, {_VOL}, {_ANNUAL}
+        SELECT v.date AS date_key,
+               md5(v.series_key) AS entity_key,
+               v.series_key AS entity_name,
+               v.open, v.high, v.low, v.close, v.volume,
+               v.daily_return, v.volatility,
+               a.annual_avg_value, a.annual_value_dispersion
+        FROM vol v
+        LEFT JOIN annual a ON CAST(year(v.date) AS INT) = a.year
+    """,
+    "daily_return": f"""
+        WITH {_BARS}, {_RET}
+        SELECT series_key, date, close, daily_return FROM ret
+    """,
+    "rolling_volatility": f"""
+        WITH {_BARS}, {_RET}, {_VOL}
+        SELECT series_key, date, daily_return, volatility FROM vol
+    """,
+    "filter_range": f"""
+        WITH filtered AS (
+            SELECT * FROM events
+            WHERE event_type = 'click'
+              AND CAST(ts AS DATE) >= DATE '2024-01-10'
+              AND CAST(ts AS DATE) <= DATE '2024-01-20'
+        ),
+        bars AS (
+            SELECT event_type AS series_key, CAST(ts AS DATE) AS date,
+                   arg_max(value, ts) AS close
+            FROM filtered GROUP BY 1, 2
+        )
+        SELECT series_key, date, close,
+               round((close - lag(close) OVER w) / lag(close) OVER w, 6) AS daily_return
+        FROM bars
+        WINDOW w AS (PARTITION BY series_key ORDER BY date)
+        ORDER BY date
+    """,
+    "annual_join": f"""
+        WITH {_BARS}, {_ANNUAL}
+        SELECT b.series_key, b.date, b.close,
+               a.annual_avg_value, a.annual_value_dispersion
+        FROM bars b
+        LEFT JOIN annual a ON CAST(year(b.date) AS INT) = a.year
+    """,
+    "ohlc_daily": f"""
+        WITH {_BARS}
+        SELECT * FROM bars
+    """,
+    "sma_cross": f"""
+        WITH {_BARS}
+        SELECT series_key, date, close,
+               round(avg(close) OVER w5, 6) AS sma_5,
+               round(avg(close) OVER w20, 6) AS sma_20,
+               round(avg(close) OVER w5, 6) > round(avg(close) OVER w20, 6) AS golden_cross
+        FROM bars
+        WINDOW w5 AS (PARTITION BY series_key ORDER BY date
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+               w20 AS (PARTITION BY series_key ORDER BY date
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    "cumulative_return": f"""
+        WITH {_BARS}, {_RET}
+        SELECT series_key, date, daily_return,
+               round(exp(sum(ln(1.0 + coalesce(daily_return, 0.0))) OVER wc) - 1.0, 6)
+                   AS cum_return
+        FROM ret
+        WINDOW wc AS (PARTITION BY series_key ORDER BY date
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "drawdown": f"""
+        WITH {_BARS}
+        SELECT series_key, date, close,
+               round((close - max(close) OVER wm) / max(close) OVER wm, 6) AS drawdown
+        FROM bars
+        WINDOW wm AS (PARTITION BY series_key ORDER BY date
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "bollinger": f"""
+        WITH {_BARS}
+        SELECT series_key, date, close,
+               round(avg(close) OVER w20, 6) AS bb_mid,
+               round(avg(close) OVER w20
+                     + 2.0 * (CASE WHEN count(close) OVER w20 >= 20
+                                   THEN stddev_samp(close) OVER w20 END), 6) AS bb_upper,
+               round(avg(close) OVER w20
+                     - 2.0 * (CASE WHEN count(close) OVER w20 >= 20
+                                   THEN stddev_samp(close) OVER w20 END), 6) AS bb_lower
+        FROM bars
+        WINDOW w20 AS (PARTITION BY series_key ORDER BY date
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    "rsi": f"""
+        WITH {_BARS},
+        d AS (
+            SELECT series_key, date, close,
+                   close - lag(close) OVER (PARTITION BY series_key ORDER BY date) AS delta
+            FROM bars
+        )
+        SELECT series_key, date, close,
+               round(CASE WHEN count(delta) OVER w14 >= 14 THEN
+                   CASE WHEN avg(CASE WHEN delta < 0 THEN -delta ELSE 0.0 END) OVER w14 = 0
+                        THEN 100.0
+                        ELSE 100.0 - 100.0 /
+                             (1.0 + avg(CASE WHEN delta > 0 THEN delta ELSE 0.0 END) OVER w14
+                                  / avg(CASE WHEN delta < 0 THEN -delta ELSE 0.0 END) OVER w14)
+                   END END, 6) AS rsi
+        FROM d
+        WINDOW w14 AS (PARTITION BY series_key ORDER BY date
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+    "incremental_watermark": """
+        SELECT event_type AS series_key, max(ts) AS high_watermark,
+               count(*) AS n_rows
+        FROM events GROUP BY 1
+    """,
+}

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference runs single-node DuckDB (fetch_stocks.py:130); here the
+session is configured so the same logical plans scale out: AQE for
+runtime re-planning / skew handling, Arrow for any pandas exchange,
+UTC session time zone so results are reproducible against a DuckDB
+oracle, and shuffle partitions sized to the local core count (callers
+on a real cluster override via ``extra_conf``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "stock_data_project_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    Local mode is one JVM; on a cluster the same conf holds except
+    memory/master, which deployment supplies. AQE coalescing keeps
+    the small-SF shuffles from over-parallelizing while letting the
+    32-way (or cluster-width) parallelism stand at scale.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

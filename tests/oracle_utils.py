@@ -1,0 +1,62 @@
+"""In-repo mirror of the driver's t2 correctness gate: run a Spark
+plan and its DuckDB oracle SQL on the same sf_dir, compare row count,
+column names (sorted), and values order-insensitively."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from stock_data_project_spark.catalog import TABLES, table_path
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
+    return con.sql(sql).df()
+
+
+import datetime
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and s.dropna().size and isinstance(
+            s.dropna().iloc[0], (datetime.date, datetime.datetime)
+        ):
+            s = df[c] = pd.to_datetime(s)
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, (list, np.ndarray)):
+            df[c] = s.map(lambda v: tuple(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 0.0) -> None:
+    got = _normalize(spark_df.toPandas())
+    want = _normalize(oracle_df)
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g.dtype) and float_tol:
+            ok = (g.isna() & w.isna()) | (np.abs(g - w) <= float_tol)
+            assert bool(ok.all()), f"float mismatch in {c}: {got[~ok].head()} vs {want[~ok].head()}"
+        else:
+            eq = g.equals(w)
+            assert eq, (
+                f"value mismatch in column {c}:\n"
+                f"spark head: {g.head(10).tolist()}\noracle head: {w.head(10).tolist()}"
+            )
