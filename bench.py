@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (computes every
+output column, writes nothing) so timings reflect the full plan, not
+just a count's pruned subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from stock_data_project_spark.plans import all_queries
+from stock_data_project_spark.session import get_spark
+
+HEADLINE = (
+    "fact_build",
+    "rolling_volatility",
+    "ohlc_daily",
+    "sessionize",
+    "tumbling_window_agg",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_customers_per_nation",
+    "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "ann_cosine_topk",
+    "text_quality",
+    "token_count",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    queries = all_queries()
+
+    # warm the JVM/session so query-1 doesn't pay startup costs
+    queries["tpch_q6"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""As-of join: attach the most recent left-side state to each right
+row (the operator Spark's DataFrame API lacks natively).
+
+Implemented as the scalable union-and-window technique rather than a
+per-group ``pd.merge_asof`` UDF: tag both inputs, union, window by
+(key, time, tag) and carry the last non-null state forward. One
+shuffle on the key, no Python in the hot path, no skew beyond the
+key distribution itself — this survives 100 TB where a grouped
+pandas UDF would OOM on any hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each right row, the latest left row with
+    left_time <= right_time (direction='backward') on matching keys.
+
+    Left must be unique per (key, time) — pre-aggregate if not, or
+    the carried value is nondeterministic.
+    Output: all right columns + ``asof_<left_time>`` + value_cols.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    lt = F.col(left_time)
+    l_tagged = left.select(
+        F.col(left_key).alias("_k"),
+        lt.alias("_t"),
+        F.lit(0).alias("_tag"),
+        lt.alias(f"asof_{left_time}"),
+        *[F.col(c) for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(l_tagged.schema[f"asof_{left_time}"].dataType).alias(
+            f"asof_{left_time}"
+        ),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in value_cols],
+        F.struct(*right.columns).alias("_r"),
+    )
+    l_full = l_tagged.withColumn("_r", F.lit(None).cast(r_tagged.schema["_r"].dataType))
+    unioned = l_full.unionByName(r_tagged)
+    # left rows sort before right rows at equal time -> <= semantics
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "_tag",
+        "_r",
+        F.last(f"asof_{left_time}", ignorenulls=True).over(w).alias(f"asof_{left_time}"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        *[F.col(f"_r.{c}").alias(c) for c in right.columns],
+        f"asof_{left_time}",
+        *value_cols,
+    )

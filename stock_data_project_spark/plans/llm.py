@@ -89,7 +89,48 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: exact cosine over label-blocked pairs
+    (block = cluster label; at scale the block key would come from a
+    coarse quantizer / LSH — same plan shape)."""
+    from stock_data_project_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("label"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("label"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            "label",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.4)
+    )
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + typed metadata ->
+    Arrow-batched feature extraction (stub decoder). Rows-only check:
+    mapInPandas output isn't SQL-expressible."""
+    from stock_data_project_spark.operators.multimodal import (
+        extract_features,
+        with_media_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(with_media_payload(docs))
+
+
 QUERIES = {
+    "embedding_dedup": q_embedding_dedup,
+    "media_pipeline": q_media_pipeline,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -122,6 +163,15 @@ _LANG_CASE = (
 )
 
 ORACLE = {
+    "embedding_dedup": """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
     "dedup_exact": f"""
         SELECT md5({_NORM}) AS content_hash,
                min(doc_id) AS keeper_id, count(*) AS n_dups

@@ -234,7 +234,40 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the user's most recent order
+    (order date <= event date). Orders are pre-aggregated to one row
+    per (custkey, date) so the as-of pick is deterministic."""
+    from stock_data_project_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    ord_daily = (
+        orders.groupBy(
+            F.col("o_custkey").alias("cust"), F.to_date("o_orderdate").alias("odate")
+        )
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"))
+    )
+    ev_dated = ev.select("event_id", "user_id", F.to_date("ts").alias("event_date"))
+    return asof_join(
+        left=ord_daily,
+        right=ev_dated,
+        left_key="cust",
+        right_key="user_id",
+        left_time="odate",
+        right_time="event_date",
+        value_cols=["last_order_price"],
+    ).select(
+        "event_id",
+        "user_id",
+        "event_date",
+        F.col("asof_odate").alias("last_order_date"),
+        "last_order_price",
+    )
+
+
 QUERIES = {
+    "asof_join": q_asof_join,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -251,6 +284,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "asof_join": """
+        WITH ord AS (
+            SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS odate,
+                   max_by(o_totalprice, o_orderkey) AS last_order_price
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
+               o.odate AS last_order_date, o.last_order_price
+        FROM events e
+        ASOF LEFT JOIN ord o
+          ON e.user_id = o.cust AND CAST(e.ts AS DATE) >= o.odate
+    """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,52 @@
+"""Schema-explicit readers.
+
+``stocks_csv_schema`` mirrors the reference's ingest file layout
+(fetch_stocks.py:69-70: Date,Ticker,Open,High,Low,Close,Adj Close,
+Volume) so a user of the reference can point this engine at the same
+CSV drops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def stocks_csv_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("Date", T.DateType()),
+            T.StructField("Ticker", T.StringType()),
+            T.StructField("Open", T.DoubleType()),
+            T.StructField("High", T.DoubleType()),
+            T.StructField("Low", T.DoubleType()),
+            T.StructField("Close", T.DoubleType()),
+            T.StructField("Adj Close", T.DoubleType()),
+            T.StructField("Volume", T.DoubleType()),
+        ]
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """CSV with a mandatory schema: no inference pass, bad rows to a
+    corrupt-record column instead of silent nulls."""
+    schema = T.StructType(
+        list(schema) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

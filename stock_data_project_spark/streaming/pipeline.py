@@ -1,0 +1,134 @@
+"""Structured Streaming pipelines.
+
+The reference's ingest is a daily Airflow batch (fetch_stocks.py
+DAG); its streaming-equivalent capabilities here use the Spark
+file-stream source over the same parquet, so the identical logical
+plans run unbounded: watermarked tumbling windows, session windows,
+and an incremental star-schema upsert via ``foreachBatch``.
+
+Local tests drive each query to completion with
+``processAllAvailable()`` on the bounded testdata — semantically the
+"stream caught up" state — then read the memory sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Raw schema as stored (ts = TIMESTAMP(NANOS) read as long via the
+# nanosAsLong conf — see catalog.load_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source wants a directory; filter to the events
+    # table within the sf_dir
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(agg: DataFrame, name: str, output_mode: str) -> None:
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-min tumbling counts/sums per event_type with a 1-hour
+    watermark. At scale the state store holds one row per open
+    (window, type); the watermark bounds it."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    _run_to_memory(agg, "stream_window_counts", "complete")
+    return spark.table("stream_window_counts")
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via the native
+    ``session_window`` streaming aggregation."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    _run_to_memory(agg, "stream_sessionize", "complete")
+    return spark.table("stream_sessionize")
+
+
+def run_incremental_star(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Incremental star-schema maintenance: each micro-batch of raw
+    events is rolled up to daily bars and upserted into the fact
+    store by (series_key, date) — the streaming twin of the
+    reference's daily create_star_schema task (fetch_stocks.py:122).
+
+    MERGE needs Delta/Iceberg (not in this container); the upsert is
+    emulated with read-existing -> anti-join -> union -> rewrite,
+    which at scale would be a partition-overwrite on date.
+    """
+    from stock_data_project_spark.operators.series import daily_bars
+
+    ev = read_events_stream(spark, sf_dir)
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        bars = daily_bars(batch)
+        target = os.path.join(out_dir, "fact_bars")
+        sp = batch.sparkSession
+        try:
+            existing = sp.read.parquet(target)
+        except Exception:
+            existing = None
+        if existing is not None:
+            keep = existing.join(bars.select("series_key", "date"), ["series_key", "date"], "left_anti")
+            merged = keep.unionByName(bars)
+        else:
+            merged = bars
+        tmp = os.path.join(out_dir, f"_staging_{epoch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(target)
+
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
