@@ -1,0 +1,115 @@
+"""Operator-level semantic tests on small controlled inputs —
+complements the DuckDB parity gate with property checks the oracle
+can't express (pandas parity for the reference's metrics, as-of
+correctness, dedup invariants)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.operators.asof import asof_join
+from stock_data_project_spark.operators.dedup import exact_duplicates, word_shingles
+from stock_data_project_spark.operators.returns import with_daily_return, with_drawdown
+from stock_data_project_spark.operators.volatility import with_rolling_volatility
+
+
+@pytest.fixture(scope="module")
+def toy_series(spark):
+    rows = []
+    for key in ("a", "b"):
+        base = 100.0 if key == "a" else 50.0
+        for d in range(1, 31):
+            rows.append((key, f"2024-01-{d:02d}", base + (d * 7 % 13) - 6 + (0.5 if key == "b" else 0)))
+    df = spark.createDataFrame(rows, "series_key string, date string, close double")
+    return df.withColumn("date", F.to_date("date"))
+
+
+def test_daily_return_matches_pandas_pct_change(spark, toy_series):
+    """Mirror of the reference's DailyReturn (fetch_stocks.py:213)."""
+    got = (
+        with_daily_return(toy_series)
+        .orderBy("series_key", "date")
+        .toPandas()
+    )
+    pdf = toy_series.orderBy("series_key", "date").toPandas()
+    expected = pdf.groupby("series_key")["close"].pct_change().round(6)
+    pd.testing.assert_series_equal(
+        got["daily_return"], expected, check_names=False
+    )
+
+
+def test_volatility_matches_pandas_rolling_std(spark, toy_series):
+    """Mirror of the reference's Volatility (fetch_stocks.py:216)."""
+    got = (
+        with_rolling_volatility(
+            with_daily_return(toy_series), return_col="daily_return", window=20
+        )
+        .orderBy("series_key", "date")
+        .toPandas()
+    )
+    pdf = toy_series.orderBy("series_key", "date").toPandas()
+    ret = pdf.groupby("series_key")["close"].pct_change().round(6)
+    pdf["r"] = ret
+    expected = (
+        pdf.groupby("series_key")["r"].transform(lambda x: x.rolling(window=20).std()).round(6)
+    )
+    pd.testing.assert_series_equal(got["volatility"], expected, check_names=False)
+
+
+def test_drawdown_zero_at_new_highs(spark, toy_series):
+    got = with_drawdown(toy_series)
+    assert got.filter(F.col("drawdown") > 0).count() == 0
+    firsts = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+                    "series_key"
+                ).orderBy("date")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    assert firsts.filter(F.col("drawdown") != 0).count() == 0
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-05", 20.0), (2, "2024-01-03", 5.0)],
+        "k long, t string, v double",
+    ).withColumn("t", F.to_date("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-04", "r1"), (1, "2024-01-05", "r2"), (1, "2023-12-31", "r0"),
+         (2, "2024-01-10", "r3"), (3, "2024-01-01", "r4")],
+        "k long, t string, tag string",
+    ).withColumn("t", F.to_date("t"))
+    out = asof_join(left, right, "k", "k", "t", "t", ["v"]).orderBy("tag")
+    rows = {r["tag"]: (r["asof_t"], r["v"]) for r in out.collect()}
+    import datetime
+
+    d = datetime.date
+    assert rows["r0"] == (None, None)  # before any left row
+    assert rows["r1"] == (d(2024, 1, 1), 10.0)  # latest <= 01-04
+    assert rows["r2"] == (d(2024, 1, 5), 20.0)  # equal time counts
+    assert rows["r3"] == (d(2024, 1, 3), 5.0)
+    assert rows["r4"] == (None, None)  # key never on left
+    assert out.count() == 5  # every right row survives
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other doc"), (4, " HELLO   world ")],
+        "doc_id long, text string",
+    )
+    out = exact_duplicates(df).collect()
+    by_keeper = {r["keeper_id"]: r["n_dups"] for r in out}
+    assert by_keeper == {1: 3, 3: 1}
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "doc_id long, text string")
+    got = df.select("doc_id", word_shingles("text", 3).alias("sh")).orderBy("doc_id").collect()
+    assert got[0]["sh"] == ["one two"]
+    assert got[1]["sh"] == ["a b c", "b c d"]
