@@ -12,7 +12,7 @@ ops.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.operators.textops import normalized, words
@@ -235,6 +235,41 @@ def simhash_candidates(
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Simplified winnowing (Schleimer et al., MOSS): md5 every
+    char-``gram``, take the min hash of each sliding ``window`` of
+    consecutive grams, keep the distinct minima as the document's
+    fingerprint set; returns per-doc fingerprint stats.
+
+    posexplode keeps gram positions so the sliding min is a plain
+    rows-window; grams of one doc stay in one partition, so the only
+    shuffle is the final per-doc aggregate. md5 (not xxhash) so a
+    DuckDB oracle can reproduce it exactly."""
+    norm = normalized(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (gram - 1), F.lit(1))),
+        lambda i: F.md5(F.substring(norm, i, gram)),
+    )
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gh"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    minima = exploded.select("doc_id", F.min("gh").over(w).alias("fp")).distinct()
+    return minima.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
     )
 
 

@@ -72,6 +72,47 @@ def with_bollinger(
     )
 
 
+def with_macd(
+    df: DataFrame,
+    value_col: str = "close",
+    key_col: str = "series_key",
+    order_col: str = "date",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """MACD (EMA_fast - EMA_slow) + signal line + histogram.
+
+    EMA is recursive (each value depends on the previous), so it
+    can't be a window aggregate; per-series state is the textbook
+    ``applyInPandas`` case: one pandas group per series key, Arrow
+    batched, parallel across keys. At 100 TB this scales with the
+    number of series, and each group is one key's (small) daily
+    history."""
+    import pandas as pd  # noqa: F401  (executor-side)
+
+    out_fields = ", ".join(
+        f"{key_col} string, {order_col} date, {value_col} double".split(", ")
+        + ["macd double", "macd_signal double", "macd_hist double"]
+    )
+
+    def per_series(pdf):
+        pdf = pdf.sort_values(order_col)
+        fast_e = pdf[value_col].ewm(span=fast, adjust=False).mean()
+        slow_e = pdf[value_col].ewm(span=slow, adjust=False).mean()
+        macd = fast_e - slow_e
+        sig = macd.ewm(span=signal, adjust=False).mean()
+        pdf = pdf[[key_col, order_col, value_col]].copy()
+        pdf["macd"] = macd.round(6)
+        pdf["macd_signal"] = sig.round(6)
+        pdf["macd_hist"] = (macd - sig).round(6)
+        return pdf
+
+    return df.select(key_col, order_col, value_col).groupBy(key_col).applyInPandas(
+        per_series, schema=out_fields
+    )
+
+
 def with_rsi(
     df: DataFrame,
     value_col: str = "close",

@@ -89,6 +89,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint stats per document (md5 8-grams, window
+    4 minima)."""
+    from stock_data_project_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors: exact cosine over label-blocked pairs
     (block = cluster label; at scale the block key would come from a
@@ -141,6 +149,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnow": q_doc_winnow,
 }
 
 # SQL fragments shared with operators/textops.py (keep in sync).
@@ -264,5 +273,28 @@ ORACLE = {
     """,
     "doc_fingerprint": f"""
         SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+    """,
+    "doc_winnow": f"""
+        WITH norm_t AS (
+            SELECT doc_id, {_NORM} AS norm FROM documents
+        ),
+        positions AS (
+            SELECT doc_id, norm,
+                   unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS pos
+            FROM norm_t
+        ),
+        grams AS (
+            SELECT doc_id, pos, md5(substr(norm, CAST(pos AS INT), 8)) AS gh
+            FROM positions
+        ),
+        minima AS (
+            SELECT DISTINCT doc_id,
+                   min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+            FROM grams
+        )
+        SELECT doc_id, count(*) AS n_fingerprints,
+               min(fp) AS min_fp, max(fp) AS max_fp
+        FROM minima GROUP BY doc_id
     """,
 }

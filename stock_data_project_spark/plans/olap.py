@@ -234,6 +234,21 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer account-balance deciles via ntile. The single global
+    window is fine at dimension-table cardinality; for a 100 TB fact
+    you'd switch to approx_percentile boundaries + a broadcast
+    bucket join instead of one-partition ntile."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal"),
+        F.ntile(10).over(w).alias("balance_decile"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks up the user's most recent order
     (order date <= event date). Orders are pre-aggregated to one row
@@ -336,6 +351,7 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ntile_deciles": q_ntile_deciles,
     "asof_join": q_asof_join,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
@@ -357,6 +373,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ntile_deciles": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS INT)
+                   AS balance_decile
+        FROM customer
+    """,
     "asof_join": """
         WITH ord AS (
             SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS odate,

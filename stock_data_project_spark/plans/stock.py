@@ -177,7 +177,53 @@ def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation of daily returns between series — the
+    reference's stated goal ('relationship between economic
+    indicators and stock performance', readme.md) as a first-class
+    query. Self-join on date of the (small) per-day return frame."""
+    bars = with_daily_return(daily_bars(load_table(spark, sf_dir, "events")))
+    r = bars.select("series_key", "date", "daily_return")
+    a = r.select(F.col("series_key").alias("key_a"), "date", F.col("daily_return").alias("ra"))
+    b = r.select(F.col("series_key").alias("key_b"), "date", F.col("daily_return").alias("rb"))
+    return (
+        a.join(b, "date")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.round(F.corr("ra", "rb"), 6).alias("return_corr"))
+    )
+
+
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta of each series vs the equal-weight market return:
+    regr_slope(series_return, market_return). The market frame is a
+    tiny per-date aggregate -> broadcast join."""
+    bars = with_daily_return(daily_bars(load_table(spark, sf_dir, "events")))
+    r = bars.select("series_key", "date", "daily_return")
+    market = r.groupBy("date").agg(F.avg("daily_return").alias("mkt_return"))
+    return (
+        r.join(F.broadcast(market), "date")
+        .groupBy("series_key")
+        .agg(
+            F.round(F.regr_slope("daily_return", "mkt_return"), 6).alias("beta"),
+            F.round(F.corr("daily_return", "mkt_return"), 6).alias("mkt_corr"),
+        )
+    )
+
+
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD via applyInPandas (recursive EMA state per series) —
+    rows-only check: EMA recursion isn't window-expressible in SQL."""
+    from stock_data_project_spark.operators.volatility import with_macd
+
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    return with_macd(bars)
+
+
 QUERIES = {
+    "return_correlation": q_return_correlation,
+    "market_beta": q_market_beta,
+    "macd": q_macd,
     "dim_date": q_dim_date,
     "dim_entity": q_dim_entity,
     "fact_build": q_fact_build,
@@ -195,6 +241,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "return_correlation": f"""
+        WITH {_BARS}, {_RET}
+        SELECT a.series_key AS key_a, b.series_key AS key_b,
+               round(corr(a.daily_return, b.daily_return), 6) AS return_corr
+        FROM ret a JOIN ret b ON a.date = b.date AND a.series_key < b.series_key
+        GROUP BY 1, 2
+    """,
+    "market_beta": f"""
+        WITH {_BARS}, {_RET},
+        market AS (
+            SELECT date, avg(daily_return) AS mkt_return FROM ret GROUP BY date
+        )
+        SELECT r.series_key,
+               round(regr_slope(r.daily_return, m.mkt_return), 6) AS beta,
+               round(corr(r.daily_return, m.mkt_return), 6) AS mkt_corr
+        FROM ret r JOIN market m ON r.date = m.date
+        GROUP BY r.series_key
+    """,
     "dim_date": """
         SELECT DISTINCT
             CAST(ts AS DATE) AS date_key,
