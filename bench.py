@@ -30,10 +30,15 @@ HEADLINE = (
     "tpch_q5",
     "tpch_q6",
     "top_customers_per_nation",
+    "asof_join",
+    "return_correlation",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
     "ngram_jaccard",
+    "doc_winnow",
     "ann_cosine_topk",
+    "embedding_dedup",
     "text_quality",
     "token_count",
 )

@@ -17,9 +17,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from stock_data_project_spark.plans import llm, olap, stock, stream
+from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 
-_MODULES = (stock, olap, llm, stream)
+_MODULES = (stock, olap, llm, stream, sql_api)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

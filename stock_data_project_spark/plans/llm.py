@@ -101,14 +101,15 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors: exact cosine over label-blocked pairs
     (block = cluster label; at scale the block key would come from a
     coarse quantizer / LSH — same plan shape)."""
-    from stock_data_project_spark.operators.similarity import cosine
+    from stock_data_project_spark.operators.similarity import dot, unit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("label"), F.col("embedding").alias("va")
+    normed = emb.select("vec_id", "label", unit(F.col("embedding")).alias("uv"))
+    a = normed.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("label"), F.col("uv").alias("va")
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("label"), F.col("embedding").alias("vb")
+    b = normed.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("label"), F.col("uv").alias("vb")
     )
     return (
         a.join(b, "label")
@@ -117,7 +118,7 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id_a",
             "vec_id_b",
             "label",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(dot(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.4)
     )
