@@ -234,6 +234,38 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (segment, status): all four grouping-set
+    combinations in one pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderstatus", "o_totalprice"
+    )
+    return joined.cube("c_mktsegment", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-quantity orders (TPC-H Q18 shape): HAVING over a grouped
+    fact, then join back for customer attribution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "l_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer account-balance deciles via ntile. The single global
     window is fine at dimension-table cardinality; for a 100 TB fact
@@ -351,6 +383,8 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "cube_sales": q_cube_sales,
+    "big_orders": q_big_orders,
     "ntile_deciles": q_ntile_deciles,
     "asof_join": q_asof_join,
     "tpch_q10": q_tpch_q10,
@@ -373,6 +407,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cube_sales": """
+        WITH base AS (
+            SELECT c_mktsegment, o_orderstatus, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT c_mktsegment, o_orderstatus,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM base
+        GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+    "big_orders": """
+        WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING round(sum(l_quantity), 2) > 250
+        )
+        SELECT c_custkey, c_name, l_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
     "ntile_deciles": """
         SELECT c_custkey, c_mktsegment, c_acctbal,
                CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS INT)
