@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from stock_data_project_spark.streaming.pipeline import (
+    stream_running_stats,
     stream_sessionize,
     stream_window_counts,
 )
@@ -24,9 +25,14 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_sessionize(spark, sf_dir)
 
 
+def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_running_stats(spark, sf_dir)
+
+
 QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_sessionize": q_stream_sessionize,
+    "stream_running_stats": q_stream_running_stats,
 }
 
 ORACLE = {

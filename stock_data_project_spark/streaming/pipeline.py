@@ -94,6 +94,68 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_sessionize")
 
 
+def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via
+    ``applyInPandasWithState``: per-series running count/sum/EMA of
+    the event value, carried across micro-batches in explicit state.
+    This is the recursive-state shape (EMA) that windowed aggs can't
+    express; state per key is O(1) so the state store stays tiny at
+    any scale."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    alpha = 0.1
+
+    def update(key, pdfs, state: GroupState):
+        (series_key,) = key
+        n, total, ema = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for v in pdf["value"]:
+                n += 1
+                total += float(v)
+                ema = float(v) if ema is None else alpha * float(v) + (1 - alpha) * ema
+        state.update((n, total, ema))
+        yield pd.DataFrame(
+            {
+                "series_key": [series_key],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "ema_value": [round(ema, 6)],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("series_key"), "ts", "value"
+    )
+    out = ev.groupBy("series_key").applyInPandasWithState(
+        update,
+        outputStructType="series_key string, n_events long, total_value double, ema_value double",
+        stateStructType="n long, total double, ema double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_running_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode memory sink appends one row per key per batch; the
+    # final state per key is the last emitted row
+    latest = spark.table("stream_running_stats")
+    w = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "series_key"
+        ).orderBy(F.desc("n_events"))
+    )
+    return latest.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+
+
 def run_incremental_star(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Incremental star-schema maintenance: each micro-batch of raw
     events is rolled up to daily bars and upserted into the fact
