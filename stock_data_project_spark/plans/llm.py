@@ -147,7 +147,23 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_media_payload(docs))
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality gate + confident
+    language ID + exact-dedup keeper selection, in ONE Catalyst plan
+    (filters fuse into the scan; the only shuffle is the dedup
+    groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality(docs).withColumn("pred_lang", predicted_lang("text"))
+    keepers = exact_duplicates(docs).select(F.col("keeper_id").alias("doc_id"))
+    return (
+        scored.join(keepers, "doc_id", "left_semi")
+        .filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") != "und"))
+        .select("doc_id", "lang", "pred_lang", "quality_score", "n_words")
+    )
+
+
 QUERIES = {
+    "clean_corpus": q_clean_corpus,
     "embedding_dedup": q_embedding_dedup,
     "media_pipeline": q_media_pipeline,
     "dedup_exact": q_dedup_exact,
@@ -183,6 +199,50 @@ _LANG_CASE = (
 )
 
 ORACLE = {
+    "clean_corpus": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   length(text) AS nc,
+                   CAST(len({_WORDS}) AS INT) AS n_words,
+                   length(regexp_replace(text, '[.,!?;:()\\-]', '', 'g')) AS nc_nopunct,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nc_alpha,
+                   len(list_filter({_WORDS},
+                       w -> list_contains({_sql_list(STOPWORDS["en"])}, w))) AS n_stop
+            FROM documents
+        ),
+        qual AS (
+            SELECT doc_id, n_words,
+                   round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.25
+                         + (CAST(nc_alpha AS DOUBLE) / nc) * 0.35
+                         + least((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25
+                         + (1.0 - least((CAST(nc - nc_nopunct AS DOUBLE) / nc) * 10.0, 1.0)) * 0.15,
+                         6) AS quality_score
+            FROM base
+        ),
+        scored AS (
+            SELECT doc_id,
+                   {_lang_score('en')} AS s_en,
+                   {_lang_score('es')} AS s_es,
+                   {_lang_score('fr')} AS s_fr,
+                   {_lang_score('de')} AS s_de,
+                   {_lang_score('zh')} AS s_zh
+            FROM documents
+        ),
+        langp AS (
+            SELECT doc_id, {_LANG_CASE} AS pred_lang
+            FROM (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS best FROM scored)
+        ),
+        keepers AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+        )
+        SELECT d.doc_id, d.lang, l.pred_lang, q.quality_score, q.n_words
+        FROM documents d
+        JOIN qual q USING (doc_id)
+        JOIN langp l USING (doc_id)
+        WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+          AND q.quality_score >= 0.5
+          AND l.pred_lang <> 'und'
+    """,
     "embedding_dedup": """
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -220,7 +220,23 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_macd(bars)
 
 
+def q_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar re-aggregation: daily bars -> weekly OHLC. The weekly
+    rollup reuses the daily shuffle's partial results (groupBy on a
+    coarser key of the same dimensions)."""
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    week = F.date_trunc("week", F.col("date")).cast("date").alias("week_start")
+    return bars.groupBy("series_key", week).agg(
+        F.min_by("open", "date").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "date").alias("close"),
+        F.sum("volume").alias("volume"),
+    )
+
+
 QUERIES = {
+    "weekly_bars": q_weekly_bars,
     "return_correlation": q_return_correlation,
     "market_beta": q_market_beta,
     "macd": q_macd,
@@ -241,6 +257,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "weekly_bars": f"""
+        WITH {_BARS}
+        SELECT series_key,
+               CAST(date_trunc('week', date) AS DATE) AS week_start,
+               arg_min(open, date) AS open,
+               max(high) AS high,
+               min(low) AS low,
+               arg_max(close, date) AS close,
+               CAST(sum(volume) AS BIGINT) AS volume
+        FROM bars
+        GROUP BY 1, 2
+    """,
     "return_correlation": f"""
         WITH {_BARS}, {_RET}
         SELECT a.series_key AS key_a, b.series_key AS key_b,
