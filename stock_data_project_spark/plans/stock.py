@@ -235,7 +235,35 @@ def q_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard 'top movers': the 10 largest absolute daily returns
+    across all series (pre-aggregated frame -> tiny global sort)."""
+    bars = with_daily_return(daily_bars(load_table(spark, sf_dir, "events")))
+    return (
+        bars.filter(F.col("daily_return").isNotNull())
+        .select("series_key", "date", "close", "daily_return",
+                F.abs("daily_return").alias("abs_return"))
+        .orderBy(F.desc("abs_return"), "series_key", "date")
+        .limit(10)
+    )
+
+
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday activity profile: count/avg value by hour-of-day per
+    series (calendar-attribute aggregation, scan-only + one agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("series_key"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
 QUERIES = {
+    "top_movers": q_top_movers,
+    "hourly_profile": q_hourly_profile,
     "weekly_bars": q_weekly_bars,
     "return_correlation": q_return_correlation,
     "market_beta": q_market_beta,
@@ -257,6 +285,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    "top_movers": f"""
+        WITH {_BARS}, {_RET}
+        SELECT series_key, date, close, daily_return,
+               abs(daily_return) AS abs_return
+        FROM ret
+        WHERE daily_return IS NOT NULL
+        ORDER BY abs_return DESC, series_key, date
+        LIMIT 10
+    """,
+    "hourly_profile": """
+        SELECT event_type AS series_key,
+               CAST(hour(ts) AS INT) AS hour_of_day,
+               count(*) AS n,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
     "weekly_bars": f"""
         WITH {_BARS}
         SELECT series_key,

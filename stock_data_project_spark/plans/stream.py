@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from stock_data_project_spark.streaming.pipeline import (
+    stream_dedup_counts,
     stream_running_stats,
     stream_sessionize,
     stream_window_counts,
@@ -29,13 +30,22 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_running_stats(spark, sf_dir)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_dedup_counts(spark, sf_dir)
+
+
 QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_sessionize": q_stream_sessionize,
     "stream_running_stats": q_stream_running_stats,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLE = {
+    "stream_dedup": """
+        SELECT event_type, count(DISTINCT event_id) AS n
+        FROM events GROUP BY event_type
+    """,
     "stream_window_counts": """
         SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
                event_type, count(*) AS n, round(sum(value), 6) AS total_value

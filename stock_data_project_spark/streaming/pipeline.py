@@ -156,6 +156,18 @@ def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once style ingest dedup: drop replayed event_ids with
+    streaming ``dropDuplicates`` state (bounded by the watermark),
+    then count per type — the at-least-once -> exactly-once bridge a
+    replayed source (Kafka, file redelivery) needs."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    _run_to_memory(agg, "stream_dedup_counts", "complete")
+    return spark.table("stream_dedup_counts")
+
+
 def run_incremental_star(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Incremental star-schema maintenance: each micro-batch of raw
     events is rolled up to daily bars and upserted into the fact
