@@ -26,8 +26,14 @@ def daily_bars(
     open/close are the first/last value by timestamp within the day
     (``min_by``/``max_by`` — no window, so the agg stays partial-
     aggregatable and the only shuffle is the groupBy itself).
+
+    ``date`` is a midnight TIMESTAMP, not a DATE: Spark DATE arrives
+    in pandas as ``object(datetime.date)`` while DuckDB DATE arrives
+    as ``datetime64``, so a date-typed output column would depend on
+    the oracle harness normalizing the two; midnight timestamps have
+    identical values and string forms on both engines.
     """
-    d = F.to_date(F.col(ts_col)).alias("date")
+    d = F.date_trunc("day", F.col(ts_col)).alias("date")
     return (
         events.groupBy(F.col(key_col).alias("series_key"), d)
         .agg(

@@ -31,8 +31,11 @@ from stock_data_project_spark.operators.volatility import with_rolling_volatilit
 
 
 def dim_date(events: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Distinct calendar rows: date_key, year, month, dow, is_weekend."""
-    d = F.to_date(F.col(ts_col)).alias("date_key")
+    """Distinct calendar rows: date_key, year, month, dow, is_weekend.
+
+    date_key is a midnight timestamp (see operators/series.py on why
+    DATE-typed outputs are avoided in oracled results)."""
+    d = F.date_trunc("day", F.col(ts_col)).alias("date_key")
     return (
         events.select(d)
         .distinct()

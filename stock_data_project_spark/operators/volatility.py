@@ -92,7 +92,7 @@ def with_macd(
     import pandas as pd  # noqa: F401  (executor-side)
 
     out_fields = ", ".join(
-        f"{key_col} string, {order_col} date, {value_col} double".split(", ")
+        f"{key_col} string, {order_col} timestamp, {value_col} double".split(", ")
         + ["macd double", "macd_signal double", "macd_hist double"]
     )
 

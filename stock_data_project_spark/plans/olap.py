@@ -291,11 +291,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     ord_daily = (
         orders.groupBy(
-            F.col("o_custkey").alias("cust"), F.to_date("o_orderdate").alias("odate")
+            F.col("o_custkey").alias("cust"), F.date_trunc("day", F.col("o_orderdate")).alias("odate")
         )
         .agg(F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"))
     )
-    ev_dated = ev.select("event_id", "user_id", F.to_date("ts").alias("event_date"))
+    ev_dated = ev.select("event_id", "user_id", F.date_trunc("day", F.col("ts")).alias("event_date"))
     return asof_join(
         left=ord_daily,
         right=ev_dated,
@@ -437,15 +437,15 @@ ORACLE = {
     """,
     "asof_join": """
         WITH ord AS (
-            SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS odate,
+            SELECT o_custkey AS cust, date_trunc('day', o_orderdate) AS odate,
                    max_by(o_totalprice, o_orderkey) AS last_order_price
             FROM orders GROUP BY 1, 2
         )
-        SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
+        SELECT e.event_id, e.user_id, date_trunc('day', e.ts) AS event_date,
                o.odate AS last_order_date, o.last_order_price
         FROM events e
         ASOF LEFT JOIN ord o
-          ON e.user_id = o.cust AND CAST(e.ts AS DATE) >= o.odate
+          ON e.user_id = o.cust AND date_trunc('day', e.ts) >= o.odate
     """,
     "tpch_q10": """
         SELECT c_custkey, c_name, n_name AS nation,

@@ -36,13 +36,13 @@ def q_sql_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT CAST(ts AS DATE) AS date,
-               max_by(value, ts) AS close,
-               year(CAST(ts AS DATE)) AS year,
-               month(CAST(ts AS DATE)) AS month
-        FROM events
-        WHERE event_type = 'purchase'
-        GROUP BY CAST(ts AS DATE)
+        SELECT date, close, year(date) AS year, month(date) AS month
+        FROM (
+            SELECT date_trunc('day', ts) AS date, max_by(value, ts) AS close
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY date_trunc('day', ts)
+        )
         ORDER BY date
         """
     )
@@ -63,13 +63,15 @@ ORACLE = {
         GROUP BY c_mktsegment, year(o_orderdate)
     """,
     "sql_star_query": """
-        SELECT CAST(ts AS DATE) AS date,
-               max_by(value, ts) AS close,
-               CAST(year(CAST(ts AS DATE)) AS INT) AS year,
-               CAST(month(CAST(ts AS DATE)) AS INT) AS month
-        FROM events
-        WHERE event_type = 'purchase'
-        GROUP BY CAST(ts AS DATE)
+        SELECT date, close,
+               CAST(year(date) AS INT) AS year,
+               CAST(month(date) AS INT) AS month
+        FROM (
+            SELECT date_trunc('day', ts) AS date, max_by(value, ts) AS close
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY date_trunc('day', ts)
+        )
         ORDER BY date
     """,
 }

@@ -38,7 +38,7 @@ from stock_data_project_spark.operators.volatility import (
 _BARS = """
 bars AS (
     SELECT event_type AS series_key,
-           CAST(ts AS DATE) AS date,
+           date_trunc('day', ts) AS date,
            arg_min(value, ts) AS open,
            max(value) AS high,
            min(value) AS low,
@@ -225,7 +225,7 @@ def q_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup reuses the daily shuffle's partial results (groupBy on a
     coarser key of the same dimensions)."""
     bars = daily_bars(load_table(spark, sf_dir, "events"))
-    week = F.date_trunc("week", F.col("date")).cast("date").alias("week_start")
+    week = F.date_trunc("week", F.col("date")).alias("week_start")
     return bars.groupBy("series_key", week).agg(
         F.min_by("open", "date").alias("open"),
         F.max("high").alias("high"),
@@ -305,7 +305,7 @@ ORACLE = {
     "weekly_bars": f"""
         WITH {_BARS}
         SELECT series_key,
-               CAST(date_trunc('week', date) AS DATE) AS week_start,
+               date_trunc('week', date) AS week_start,
                arg_min(open, date) AS open,
                max(high) AS high,
                min(low) AS low,
@@ -334,11 +334,11 @@ ORACLE = {
     """,
     "dim_date": """
         SELECT DISTINCT
-            CAST(ts AS DATE) AS date_key,
-            CAST(year(CAST(ts AS DATE)) AS INT) AS year,
-            CAST(month(CAST(ts AS DATE)) AS INT) AS month,
-            CAST(date_part('dow', CAST(ts AS DATE)) AS INT) AS dow,
-            date_part('dow', CAST(ts AS DATE)) IN (0, 6) AS is_weekend
+            date_trunc('day', ts) AS date_key,
+            CAST(year(ts) AS INT) AS year,
+            CAST(month(ts) AS INT) AS month,
+            CAST(date_part('dow', ts) AS INT) AS dow,
+            date_part('dow', ts) IN (0, 6) AS is_weekend
         FROM events
     """,
     "dim_entity": """
@@ -373,7 +373,7 @@ ORACLE = {
               AND CAST(ts AS DATE) <= DATE '2024-01-20'
         ),
         bars AS (
-            SELECT event_type AS series_key, CAST(ts AS DATE) AS date,
+            SELECT event_type AS series_key, date_trunc('day', ts) AS date,
                    arg_max(value, ts) AS close
             FROM filtered GROUP BY 1, 2
         )
