@@ -234,6 +234,30 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_active_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: event user-ids INTERSECT order customer keys
+    (who is both active and buying), one row per id."""
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    return ev.intersect(orders)
+
+
+def q_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: lateral explode of document tokens ->
+    count -> top-20 (the wordcount archetype, with a deterministic
+    tie-break)."""
+    from stock_data_project_spark.operators.textops import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
 def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE over (segment, status): all four grouping-set
     combinations in one pass."""
@@ -383,6 +407,8 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "active_customer_overlap": q_active_customer_overlap,
+    "word_frequency": q_word_frequency,
     "cube_sales": q_cube_sales,
     "big_orders": q_big_orders,
     "ntile_deciles": q_ntile_deciles,
@@ -407,6 +433,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    "active_customer_overlap": """
+        SELECT user_id AS id FROM events
+        INTERSECT
+        SELECT o_custkey AS id FROM orders
+    """,
+    "word_frequency": r"""
+        SELECT word, count(*) AS n
+        FROM (
+            SELECT unnest(string_split(
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+            FROM documents
+        )
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 20
+    """,
     "cube_sales": """
         WITH base AS (
             SELECT c_mktsegment, o_orderstatus, o_totalprice

@@ -48,12 +48,31 @@ def q_sql_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders priced above the global average (the
+    subquery becomes a broadcast scalar in the plan)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        """
+    )
+
+
 QUERIES = {
     "sql_segment_revenue": q_sql_segment_revenue,
     "sql_star_query": q_sql_star_query,
+    "sql_above_avg_orders": q_sql_above_avg_orders,
 }
 
 ORACLE = {
+    "sql_above_avg_orders": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    """,
     "sql_segment_revenue": """
         SELECT c_mktsegment,
                CAST(year(o_orderdate) AS INT) AS order_year,
