@@ -129,28 +129,28 @@ def minhash_candidates(
     )
     left = banded.alias("a")
     right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-    )
     est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda eq: eq
+        )
     ).cast("double") / F.lit(float(num_perms))
+    # est is computed per collision row (cheap scalar) and the pair
+    # dedup is a max-agg on scalars — cheaper than dropDuplicates,
+    # which would shuffle the 32-long signature arrays with each pair
+    scored = left.join(
+        right,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.round(est, 6).alias("est_jaccard"),
+    )
     return (
-        pairs.withColumn("est_jaccard", F.round(est, 6))
+        scored.groupBy("doc_id_a", "doc_id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_id_a", "doc_id_b", "est_jaccard")
     )
 
 
@@ -215,7 +215,10 @@ def simhash_candidates(
         "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # hamming is verified per collision row and the early filter cuts
+    # the pair-dedup aggregation down to true near-dups only
+    scored = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -225,17 +228,11 @@ def simhash_candidates(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_id_a", "doc_id_b", "hamming")
     )
+    return scored.groupBy("doc_id_a", "doc_id_b").agg(F.min("hamming").alias("hamming"))
 
 
 def winnow_fingerprints(
