@@ -1,0 +1,75 @@
+"""Semantic tests for the approximate (rows-only) dedup/ANN ops:
+plant near-duplicates and verify the LSH paths find them, and that
+approximate scores agree with exact ones where they overlap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.dedup import (
+    minhash_candidates,
+    simhash_candidates,
+)
+from stock_data_project_spark.operators.similarity import cosine_topk, lsh_topk
+from tests.conftest import SF_SMOKE
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green bottles stand quietly on the ancient stone wall near the "
+    "river bend waiting for the morning sun to rise over the valley"
+)
+
+
+def _doc_table(spark):
+    rows = [
+        (1, _BASE),
+        (2, _BASE.replace("morning", "evening")),  # near-dup of 1
+        (3, _BASE),  # exact dup of 1
+        (4, "completely different text about spark dataframes and shuffle " * 4),
+        (5, "another unrelated document mentioning parquet files and codegen " * 4),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = _doc_table(spark)
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["est_jaccard"]
+        for r in minhash_candidates(docs, threshold=0.5).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup: all perms agree
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5  # near dup found
+    assert not any(4 in p or 5 in p for p in pairs)  # unrelated docs don't pair
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    # a 1-word edit lands at hamming 4-6 on a ~35-token doc (vote
+    # margins are thin), so use 8 bands: pigeonhole then guarantees
+    # recall for hamming <= 7
+    docs = _doc_table(spark)
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_candidates(docs, max_hamming=7, bands=8).collect()
+    }
+    assert pairs.get((1, 3)) == 0  # identical text -> identical simhash
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 7
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_lsh_ann_agrees_with_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_topk(emb, queries, k=50).collect()
+    }
+    approx = lsh_topk(emb, queries, k=5).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert r["neighbor_id"] != r["query_id"]
+        key = (r["query_id"], r["neighbor_id"])
+        # any LSH-returned pair that brute force also ranked must
+        # carry the identical exact cosine
+        if key in brute:
+            assert r["cosine_sim"] == brute[key]
