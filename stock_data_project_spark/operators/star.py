@@ -75,6 +75,26 @@ def annual_indicators(events: DataFrame, ts_col: str = "ts", value_col: str = "v
     )
 
 
+def materialize_star(events: DataFrame, out_dir: str) -> None:
+    """Write the full star schema to parquet — the reference's end
+    state (COPY ... TO parquet, fetch_stocks.py:243-266): fact table
+    partitioned by year/month (so time-range queries prune
+    partitions), dims as single parquet tables."""
+    import os
+
+    from stock_data_project_spark.sources.writers import write_partitioned
+
+    fact = build_fact(events).withColumn("year", F.year("date_key")).withColumn(
+        "month", F.month("date_key")
+    )
+    write_partitioned(fact, os.path.join(out_dir, "fact_market"), ["year", "month"])
+    dim_date(events).write.mode("overwrite").parquet(os.path.join(out_dir, "dim_date"))
+    dim_entity(events).write.mode("overwrite").parquet(os.path.join(out_dir, "dim_entity"))
+    annual_indicators(events).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "annual_indicators")
+    )
+
+
 def build_fact(events: DataFrame) -> DataFrame:
     """The flagship pipeline: events -> daily bars -> returns ->
     volatility -> dim joins -> annual indicator left-join."""

@@ -103,6 +103,35 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (Q7 shape): both direction
+    pairs, yearly. The nation dim joins twice (supplier side and
+    customer side) — both broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
+    )
+
+
 def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers by order revenue per nation: window row_number
     over a pre-aggregated (thus small) frame."""
@@ -413,6 +442,7 @@ QUERIES = {
     "big_orders": q_big_orders,
     "ntile_deciles": q_ntile_deciles,
     "asof_join": q_asof_join,
+    "tpch_q7": q_tpch_q7,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "props_extract": q_props_extract,
@@ -488,6 +518,22 @@ ORACLE = {
         FROM events e
         ASOF LEFT JOIN ord o
           ON e.user_id = o.cust AND date_trunc('day', e.ts) >= o.odate
+    """,
+    "tpch_q7": """
+        SELECT supp_nation, cust_nation,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN (SELECT n_nationkey AS s_nkey, n_name AS supp_nation FROM nation) n1
+          ON s_nationkey = s_nkey
+        JOIN (SELECT n_nationkey AS c_nkey, n_name AS cust_nation FROM nation) n2
+          ON c_nationkey = c_nkey
+        WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+           OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+        GROUP BY supp_nation, cust_nation, year(l_shipdate)
     """,
     "tpch_q10": """
         SELECT c_custkey, c_name, n_name AS nation,
