@@ -83,33 +83,6 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(
-    vec_col: Column, planes: int = 8, dim: int = 64, table: int = 0
-) -> Column:
-    """LSH bucket id: bit p = sign of <v, h_p> where h_p[j] is ±1
-    from xxhash64(table, p, j). Deterministic, model-free, map-side;
-    ``table`` seeds independent hash tables for OR-amplified recall."""
-    bits = []
-    for p in range(planes):
-        coeff = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j, p=p: F.when(
-                F.xxhash64(F.lit(table), F.lit(p), j).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-        proj = F.aggregate(
-            F.zip_with(vec_col, coeff, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
-
-
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
