@@ -319,6 +319,35 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions: percent_rank + cume_dist
+    of customer balances within each market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+def q_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: the distinct market segments
+    present per nation, as one sorted comma-joined string."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer account-balance deciles via ntile. The single global
     window is fine at dimension-table cardinality; for a 100 TB fact
@@ -440,6 +469,8 @@ QUERIES = {
     "word_frequency": q_word_frequency,
     "cube_sales": q_cube_sales,
     "big_orders": q_big_orders,
+    "balance_distribution": q_balance_distribution,
+    "nation_segments": q_nation_segments,
     "ntile_deciles": q_ntile_deciles,
     "asof_join": q_asof_join,
     "tpch_q7": q_tpch_q7,
@@ -500,6 +531,20 @@ ORACLE = {
         FROM big
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
+    """,
+    "balance_distribution": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    "nation_segments": """
+        SELECT n_name AS nation,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+               count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
     """,
     "ntile_deciles": """
         SELECT c_custkey, c_mktsegment, c_acctbal,

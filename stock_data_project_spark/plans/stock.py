@@ -211,6 +211,30 @@ def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day ROLLING correlation between two series' returns (corr
+    as a window aggregate over a rows frame — the time-varying
+    version of `return_correlation`)."""
+    from pyspark.sql import Window
+
+    bars = with_daily_return(daily_bars(load_table(spark, sf_dir, "events")))
+    a = bars.filter(F.col("series_key") == "click").select(
+        "date", F.col("daily_return").alias("ra")
+    )
+    b = bars.filter(F.col("series_key") == "view").select(
+        "date", F.col("daily_return").alias("rb")
+    )
+    joined = a.join(b, "date")
+    w = Window.orderBy("date").rowsBetween(-19, 0)
+    n = F.count(F.when(F.col("ra").isNotNull() & F.col("rb").isNotNull(), 1)).over(w)
+    return joined.select(
+        "date",
+        "ra",
+        "rb",
+        F.round(F.when(n >= 10, F.corr("ra", "rb").over(w)), 6).alias("rolling_corr"),
+    )
+
+
 def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MACD via applyInPandas (recursive EMA state per series) —
     rows-only check: EMA recursion isn't window-expressible in SQL."""
@@ -266,6 +290,7 @@ QUERIES = {
     "hourly_profile": q_hourly_profile,
     "weekly_bars": q_weekly_bars,
     "return_correlation": q_return_correlation,
+    "rolling_correlation": q_rolling_correlation,
     "market_beta": q_market_beta,
     "macd": q_macd,
     "dim_date": q_dim_date,
@@ -313,6 +338,18 @@ ORACLE = {
                CAST(sum(volume) AS BIGINT) AS volume
         FROM bars
         GROUP BY 1, 2
+    """,
+    "rolling_correlation": f"""
+        WITH {_BARS}, {_RET},
+        a AS (SELECT date, daily_return AS ra FROM ret WHERE series_key = 'click'),
+        b AS (SELECT date, daily_return AS rb FROM ret WHERE series_key = 'view'),
+        j AS (SELECT a.date, ra, rb FROM a JOIN b ON a.date = b.date)
+        SELECT date, ra, rb,
+               round(CASE WHEN count(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                                          THEN 1 END) OVER w >= 10
+                          THEN corr(ra, rb) OVER w END, 6) AS rolling_corr
+        FROM j
+        WINDOW w AS (ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     """,
     "return_correlation": f"""
         WITH {_BARS}, {_RET}
