@@ -62,6 +62,17 @@ def dim_entity(events: DataFrame, key_col: str = "event_type") -> DataFrame:
     )
 
 
+def dim_country(spark) -> DataFrame:
+    """The reference's constant country dimension verbatim
+    (DimCountry, fetch_stocks.py:202-208): a single static row —
+    kept for 1:1 star-schema parity; real deployments swap in a
+    country reference table."""
+    return spark.createDataFrame(
+        [("USA", "United States", "USA")],
+        "country_key string, country_name string, country_code string",
+    )
+
+
 def annual_indicators(events: DataFrame, ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """Annual macro analog of the reference's World-Bank table: one row
     per year with economy-wide aggregates (joined to daily facts on

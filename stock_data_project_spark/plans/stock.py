@@ -87,6 +87,12 @@ def q_dim_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim_entity(load_table(spark, sf_dir, "events"))
 
 
+def q_dim_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_data_project_spark.operators.star import dim_country
+
+    return dim_country(spark)
+
+
 def q_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_fact(load_table(spark, sf_dir, "events"))
 
@@ -295,6 +301,7 @@ QUERIES = {
     "macd": q_macd,
     "dim_date": q_dim_date,
     "dim_entity": q_dim_entity,
+    "dim_country": q_dim_country,
     "fact_build": q_fact_build,
     "daily_return": q_daily_return,
     "rolling_volatility": q_rolling_volatility,
@@ -377,6 +384,10 @@ ORACLE = {
             CAST(date_part('dow', ts) AS INT) AS dow,
             date_part('dow', ts) IN (0, 6) AS is_weekend
         FROM events
+    """,
+    "dim_country": """
+        SELECT 'USA' AS country_key, 'United States' AS country_name,
+               'USA' AS country_code
     """,
     "dim_entity": """
         SELECT md5(entity_name) AS entity_key, entity_name,
