@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from stock_data_project_spark.streaming.pipeline import (
     stream_dedup_counts,
+    stream_enrich_counts,
     stream_running_stats,
     stream_sessionize,
     stream_window_counts,
@@ -34,17 +35,27 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_counts(spark, sf_dir)
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_enrich_counts(spark, sf_dir)
+
+
 QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_sessionize": q_stream_sessionize,
     "stream_running_stats": q_stream_running_stats,
     "stream_dedup": q_stream_dedup,
+    "stream_enrich": q_stream_enrich,
 }
 
 ORACLE = {
     "stream_dedup": """
         SELECT event_type, count(DISTINCT event_id) AS n
         FROM events GROUP BY event_type
+    """,
+    "stream_enrich": """
+        SELECT c_mktsegment, count(*) AS n, round(sum(value), 6) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
     """,
     "stream_window_counts": """
         SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,

@@ -168,6 +168,26 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_counts")
 
 
+def stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the
+    static customer dimension (broadcast per micro-batch), rolled up
+    to per-segment counts. The static side is re-resolved every
+    batch, so dimension updates are picked up without restarts."""
+    from stock_data_project_spark.catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+    _run_to_memory(agg, "stream_enrich_counts", "complete")
+    return spark.table("stream_enrich_counts")
+
+
 def run_incremental_star(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Incremental star-schema maintenance: each micro-batch of raw
     events is rolled up to daily bars and upserted into the fact
