@@ -4,6 +4,11 @@
 (fetch_stocks.py:69-70: Date,Ticker,Open,High,Low,Close,Adj Close,
 Volume) so a user of the reference can point this engine at the same
 CSV drops.
+
+Migration note: the reference names its drops ``stocks:{date}.csv``
+(fetch_stocks.py:72). The colon is a URI scheme separator to Hadoop
+Path, so those objects must be renamed (e.g. ``stocks_{date}.csv``)
+when moving to any HDFS-compatible filesystem, s3a included.
 """
 
 from __future__ import annotations

@@ -1,0 +1,60 @@
+"""Reference migration path: the reference's own CSV format flows
+through ingestion into the derived-metric pipeline with pandas-exact
+results (the reference computes these in pandas)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.operators.ingest import stocks_csv_to_fact
+from stock_data_project_spark.sources import read_csv, stocks_csv_schema
+
+
+def _reference_csv(path: str) -> pd.DataFrame:
+    rows = []
+    price = {"^GSPC": 4700.0, "^DJI": 37500.0}
+    for d in range(1, 26):
+        for tkr in ("^GSPC", "^DJI"):
+            p = price[tkr] * (1 + ((d * 13 + hash(tkr) % 7) % 11 - 5) / 500)
+            rows.append(
+                {
+                    "Date": f"2024-01-{d:02d}",
+                    "Ticker": tkr,
+                    "Open": round(p * 0.999, 2),
+                    "High": round(p * 1.01, 2),
+                    "Low": round(p * 0.99, 2),
+                    "Close": round(p, 2),
+                    "Adj Close": round(p, 2),
+                    "Volume": 1e6 + d,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    pdf.to_csv(path, index=False)
+    return pdf
+
+
+def test_reference_csv_through_fact_pipeline(spark):
+    with tempfile.TemporaryDirectory() as d:
+        # NB the reference names drops "stocks:{date}.csv" — the colon
+        # is a URI scheme separator to Hadoop and breaks every
+        # HDFS-compatible filesystem; migrating users must rename
+        path = os.path.join(d, "stocks_2024-01-26.csv")
+        pdf = _reference_csv(path)
+        stocks = read_csv(spark, path, stocks_csv_schema()).drop("_corrupt_record")
+        fact = stocks_csv_to_fact(stocks)
+        got = fact.orderBy("series_key", "date").toPandas()
+        assert len(got) == len(pdf)
+        # pandas-parity for the reference's DailyReturn (fetch_stocks.py:213)
+        pdf = pdf.sort_values(["Ticker", "Date"]).reset_index(drop=True)
+        expected = pdf.groupby("Ticker")["Close"].pct_change().round(6)
+        pd.testing.assert_series_equal(
+            got["daily_return"], expected, check_names=False
+        )
+        # volatility exists and is NULL until the 20-row window fills
+        per_key = got[got["series_key"] == "^GSPC"]
+        assert per_key["volatility"].isna().sum() == 20  # 19 window + 1 null return
+        assert per_key["volatility"].notna().sum() == 5
