@@ -263,6 +263,84 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (Q19 shape): disjunction of conjunctive
+    brand/quantity predicates — the filter-pushdown stress case (the
+    OR-of-ANDs must still prune at the scan via the part join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (Q22 shape): wealthy customers (above
+    the positive-balance average, scalar subquery) who never ordered
+    (anti join), grouped by segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    # scalar threshold as a broadcast 1-row frame (stays lazy; no
+    # driver-side collect)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_ab"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .drop("_ab")
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes their first
+    click precedes their first purchase — one conditional min-ts agg
+    per stage, a single groupBy (no joins, no window)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return (
+        firsts.filter(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_buy").isNotNull()
+            & (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_buy"))
+        )
+        .select("user_id", "t_view", "t_click", "t_buy")
+    )
+
+
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: per first-active week, how many users come
+    back in each later week (distinct user-week pairs self-joined on
+    cohort)."""
+    ev = load_table(spark, sf_dir, "events")
+    user_weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 def q_active_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: event user-ids INTERSECT order customer keys
     (who is both active and buying), one row per id."""
@@ -465,6 +543,10 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
+    "funnel": q_funnel,
+    "weekly_retention": q_weekly_retention,
     "active_customer_overlap": q_active_customer_overlap,
     "word_frequency": q_word_frequency,
     "cube_sales": q_cube_sales,
@@ -494,6 +576,46 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tpch_q19": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "tpch_q22": """
+        SELECT c_mktsegment, count(*) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "funnel": """
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, t_view, t_click, t_buy
+        FROM firsts
+        WHERE t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+          AND t_view < t_click AND t_click < t_buy
+    """,
+    "weekly_retention": """
+        WITH user_weeks AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+        ),
+        cohorts AS (
+            SELECT user_id, min(week) AS cohort_week FROM user_weeks GROUP BY user_id
+        )
+        SELECT cohort_week, week, count(DISTINCT uw.user_id) AS n_active
+        FROM user_weeks uw JOIN cohorts c ON uw.user_id = c.user_id
+        GROUP BY cohort_week, week
+    """,
     "active_customer_overlap": """
         SELECT user_id AS id FROM events
         INTERSECT
