@@ -147,6 +147,38 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_media_payload(docs))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as pure relational algebra: term counts per doc ⋈
+    document frequencies -> tf·idf -> top-3 terms per doc (window).
+    The doc-frequency side is a small aggregate -> broadcast."""
+    from stock_data_project_spark.operators.textops import words
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.countDistinct("doc_id").alias("_n"))
+    tf = (
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tfidf", "rank")
+    )
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline: quality gate + confident
     language ID + exact-dedup keeper selection, in ONE Catalyst plan
@@ -163,6 +195,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "tfidf_top_terms": q_tfidf_top_terms,
     "clean_corpus": q_clean_corpus,
     "embedding_dedup": q_embedding_dedup,
     "media_pipeline": q_media_pipeline,
@@ -199,6 +232,29 @@ _LANG_CASE = (
 )
 
 ORACLE = {
+    "tfidf_top_terms": f"""
+        WITH tf AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_WORDS}) AS word FROM documents)
+            GROUP BY doc_id, word
+        ),
+        dfreq AS (
+            SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+        ),
+        n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, tf.word,
+                   round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n_docs
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, word ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, word, tfidf, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """,
     "clean_corpus": f"""
         WITH base AS (
             SELECT doc_id,
