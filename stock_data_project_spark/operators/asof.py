@@ -35,21 +35,24 @@ def asof_join(
     if direction != "backward":
         raise NotImplementedError("only backward as-of is implemented")
     lt = F.col(left_time)
+    # the whole left state travels as ONE struct so the carried
+    # snapshot is atomic: a left row whose value column is NULL still
+    # advances the as-of time and carries its NULL, instead of
+    # mixing columns from different left rows (last(...) per column
+    # would resurrect an older non-null value)
     l_tagged = left.select(
         F.col(left_key).alias("_k"),
         lt.alias("_t"),
         F.lit(0).alias("_tag"),
-        lt.alias(f"asof_{left_time}"),
-        *[F.col(c) for c in value_cols],
+        F.struct(
+            lt.alias(f"asof_{left_time}"), *[F.col(c) for c in value_cols]
+        ).alias("_state"),
     )
     r_tagged = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(1).alias("_tag"),
-        F.lit(None).cast(l_tagged.schema[f"asof_{left_time}"].dataType).alias(
-            f"asof_{left_time}"
-        ),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(l_tagged.schema["_state"].dataType).alias("_state"),
         F.struct(*right.columns).alias("_r"),
     )
     l_full = l_tagged.withColumn("_r", F.lit(None).cast(r_tagged.schema["_r"].dataType))
@@ -63,11 +66,10 @@ def asof_join(
     carried = unioned.select(
         "_tag",
         "_r",
-        F.last(f"asof_{left_time}", ignorenulls=True).over(w).alias(f"asof_{left_time}"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_state", ignorenulls=True).over(w).alias("_state"),
     )
     return carried.filter(F.col("_tag") == 1).select(
         *[F.col(f"_r.{c}").alias(c) for c in right.columns],
-        f"asof_{left_time}",
-        *value_cols,
+        F.col(f"_state.asof_{left_time}").alias(f"asof_{left_time}"),
+        *[F.col(f"_state.{c}").alias(c) for c in value_cols],
     )

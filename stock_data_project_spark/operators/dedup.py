@@ -285,15 +285,22 @@ def winnow_fingerprints(
                 out["max_fp"].append(max(fps))
             yield pd.DataFrame(out)
 
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("n_fingerprints", T.LongType()),
+            T.StructField("min_fp", T.StringType()),
+            T.StructField("max_fp", T.StringType()),
+        ]
+    )
     # repartition: a single parquet file otherwise lands in one task;
     # the op is embarrassingly parallel per doc
     return (
         df.select(id_col, text_col)
         .repartition(64)
-        .mapInPandas(
-            per_batch,
-            schema="doc_id long, n_fingerprints long, min_fp string, max_fp string",
-        )
+        .mapInPandas(per_batch, schema=out_schema)
     )
 
 

@@ -18,22 +18,23 @@ from stock_data_project_spark.operators.returns import with_daily_return
 from stock_data_project_spark.operators.volatility import with_rolling_volatility
 
 
-def bars_from_stocks_csv(stocks: DataFrame) -> DataFrame:
+def bars_from_stocks_csv(stocks: DataFrame, price_col: str = "Close") -> DataFrame:
     """Reference stocks CSV rows -> canonical daily bars
     (series_key, date, open, high, low, close, volume, turnover).
 
-    The source is already daily-resolution, so no resample happens;
-    ``Adj Close`` is carried as the close (the reference plots Close,
-    computes returns on Close — fetch_stocks.py:213)."""
+    The source is already daily-resolution, so no resample happens.
+    ``close`` comes from ``price_col`` — default ``Close``, matching
+    the reference (it computes returns on Close, fetch_stocks.py:213);
+    pass ``"Adj Close"`` for split/dividend-adjusted analytics."""
     return stocks.select(
         F.col("Ticker").alias("series_key"),
         F.col("Date").cast("timestamp").alias("date"),
         F.col("Open").alias("open"),
         F.col("High").alias("high"),
         F.col("Low").alias("low"),
-        F.col("Close").alias("close"),
+        F.col(price_col).alias("close"),
         F.col("Volume").cast("long").alias("volume"),
-        F.round(F.col("Close") * F.col("Volume"), 6).alias("turnover"),
+        F.round(F.col(price_col) * F.col("Volume"), 6).alias("turnover"),
     )
 
 

@@ -52,10 +52,18 @@ def with_cumulative_return(
     out_col: str = "cum_return",
 ) -> DataFrame:
     """Running product of (1 + r) - 1, via sum-of-logs (associative →
-    partial-aggregatable window; a running product UDF would not be)."""
+    partial-aggregatable window; a running product UDF would not be).
+
+    A -100% (or worse) day makes log(1+r) undefined; once one occurs
+    the position is wiped and every later cumulative return is pinned
+    to -1 (F.sum would otherwise silently skip the NULL log and
+    resurrect the series)."""
     w = _series_window(key_col, order_col).rowsBetween(Window.unboundedPreceding, 0)
-    log1p = F.log(F.lit(1.0) + F.coalesce(F.col(return_col), F.lit(0.0)))
-    return df.withColumn(out_col, F.round(F.exp(F.sum(log1p).over(w)) - 1, 6))
+    r = F.coalesce(F.col(return_col), F.lit(0.0))
+    log1p = F.log(F.lit(1.0) + r)
+    wiped = F.max(F.when(r <= -1.0, F.lit(1)).otherwise(F.lit(0))).over(w)
+    cum = F.when(wiped == 1, F.lit(-1.0)).otherwise(F.exp(F.sum(log1p).over(w)) - 1)
+    return df.withColumn(out_col, F.round(cum, 6))
 
 
 def with_drawdown(

@@ -23,7 +23,13 @@ def salted_join(
     """Equi-join ``probe ⋈ build`` on ``key`` with ``salt``-way key
     splitting. ``build`` rows are replicated ``salt`` times (keep it
     the smaller input); ``probe`` rows get a deterministic salt from
-    a hash of their full row so replicas stay balanced."""
+    a hash of their full row so replicas stay balanced.
+
+    Only probe-preserving join types are valid: build-side rows are
+    replicated, so right/full outer would emit ``salt`` null-extended
+    copies of every unmatched build row."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(f"salted_join supports probe-preserving joins only, got {how!r}")
     salted_build = build.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

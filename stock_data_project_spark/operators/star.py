@@ -90,32 +90,41 @@ def materialize_star(events: DataFrame, out_dir: str) -> None:
     """Write the full star schema to parquet — the reference's end
     state (COPY ... TO parquet, fetch_stocks.py:243-266): fact table
     partitioned by year/month (so time-range queries prune
-    partitions), dims as single parquet tables."""
+    partitions), dims as single parquet tables. The dim frames are
+    built once and shared with the fact build (each would otherwise
+    rescan + reaggregate the events table)."""
     import os
 
     from stock_data_project_spark.sources.writers import write_partitioned
 
-    fact = build_fact(events).withColumn("year", F.year("date_key")).withColumn(
-        "month", F.month("date_key")
-    )
+    dates = dim_date(events)
+    entities = dim_entity(events)
+    annual = annual_indicators(events)
+    fact = build_fact(events, dates=dates, entities=entities, annual=annual)
+    fact = fact.withColumn("year", F.year("date_key")).withColumn("month", F.month("date_key"))
     write_partitioned(fact, os.path.join(out_dir, "fact_market"), ["year", "month"])
-    dim_date(events).write.mode("overwrite").parquet(os.path.join(out_dir, "dim_date"))
-    dim_entity(events).write.mode("overwrite").parquet(os.path.join(out_dir, "dim_entity"))
-    annual_indicators(events).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "annual_indicators")
-    )
+    dates.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_date"))
+    entities.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_entity"))
+    annual.write.mode("overwrite").parquet(os.path.join(out_dir, "annual_indicators"))
 
 
-def build_fact(events: DataFrame) -> DataFrame:
+def build_fact(
+    events: DataFrame,
+    dates: DataFrame | None = None,
+    entities: DataFrame | None = None,
+    annual: DataFrame | None = None,
+) -> DataFrame:
     """The flagship pipeline: events -> daily bars -> returns ->
-    volatility -> dim joins -> annual indicator left-join."""
+    volatility -> dim joins -> annual indicator left-join. Callers
+    that also materialize the dims pass them in to avoid rebuilding
+    each from a fresh events scan."""
     bars = daily_bars(events)
     bars = with_daily_return(bars, value_col="close")
     bars = with_rolling_volatility(bars, return_col="daily_return", window=20)
 
-    dates = dim_date(events)
-    entities = dim_entity(events)
-    annual = annual_indicators(events)
+    dates = dates if dates is not None else dim_date(events)
+    entities = entities if entities is not None else dim_entity(events)
+    annual = annual if annual is not None else annual_indicators(events)
 
     return (
         bars.join(F.broadcast(dates), bars.date == dates.date_key, "inner")

@@ -90,10 +90,20 @@ def with_macd(
     number of series, and each group is one key's (small) daily
     history."""
     import pandas as pd  # noqa: F401  (executor-side)
+    from pyspark.sql import types as T
 
-    out_fields = ", ".join(
-        f"{key_col} string, {order_col} timestamp, {value_col} double".split(", ")
-        + ["macd double", "macd_signal double", "macd_hist double"]
+    # derive pass-through column types from the input so callers with
+    # non-default key/order/value columns keep a matching Arrow schema
+    in_fields = {f.name: f.dataType for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, in_fields[key_col]),
+            T.StructField(order_col, in_fields[order_col]),
+            T.StructField(value_col, in_fields[value_col]),
+            T.StructField("macd", T.DoubleType()),
+            T.StructField("macd_signal", T.DoubleType()),
+            T.StructField("macd_hist", T.DoubleType()),
+        ]
     )
 
     def per_series(pdf):
@@ -109,7 +119,7 @@ def with_macd(
         return pdf
 
     return df.select(key_col, order_col, value_col).groupBy(key_col).applyInPandas(
-        per_series, schema=out_fields
+        per_series, schema=out_schema
     )
 
 

@@ -457,8 +457,11 @@ ORACLE = {
     "cumulative_return": f"""
         WITH {_BARS}, {_RET}
         SELECT series_key, date, daily_return,
-               round(exp(sum(ln(1.0 + coalesce(daily_return, 0.0))) OVER wc) - 1.0, 6)
-                   AS cum_return
+               round(CASE WHEN max(CASE WHEN coalesce(daily_return, 0.0) <= -1.0
+                                        THEN 1 ELSE 0 END) OVER wc = 1
+                          THEN -1.0
+                          ELSE exp(sum(ln(1.0 + coalesce(daily_return, 0.0))) OVER wc) - 1.0
+                     END, 6) AS cum_return
         FROM ret
         WINDOW wc AS (PARTITION BY series_key ORDER BY date
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -61,8 +61,14 @@ def _run_to_memory(agg: DataFrame, name: str, output_mode: str) -> None:
 
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-min tumbling counts/sums per event_type with a 1-hour
-    watermark. At scale the state store holds one row per open
-    (window, type); the watermark bounds it."""
+    watermark.
+
+    The memory sink here uses ``complete`` mode so the bounded test
+    harness can read the whole result; note complete mode re-emits
+    (and therefore retains) every group, so the watermark does NOT
+    evict state in this configuration — an unbounded production
+    deployment would use ``append`` mode, where the watermark closes
+    windows and bounds the state store."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -76,7 +82,9 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user via the native
-    ``session_window`` streaming aggregation."""
+    ``session_window`` streaming aggregation. Same complete-mode
+    caveat as ``stream_window_counts``: append mode is what lets the
+    watermark finalize sessions and bound state on unbounded input."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -147,22 +155,24 @@ def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     # update-mode memory sink appends one row per key per batch; the
     # final state per key is the last emitted row
+    from pyspark.sql import Window
+
     latest = spark.table("stream_running_stats")
-    w = F.row_number().over(
-        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-            "series_key"
-        ).orderBy(F.desc("n_events"))
-    )
+    w = F.row_number().over(Window.partitionBy("series_key").orderBy(F.desc("n_events")))
     return latest.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once style ingest dedup: drop replayed event_ids with
-    streaming ``dropDuplicates`` state (bounded by the watermark),
-    then count per type — the at-least-once -> exactly-once bridge a
-    replayed source (Kafka, file redelivery) needs."""
+    """Exactly-once style ingest dedup: drop replayed event_ids, then
+    count per type — the at-least-once -> exactly-once bridge a
+    replayed source (Kafka, file redelivery) needs.
+
+    ``dropDuplicatesWithinWatermark`` is the state-bounded variant:
+    plain ``dropDuplicates(["event_id"])`` would keep every id ever
+    seen (the watermark only evicts when the event-time column is in
+    the subset), growing state forever on an unbounded source."""
     ev = read_events_stream(spark, sf_dir)
-    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     _run_to_memory(agg, "stream_dedup_counts", "complete")
     return spark.table("stream_dedup_counts")
@@ -188,6 +198,41 @@ def stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_enrich_counts")
 
 
+def mergeable_bars(batch: DataFrame) -> DataFrame:
+    """Per-batch daily bars carrying first/last event-time bounds —
+    the associative partial state that lets later batches of the same
+    (key, day) merge losslessly (see combine_bars)."""
+    return batch.groupBy(
+        F.col("event_type").alias("series_key"),
+        F.date_trunc("day", F.col("ts")).alias("date"),
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        F.sum("value").alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def combine_bars(parts: DataFrame) -> DataFrame:
+    """Merge partial bars of the same (key, day): open/close resolve
+    by the earliest/latest underlying event, everything else combines
+    associatively."""
+    return parts.groupBy("series_key", "date").agg(
+        F.min_by("open", "first_ts").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "last_ts").alias("close"),
+        F.sum("volume").alias("volume"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+    )
+
+
 def run_incremental_star(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Incremental star-schema maintenance: each micro-batch of raw
     events is rolled up to daily bars and upserted into the fact
@@ -195,26 +240,26 @@ def run_incremental_star(spark: SparkSession, sf_dir: str, out_dir: str) -> None
     reference's daily create_star_schema task (fetch_stocks.py:122).
 
     MERGE needs Delta/Iceberg (not in this container); the upsert is
-    emulated with read-existing -> anti-join -> union -> rewrite,
-    which at scale would be a partition-overwrite on date.
-    """
-    from stock_data_project_spark.operators.series import daily_bars
+    emulated with read-existing -> re-aggregate -> rewrite, which at
+    scale would be a partition-overwrite on date.
 
+    Bars are stored with first/last event-time bounds so a (key, day)
+    split across micro-batches MERGES correctly: open/close resolve
+    by the earliest/latest underlying event, high/low/volume combine
+    associatively. A plain replace-by-key upsert would silently drop
+    the earlier batch's events for that day.
+    """
     ev = read_events_stream(spark, sf_dir)
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
-        bars = daily_bars(batch)
+        bars = mergeable_bars(batch)
         target = os.path.join(out_dir, "fact_bars")
         sp = batch.sparkSession
         try:
             existing = sp.read.parquet(target)
         except Exception:
             existing = None
-        if existing is not None:
-            keep = existing.join(bars.select("series_key", "date"), ["series_key", "date"], "left_anti")
-            merged = keep.unionByName(bars)
-        else:
-            merged = bars
+        merged = combine_bars(existing.unionByName(bars)) if existing is not None else bars
         tmp = os.path.join(out_dir, f"_staging_{epoch_id}")
         merged.write.mode("overwrite").parquet(tmp)
         sp.read.parquet(tmp).write.mode("overwrite").parquet(target)

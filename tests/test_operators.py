@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 
 from stock_data_project_spark.operators.asof import asof_join
 from stock_data_project_spark.operators.dedup import exact_duplicates, word_shingles
-from stock_data_project_spark.operators.returns import with_daily_return, with_drawdown
+from stock_data_project_spark.operators.returns import (
+    with_cumulative_return,
+    with_daily_return,
+    with_drawdown,
+)
 from stock_data_project_spark.operators.volatility import with_rolling_volatility
 
 
@@ -96,6 +100,35 @@ def test_asof_join_backward(spark):
     assert rows["r3"] == (d(2024, 1, 3), 5.0)
     assert rows["r4"] == (None, None)  # key never on left
     assert out.count() == 5  # every right row survives
+
+
+def test_asof_join_carries_null_state_atomically(spark):
+    """A left row whose value is NULL must advance the as-of time AND
+    carry its NULL — not resurrect an older non-null value."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-02", None)],
+        "k long, t string, v double",
+    ).withColumn("t", F.to_date("t"))
+    right = spark.createDataFrame([(1, "2024-01-03")], "k long, t string").withColumn(
+        "t", F.to_date("t")
+    )
+    row = asof_join(left, right, "k", "k", "t", "t", ["v"]).collect()[0]
+    import datetime
+
+    assert row["asof_t"] == datetime.date(2024, 1, 2)
+    assert row["v"] is None
+
+
+def test_cumulative_return_pins_after_wipeout(spark):
+    """A -100% day zeroes the position; every later cum_return is -1."""
+    df = spark.createDataFrame(
+        [("k", 1, 100.0), ("k", 2, 0.0), ("k", 3, 10.0)],
+        "series_key string, date int, close double",
+    )
+    out = {r["date"]: r["cum_return"] for r in
+           with_cumulative_return(with_daily_return(df)).collect()}
+    assert out[2] == -1.0
+    assert out[3] == -1.0
 
 
 def test_exact_dedup_finds_planted_dups(spark):
