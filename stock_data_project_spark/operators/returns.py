@@ -18,9 +18,12 @@ def _series_window(key_col: str, order_col: str):
 
 
 def pct_change(value_col: str, key_col: str, order_col: str) -> Column:
-    """(v - lag(v)) / lag(v) per key; NULL on the first row (pandas parity)."""
+    """(v - lag(v)) / lag(v) per key; NULL on the first row (pandas
+    parity) and NULL when the previous value is zero (a return from a
+    zero price is undefined; plain division would raise under ANSI
+    mode)."""
     prev = F.lag(value_col).over(_series_window(key_col, order_col))
-    return (F.col(value_col) - prev) / prev
+    return F.try_divide(F.col(value_col) - prev, prev)
 
 
 def with_daily_return(

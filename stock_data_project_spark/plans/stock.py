@@ -52,7 +52,7 @@ bars AS (
 _RET = """
 ret AS (
     SELECT series_key, date, open, high, low, close, volume, turnover,
-           round((close - lag(close) OVER w) / lag(close) OVER w, 6) AS daily_return
+           round((close - lag(close) OVER w) / nullif(lag(close) OVER w, 0), 6) AS daily_return
     FROM bars
     WINDOW w AS (PARTITION BY series_key ORDER BY date)
 )"""
@@ -426,7 +426,7 @@ ORACLE = {
             FROM filtered GROUP BY 1, 2
         )
         SELECT series_key, date, close,
-               round((close - lag(close) OVER w) / lag(close) OVER w, 6) AS daily_return
+               round((close - lag(close) OVER w) / nullif(lag(close) OVER w, 0), 6) AS daily_return
         FROM bars
         WINDOW w AS (PARTITION BY series_key ORDER BY date)
         ORDER BY date
