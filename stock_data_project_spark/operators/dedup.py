@@ -267,11 +267,14 @@ def winnow_fingerprints(
     import pandas as pd
 
     def per_batch(batches):
-        ws = re.compile(r"\s+")
+        # must match textops.normalized() EXACTLY: Spark trim() strips
+        # spaces only (not \t/\n — Python .strip() would), and Java/RE2
+        # \s is ASCII-only (Python \s is unicode-wide without re.ASCII)
+        ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
             out = {"doc_id": [], "n_fingerprints": [], "min_fp": [], "max_fp": []}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                norm = ws.sub(" ", str(text).strip().lower())
+                norm = ws.sub(" ", str(text).strip(" ").lower())
                 n = max(len(norm) - (gram - 1), 1)
                 hs = [
                     hashlib.md5(norm[i : i + gram].encode()).hexdigest() for i in range(n)

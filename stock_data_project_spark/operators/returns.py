@@ -76,7 +76,11 @@ def with_drawdown(
     order_col: str = "date",
     out_col: str = "drawdown",
 ) -> DataFrame:
-    """(v - running_max(v)) / running_max(v); 0 at new highs."""
+    """(v - running_max(v)) / running_max(v); 0 at new highs; NULL
+    while the running peak is 0 (drawdown from a zero peak is
+    undefined, and plain division raises under ANSI mode)."""
     w = _series_window(key_col, order_col).rowsBetween(Window.unboundedPreceding, 0)
     peak = F.max(value_col).over(w)
-    return df.withColumn(out_col, F.round((F.col(value_col) - peak) / peak, 6))
+    return df.withColumn(
+        out_col, F.round(F.try_divide(F.col(value_col) - peak, peak), 6)
+    )

@@ -46,9 +46,11 @@ def unit(a: Column) -> Column:
     """Vector scaled to unit norm (as doubles). Pre-normalizing each
     side once turns per-pair cosine into a single dot fold — the
     norms would otherwise be recomputed for every candidate pair
-    (measured 3× slower on pairwise workloads)."""
+    (measured 3× slower on pairwise workloads). An all-zero vector
+    normalizes to NULL elements (its cosine is undefined; plain
+    division would raise under ANSI mode)."""
     n = norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    return F.transform(a, lambda x: F.try_divide(x.cast("double"), n))
 
 
 def cosine_topk(

@@ -81,11 +81,13 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(w)
     en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(en_stop, x)))
+    # try_divide: an empty document (n_chars = 0) scores NULL ratios
+    # instead of killing the whole pipeline under ANSI mode
     n_punct = n_chars - F.length(F.regexp_replace(txt, PUNCT_CLASS, ""))
     n_alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
     avg_wl = F.length(F.regexp_replace(normalized(text_col), " ", "")) / n_words
-    punct_ratio = n_punct.cast("double") / n_chars
-    alpha_ratio = n_alpha.cast("double") / n_chars
+    punct_ratio = F.try_divide(n_punct.cast("double"), n_chars)
+    alpha_ratio = F.try_divide(n_alpha.cast("double"), n_chars)
     stop_ratio = n_stop.cast("double") / n_words
     score = (
         F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.25

@@ -34,6 +34,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
+    queries = all_queries()
     for m in _MODULES:
+        overlap = out.keys() & m.ORACLE.keys()
+        if overlap:
+            raise ValueError(f"duplicate oracle keys: {overlap}")
+        unknown = m.ORACLE.keys() - m.QUERIES.keys()
+        if unknown:
+            raise ValueError(f"oracle keys without a query in {m.__name__}: {unknown}")
         out.update(m.ORACLE)
+    assert set(out) <= set(queries)
     return out

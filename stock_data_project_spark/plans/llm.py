@@ -269,9 +269,9 @@ ORACLE = {
         qual AS (
             SELECT doc_id, n_words,
                    round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.25
-                         + (CAST(nc_alpha AS DOUBLE) / nc) * 0.35
+                         + (CAST(nc_alpha AS DOUBLE) / nullif(nc, 0)) * 0.35
                          + least((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25
-                         + (1.0 - least((CAST(nc - nc_nopunct AS DOUBLE) / nc) * 10.0, 1.0)) * 0.15,
+                         + (1.0 - least((CAST(nc - nc_nopunct AS DOUBLE) / nullif(nc, 0)) * 10.0, 1.0)) * 0.15,
                          6) AS quality_score
             FROM base
         ),
@@ -380,13 +380,13 @@ ORACLE = {
         )
         SELECT doc_id, n_words,
                round(CAST(nc_nospace AS DOUBLE) / n_words, 6) AS avg_word_len,
-               round(CAST(nc - nc_nopunct AS DOUBLE) / nc, 6) AS punct_ratio,
-               round(CAST(nc_alpha AS DOUBLE) / nc, 6) AS alpha_ratio,
+               round(CAST(nc - nc_nopunct AS DOUBLE) / nullif(nc, 0), 6) AS punct_ratio,
+               round(CAST(nc_alpha AS DOUBLE) / nullif(nc, 0), 6) AS alpha_ratio,
                round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
                round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.25
-                     + (CAST(nc_alpha AS DOUBLE) / nc) * 0.35
+                     + (CAST(nc_alpha AS DOUBLE) / nullif(nc, 0)) * 0.35
                      + least((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0) * 0.25
-                     + (1.0 - least((CAST(nc - nc_nopunct AS DOUBLE) / nc) * 10.0, 1.0)) * 0.15,
+                     + (1.0 - least((CAST(nc - nc_nopunct AS DOUBLE) / nullif(nc, 0)) * 10.0, 1.0)) * 0.15,
                      6) AS quality_score
         FROM base
     """,

@@ -206,7 +206,10 @@ def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny per-date aggregate -> broadcast join."""
     bars = with_daily_return(daily_bars(load_table(spark, sf_dir, "events")))
     r = bars.select("series_key", "date", "daily_return")
-    market = r.groupBy("date").agg(F.avg("daily_return").alias("mkt_return"))
+    # the per-date average is a non-associative aggregate feeding
+    # another one (regr_slope/corr) — round it per the parity rule so
+    # engine summation-order drift can't flip the final 6dp rounding
+    market = r.groupBy("date").agg(F.round(F.avg("daily_return"), 6).alias("mkt_return"))
     return (
         r.join(F.broadcast(market), "date")
         .groupBy("series_key")
@@ -368,7 +371,7 @@ ORACLE = {
     "market_beta": f"""
         WITH {_BARS}, {_RET},
         market AS (
-            SELECT date, avg(daily_return) AS mkt_return FROM ret GROUP BY date
+            SELECT date, round(avg(daily_return), 6) AS mkt_return FROM ret GROUP BY date
         )
         SELECT r.series_key,
                round(regr_slope(r.daily_return, m.mkt_return), 6) AS beta,
@@ -469,7 +472,8 @@ ORACLE = {
     "drawdown": f"""
         WITH {_BARS}
         SELECT series_key, date, close,
-               round((close - max(close) OVER wm) / max(close) OVER wm, 6) AS drawdown
+               round((close - max(close) OVER wm) / nullif(max(close) OVER wm, 0), 6)
+                   AS drawdown
         FROM bars
         WINDOW wm AS (PARTITION BY series_key ORDER BY date
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -141,6 +141,62 @@ def test_exact_dedup_finds_planted_dups(spark):
     assert by_keeper == {1: 3, 3: 1}
 
 
+def test_drawdown_null_on_zero_peak(spark):
+    """A zero running peak yields NULL drawdown, not an ANSI crash."""
+    df = spark.createDataFrame(
+        [("a", 1, 0.0), ("a", 2, 5.0)], "series_key string, date int, close double"
+    )
+    rows = {r["date"]: r["drawdown"] for r in with_drawdown(df).collect()}
+    assert rows[1] is None
+    assert rows[2] == 0.0  # new high
+
+
+def test_quality_handles_empty_doc(spark):
+    """Empty documents score NULL ratios instead of crashing the
+    pipeline (ANSI division)."""
+    from stock_data_project_spark.operators.textops import with_quality
+
+    df = spark.createDataFrame([(1, ""), (2, "real text here")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in with_quality(df).collect()}
+    assert rows[1]["alpha_ratio"] is None
+    assert rows[2]["alpha_ratio"] is not None
+
+
+def test_unit_vector_null_on_zero_vector(spark):
+    """All-zero embeddings normalize to NULL elements, not a crash."""
+    from stock_data_project_spark.operators.similarity import unit
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(1, [0.0, 0.0]), (2, [3.0, 4.0])], "id long, v array<double>")
+    rows = {r["id"]: r["u"] for r in df.select("id", unit(F2.col("v")).alias("u")).collect()}
+    assert rows[1] == [None, None]
+    assert rows[2] == [0.6, 0.8]
+
+
+def test_winnow_whitespace_parity(spark):
+    """Python-side normalization must match the SQL oracle on
+    tab/newline whitespace (Spark trim strips spaces only)."""
+    from stock_data_project_spark.operators.dedup import winnow_fingerprints
+    from tests.oracle_utils import compare, duckdb_run
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "\ttabbed start and end\t"), (3, "plain middle text")],
+        "doc_id long, text string",
+    )
+    got = winnow_fingerprints(df)
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(1, "hello world\n"), (2, "\ttabbed start and end\t"), (3, "plain middle text")],
+    )
+    from stock_data_project_spark.plans.llm import ORACLE
+
+    want = con.sql(ORACLE["doc_winnow"]).df()
+    compare(got, want)
+
+
 def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "doc_id long, text string")
     got = df.select("doc_id", word_shingles("text", 3).alias("sh")).orderBy("doc_id").collect()
