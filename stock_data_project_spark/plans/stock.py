@@ -244,6 +244,40 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward-fill: build a continuous daily
+    spine per series (sequence/explode), left-join the sparse
+    observations (high-value purchase days only, so real gaps exist),
+    and carry the last close forward (last ignorenulls window) —
+    the trading-calendar alignment every time-series store needs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    )
+    bars = daily_bars(ev).select("series_key", "date", "close", "volume")
+    bounds = bars.groupBy("series_key").agg(
+        F.min("date").alias("mn"), F.max("date").alias("mx")
+    )
+    spine = bounds.select(
+        "series_key",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("date"),
+    )
+    j = spine.join(bars, ["series_key", "date"], "left")
+    w = (
+        Window.partitionBy("series_key")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "series_key",
+        "date",
+        F.col("close").alias("close_raw"),
+        F.last("close", ignorenulls=True).over(w).alias("close_ff"),
+        F.col("close").isNull().alias("was_gap"),
+    )
+
+
 def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MACD via applyInPandas (recursive EMA state per series) —
     rows-only check: EMA recursion isn't window-expressible in SQL."""
@@ -300,6 +334,7 @@ QUERIES = {
     "weekly_bars": q_weekly_bars,
     "return_correlation": q_return_correlation,
     "rolling_correlation": q_rolling_correlation,
+    "gap_fill": q_gap_fill,
     "market_beta": q_market_beta,
     "macd": q_macd,
     "dim_date": q_dim_date,
@@ -348,6 +383,33 @@ ORACLE = {
                CAST(sum(volume) AS BIGINT) AS volume
         FROM bars
         GROUP BY 1, 2
+    """,
+    "gap_fill": """
+        WITH sparse AS (
+            SELECT event_type AS series_key,
+                   date_trunc('day', ts) AS date,
+                   arg_max(value, ts) AS close
+            FROM events
+            WHERE event_type = 'purchase' AND value > 200
+            GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT series_key, min(date) AS mn, max(date) AS mx
+            FROM sparse GROUP BY series_key
+        ),
+        spine AS (
+            SELECT series_key,
+                   unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS date
+            FROM bounds
+        )
+        SELECT s.series_key, s.date,
+               b.close AS close_raw,
+               last_value(b.close IGNORE NULLS) OVER (
+                   PARTITION BY s.series_key ORDER BY s.date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff,
+               b.close IS NULL AS was_gap
+        FROM spine s LEFT JOIN sparse b
+          ON s.series_key = b.series_key AND s.date = b.date
     """,
     "rolling_correlation": f"""
         WITH {_BARS}, {_RET},
