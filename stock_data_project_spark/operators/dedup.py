@@ -96,6 +96,7 @@ def minhash_candidates(
     num_perms: int = NUM_PERMS,
     bands: int = BANDS,
     threshold: float = 0.5,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
@@ -108,9 +109,19 @@ def minhash_candidates(
     Pipeline-order note: the OUTPUT is inherently quadratic in
     exact-duplicate multiplicity (k copies of one text => k(k-1)/2
     true pairs — measured 17× slowdown on a 30×-replicated corpus).
-    At scale run ``exact_duplicates`` first and minhash only the
-    distinct-content representatives.
+    ``collapse_exact=True`` is the scale path: identical normalized
+    content is collapsed to its min-id representative first (the
+    ``exact_duplicates`` output covers those groups), and near-dup
+    pairs are found between distinct contents only.
     """
+    if collapse_exact:
+        reps = (
+            df.select(F.col(id_col), F.md5(normalized(text_col)).alias("_ch"))
+            .groupBy("_ch")
+            .agg(F.min(id_col).alias(id_col))
+            .drop("_ch")
+        )
+        df = df.join(reps, id_col, "left_semi")
     rows_per_band = num_perms // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perms)
     band_cols = F.array(

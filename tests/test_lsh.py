@@ -43,6 +43,19 @@ def test_minhash_finds_planted_near_dups(spark):
     assert not any(4 in p or 5 in p for p in pairs)  # unrelated docs don't pair
 
 
+def test_minhash_collapse_exact(spark):
+    """collapse_exact=True: exact copies collapse to one
+    representative (their pairs belong to exact_duplicates), while
+    near-dup pairs between distinct contents are still found."""
+    docs = _doc_table(spark)
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_candidates(docs, threshold=0.5, collapse_exact=True).collect()
+    }
+    assert (1, 2) in pairs  # near dup across distinct contents survives
+    assert not any(3 in p for p in pairs)  # exact copy of 1 was collapsed away
+
+
 def test_simhash_finds_planted_near_dups(spark):
     # a 1-word edit lands at hamming 4-6 on a ~35-token doc (vote
     # margins are thin), so use 8 bands: pigeonhole then guarantees

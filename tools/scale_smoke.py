@@ -114,6 +114,16 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[k](spark, out_dir).write.mode("overwrite").format("noop").save()
             timings[k] = round(time.perf_counter() - t0, 2)
+        # the documented scale path for duplicate-heavy corpora:
+        # exact-collapse first, then minhash distinct content
+        from stock_data_project_spark.operators.dedup import minhash_candidates
+
+        docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+        t0 = time.perf_counter()
+        minhash_candidates(docs, collapse_exact=True).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        timings["dedup_minhash_collapsed"] = round(time.perf_counter() - t0, 2)
         print(json.dumps({"replication": n, "prep_sec": prep, "rows": counts, "queries_sec": timings}))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
