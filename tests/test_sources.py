@@ -40,6 +40,30 @@ def test_stocks_csv_roundtrip(spark):
         assert row["Close"] == 4742.8
 
 
+def test_read_json_with_schema(spark):
+    import json
+
+    from pyspark.sql import types as T
+
+    from stock_data_project_spark.sources import read_json
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events.jsonl")
+        with open(path, "w") as f:
+            for i in range(5):
+                f.write(json.dumps({"id": i, "v": i * 1.5, "tag": f"t{i % 2}"}) + "\n")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+                T.StructField("tag", T.StringType()),
+            ]
+        )
+        df = read_json(spark, path, schema)
+        assert df.count() == 5
+        assert df.filter(F.col("tag") == "t1").count() == 2
+
+
 def test_write_partitioned_roundtrip(spark):
     df = spark.createDataFrame(
         [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(300)],
