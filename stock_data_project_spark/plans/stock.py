@@ -244,6 +244,29 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: 7-calendar-day trailing average close
+    (vs the ROWS frames elsewhere — a RANGE frame keeps correct
+    semantics when days are missing, since it bounds by value
+    distance, not row count)."""
+    from pyspark.sql import Window
+
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    day_num = F.datediff(F.col("date"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("series_key")
+        .orderBy(day_num)
+        .rangeBetween(-6, 0)
+    )
+    return bars.select(
+        "series_key",
+        "date",
+        "close",
+        F.round(F.avg("close").over(w), 6).alias("avg_7d"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar gap-fill + forward-fill: build a continuous daily
     spine per series (sequence/explode), left-join the sparse
@@ -335,6 +358,7 @@ QUERIES = {
     "return_correlation": q_return_correlation,
     "rolling_correlation": q_rolling_correlation,
     "gap_fill": q_gap_fill,
+    "range_window_avg": q_range_window_avg,
     "market_beta": q_market_beta,
     "macd": q_macd,
     "dim_date": q_dim_date,
@@ -383,6 +407,16 @@ ORACLE = {
                CAST(sum(volume) AS BIGINT) AS volume
         FROM bars
         GROUP BY 1, 2
+    """,
+    "range_window_avg": f"""
+        WITH {_BARS}
+        SELECT series_key, date, close,
+               round(avg(close) OVER w, 6) AS avg_7d,
+               count(*) OVER w AS n_in_window
+        FROM bars
+        WINDOW w AS (PARTITION BY series_key
+                     ORDER BY date_diff('day', DATE '1970-01-01', date)
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     "gap_fill": """
         WITH sparse AS (
