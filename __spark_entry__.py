@@ -8,11 +8,19 @@ compared by the driver against DuckDB at sf0.01.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from stock_data_project_spark.plans import all_oracles, all_queries
+# the engine package lives beside this file; make the import robust
+# to whatever cwd/sys.path the harness uses
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from stock_data_project_spark.plans import all_oracles, all_queries  # noqa: E402
 
 _SF0001 = "/root/testdata/sf0.001"
 
