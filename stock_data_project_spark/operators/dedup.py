@@ -115,11 +115,10 @@ def minhash_candidates(
     pairs are found between distinct contents only.
     """
     if collapse_exact:
-        reps = (
-            df.select(F.col(id_col), F.md5(normalized(text_col)).alias("_ch"))
-            .groupBy("_ch")
-            .agg(F.min(id_col).alias(id_col))
-            .drop("_ch")
+        # the representative set IS exact_duplicates' keepers, so the
+        # two operators can never diverge on content identity
+        reps = exact_duplicates(df, id_col, text_col).select(
+            F.col("keeper_id").alias(id_col)
         )
         df = df.join(reps, id_col, "left_semi")
     rows_per_band = num_perms // bands
@@ -215,6 +214,13 @@ def simhash_candidates(
     measured a 17× candidate blowup (6.8M vs 0.4M pairs at sf0.1)
     because common-token-dominated simhashes share low bytes.
     Candidates are verified by exact popcount hamming distance."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole recall needs bands > max_hamming "
+            f"(got bands={bands}, max_hamming={max_hamming}): a pair at "
+            f"hamming {max_hamming} could flip one bit in every band and "
+            f"silently never collide"
+        )
     band_bits = SIMHASH_BITS // bands
     sh = simhash_values(df, id_col, text_col)
     band_arr = F.array(
@@ -285,6 +291,10 @@ def winnow_fingerprints(
         for pdf in batches:
             out = {"doc_id": [], "n_fingerprints": [], "min_fp": [], "max_fp": []}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    # oracle semantics: NULL text produces no row
+                    # (str(None) would fingerprint the literal 'none')
+                    continue
                 norm = ws.sub(" ", str(text).strip(" ").lower())
                 n = max(len(norm) - (gram - 1), 1)
                 hs = [
@@ -309,13 +319,14 @@ def winnow_fingerprints(
             T.StructField("max_fp", T.StringType()),
         ]
     )
-    # repartition: a single parquet file otherwise lands in one task;
-    # the op is embarrassingly parallel per doc
-    return (
-        df.select(id_col, text_col)
-        .repartition(64)
-        .mapInPandas(per_batch, schema=out_schema)
-    )
+    # widen only when the input is under-partitioned (a single parquet
+    # file lands in one task); never shuffle an already-wide input or
+    # cap its parallelism
+    projected = df.select(id_col, text_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if projected.rdd.getNumPartitions() < target:
+        projected = projected.repartition(target)
+    return projected.mapInPandas(per_batch, schema=out_schema)
 
 
 def blocked_jaccard_pairs(
@@ -343,6 +354,10 @@ def blocked_jaccard_pairs(
     import pandas as pd
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL text arrives as a None wordset — such docs pair with
+        # nothing (mirrors the SQL oracle, where every jaccard against
+        # a NULL list is NULL and fails the threshold)
+        pdf = pdf[pdf["wordset"].notna()]
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         vocab: dict[str, int] = {}
         rows, cols = [], []
@@ -369,12 +384,20 @@ def blocked_jaccard_pairs(
             }
         )
 
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id_a", id_type),
+            T.StructField("doc_id_b", id_type),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
         F.floor(F.col(chars_col) / block_chars).alias("len_bucket"),
         F.array_distinct(words(text_col)).alias("wordset"),
     )
-    return docs.groupBy("lang", "len_bucket").applyInPandas(
-        per_block, schema="doc_id_a long, doc_id_b long, jaccard double"
-    )
+    return docs.groupBy("lang", "len_bucket").applyInPandas(per_block, schema=out_schema)

@@ -44,7 +44,9 @@ def with_log_return(
     out_col: str = "log_return",
 ) -> DataFrame:
     prev = F.lag(value_col).over(_series_window(key_col, order_col))
-    return df.withColumn(out_col, F.round(F.log(F.col(value_col) / prev), 6))
+    return df.withColumn(
+        out_col, F.round(F.log(F.try_divide(F.col(value_col), prev)), 6)
+    )
 
 
 def with_cumulative_return(

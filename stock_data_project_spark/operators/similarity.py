@@ -6,9 +6,9 @@
   100 TB the partial top-k is taken per partition before the final
   shuffle (window over query_id), so the shuffle is k·|queries|.
 - ``lsh_topk``: random-hyperplane LSH — the scale path. Plane
-  coefficients derive deterministically from xxhash64(plane, dim),
-  so signatures are reproducible with no stored model. Only bucket
-  collisions are compared.
+  coefficients derive deterministically from xxhash64 of (table,
+  plane, dimension-index), so signatures are reproducible with no
+  stored model. Only bucket collisions are compared.
 
 Vector math uses ``zip_with``/``aggregate`` Column expressions
 (sequential fold, JVM-side) — deterministic order, no UDF.
@@ -39,7 +39,8 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI error) when either vector is all-zero."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def unit(a: Column) -> Column:
@@ -91,16 +92,17 @@ def lsh_topk(
     k: int = 5,
     planes: int = 4,
     tables: int = 8,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k with OR-amplified LSH: ``tables``
     independent hyperplane tables; a pair is a candidate if it
     collides in ANY table (recall 1-(1-p^planes)^tables), then
-    exact-rank the survivors by true cosine. The bucket key space is
-    (table, bucket) so one equi-join covers all tables. Approximate
-    by design -> rows-only check.
+    exact-rank the survivors by true cosine. Plane coefficients are
+    ±1 from xxhash64(table, plane, dimension-index) — model-free and
+    dimension-agnostic. The bucket key space is (table, bucket) so
+    one equi-join covers all tables. Approximate by design ->
+    rows-only check.
 
     Tuning note (measured on the synthetic testdata, which is
     near-uniform — LSH's adversarial case): defaults 4×8 give

@@ -91,21 +91,29 @@ def materialize_star(events: DataFrame, out_dir: str) -> None:
     state (COPY ... TO parquet, fetch_stocks.py:243-266): fact table
     partitioned by year/month (so time-range queries prune
     partitions), dims as single parquet tables. The dim frames are
-    built once and shared with the fact build (each would otherwise
-    rescan + reaggregate the events table)."""
+    cached across the four write actions — sharing the DataFrame
+    object alone would NOT help, since each action recomputes its
+    full lineage (a fresh events scan + aggregation per write)."""
     import os
 
     from stock_data_project_spark.sources.writers import write_partitioned
 
-    dates = dim_date(events)
-    entities = dim_entity(events)
-    annual = annual_indicators(events)
-    fact = build_fact(events, dates=dates, entities=entities, annual=annual)
-    fact = fact.withColumn("year", F.year("date_key")).withColumn("month", F.month("date_key"))
-    write_partitioned(fact, os.path.join(out_dir, "fact_market"), ["year", "month"])
-    dates.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_date"))
-    entities.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_entity"))
-    annual.write.mode("overwrite").parquet(os.path.join(out_dir, "annual_indicators"))
+    dates = dim_date(events).cache()
+    entities = dim_entity(events).cache()
+    annual = annual_indicators(events).cache()
+    try:
+        fact = build_fact(events, dates=dates, entities=entities, annual=annual)
+        fact = fact.withColumn("year", F.year("date_key")).withColumn(
+            "month", F.month("date_key")
+        )
+        write_partitioned(fact, os.path.join(out_dir, "fact_market"), ["year", "month"])
+        dates.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_date"))
+        entities.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_entity"))
+        annual.write.mode("overwrite").parquet(os.path.join(out_dir, "annual_indicators"))
+    finally:
+        dates.unpersist()
+        entities.unpersist()
+        annual.unpersist()
 
 
 def build_fact(
