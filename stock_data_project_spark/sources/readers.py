@@ -37,9 +37,10 @@ def read_csv(
 ) -> DataFrame:
     """CSV with a mandatory schema: no inference pass, bad rows to a
     corrupt-record column instead of silent nulls."""
-    schema = T.StructType(
-        list(schema) + [T.StructField("_corrupt_record", T.StringType())]
-    )
+    if "_corrupt_record" not in schema.fieldNames():
+        schema = T.StructType(
+            list(schema) + [T.StructField("_corrupt_record", T.StringType())]
+        )
     return (
         spark.read.schema(schema)
         .option("header", header)

@@ -34,7 +34,12 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_data_project_spark.catalog import convert_nanos_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC, like catalog.load_table: day-bucketing in the streaming
+    # path must agree with batch daily_bars under any caller session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file-stream source wants a directory; filter to the events
     # table within the sf_dir
     raw = (
@@ -43,7 +48,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return convert_nanos_ts(raw)
 
 
 def _run_to_memory(agg: DataFrame, name: str, output_mode: str) -> None:
@@ -117,9 +122,14 @@ def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         (series_key,) = key
         n, total, ema = state.get if state.exists else (0, 0.0, None)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for v in pdf["value"]:
+        # chunks of one group arrive in post-shuffle order, NOT ts
+        # order — concatenate and sort ONCE so the order-sensitive EMA
+        # folds the batch chronologically (per-chunk sorts would not)
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks).sort_values("ts")
+            # NULL values arrive as NaN and would poison total/ema forever
+            for v in batch["value"].dropna():
                 n += 1
                 total += float(v)
                 ema = float(v) if ema is None else alpha * float(v) + (1 - alpha) * ema
@@ -129,7 +139,7 @@ def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "series_key": [series_key],
                 "n_events": [n],
                 "total_value": [round(total, 6)],
-                "ema_value": [round(ema, 6)],
+                "ema_value": [None if ema is None else round(ema, 6)],
             }
         )
 
@@ -248,21 +258,50 @@ def run_incremental_star(spark: SparkSession, sf_dir: str, out_dir: str) -> None
     by the earliest/latest underlying event, high/low/volume combine
     associatively. A plain replace-by-key upsert would silently drop
     the earlier batch's events for that day.
+
+    Durability: an epoch marker makes replayed micro-batches no-ops
+    (foreachBatch is at-least-once), and the table swap is a rename
+    of the fully-written staging dir. The marker, checkpoint and
+    table live together under ``out_dir`` — reset all three together
+    or none.
     """
     ev = read_events_stream(spark, sf_dir)
+    target = os.path.join(out_dir, "fact_bars")
+    marker = os.path.join(out_dir, "_last_epoch")
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
-        bars = mergeable_bars(batch)
-        target = os.path.join(out_dir, "fact_bars")
+        from pyspark.errors import AnalysisException
+
+        # foreachBatch is at-least-once: a replayed epoch must be a
+        # no-op, or its events double-count into volume/sum_value
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if epoch_id <= int(fh.read().strip() or -1):
+                    return
         sp = batch.sparkSession
         try:
             existing = sp.read.parquet(target)
-        except Exception:
-            existing = None
+        except AnalysisException:
+            existing = None  # first epoch: target doesn't exist yet
+        # any other exception (I/O, corruption) must FAIL the batch —
+        # treating it as 'no data' would erase the accumulated history
+        bars = mergeable_bars(batch)
         merged = combine_bars(existing.unionByName(bars)) if existing is not None else bars
         tmp = os.path.join(out_dir, f"_staging_{epoch_id}")
         merged.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(target)
+        # swap staging into place via rename (atomic on a local FS; a
+        # real deployment uses a table format's commit — see MERGE
+        # note above) and only then advance the epoch marker
+        old = os.path.join(out_dir, f"_old_{epoch_id}")
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
+        with open(marker, "w") as fh:
+            fh.write(str(epoch_id))
+        if os.path.exists(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
 
     q = (
         ev.writeStream.foreachBatch(upsert)
