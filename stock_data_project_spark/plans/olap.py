@@ -365,6 +365,36 @@ def q_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (the inverse of q_pivot_returnflag): melt the OHLC
+    columns into (field, value) rows via stack — long-form output
+    for charting/ML feature pipelines."""
+    from stock_data_project_spark.operators.series import daily_bars
+
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    return bars.select(
+        "series_key",
+        "date",
+        F.expr(
+            "stack(4, 'open', open, 'high', high, 'low', low, 'close', close) AS (field, value)"
+        ),
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (bucket =
+    floor(value/25)) — the binning primitive behind dashboards'
+    distribution panels."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE over (segment, status): all four grouping-set
     combinations in one pass."""
@@ -548,6 +578,8 @@ QUERIES = {
     "funnel": q_funnel,
     "weekly_retention": q_weekly_retention,
     "active_customer_overlap": q_active_customer_overlap,
+    "unpivot_ohlc": q_unpivot_ohlc,
+    "value_histogram": q_value_histogram,
     "word_frequency": q_word_frequency,
     "cube_sales": q_cube_sales,
     "big_orders": q_big_orders,
@@ -620,6 +652,27 @@ ORACLE = {
         SELECT user_id AS id FROM events
         INTERSECT
         SELECT o_custkey AS id FROM orders
+    """,
+    "unpivot_ohlc": """
+        WITH bars AS (
+            SELECT event_type AS series_key,
+                   date_trunc('day', ts) AS date,
+                   arg_min(value, ts) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2
+        )
+        SELECT series_key, date, field, value
+        FROM bars
+        UNPIVOT (value FOR field IN (open, high, low, close))
+    """,
+    "value_histogram": """
+        SELECT event_type,
+               CAST(floor(value / 25) AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
     """,
     "word_frequency": r"""
         SELECT word, count(*) AS n
