@@ -132,6 +132,20 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (Q4 shape): orders in a quarter having
+    at least one lineitem (EXISTS/semi join), counted per priority."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers by order revenue per nation: window row_number
     over a pre-aggregated (thus small) frame."""
@@ -587,6 +601,7 @@ QUERIES = {
     "nation_segments": q_nation_segments,
     "ntile_deciles": q_ntile_deciles,
     "asof_join": q_asof_join,
+    "tpch_q4": q_tpch_q4,
     "tpch_q7": q_tpch_q7,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
@@ -738,6 +753,14 @@ ORACLE = {
         FROM events e
         ASOF LEFT JOIN ord o
           ON e.user_id = o.cust AND date_trunc('day', e.ts) >= o.odate
+    """,
+    "tpch_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority
     """,
     "tpch_q7": """
         SELECT supp_nation, cust_nation,
