@@ -5,7 +5,6 @@ column names (sorted), and values order-insensitively."""
 from __future__ import annotations
 
 import duckdb
-import numpy as np
 import pandas as pd
 
 from stock_data_project_spark.catalog import TABLES, table_path
@@ -42,7 +41,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 
-def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 0.0) -> None:
+def compare(spark_df, oracle_df: pd.DataFrame) -> None:
+    """Exact comparison after dtype normalization and row sort —
+    the parity convention rounds floats identically on both engines,
+    so no tolerance is needed (and a tolerance would be unsound with
+    the row sort: near-equal sort keys could order differently)."""
     got = _normalize(spark_df.toPandas())
     want = _normalize(oracle_df)
     assert list(got.columns) == list(want.columns), (
@@ -51,12 +54,7 @@ def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 0.0) -> None:
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
-        if pd.api.types.is_float_dtype(g.dtype) and float_tol:
-            ok = (g.isna() & w.isna()) | (np.abs(g - w) <= float_tol)
-            assert bool(ok.all()), f"float mismatch in {c}: {got[~ok].head()} vs {want[~ok].head()}"
-        else:
-            eq = g.equals(w)
-            assert eq, (
-                f"value mismatch in column {c}:\n"
-                f"spark head: {g.head(10).tolist()}\noracle head: {w.head(10).tolist()}"
-            )
+        assert g.equals(w), (
+            f"value mismatch in column {c}:\n"
+            f"spark head: {g.head(10).tolist()}\noracle head: {w.head(10).tolist()}"
+        )

@@ -24,7 +24,9 @@ def test_rows_only_queries_are_documented():
     surv = open("SURVEY.md").read()
     rows_only = set(entrymod.queries()) - set(entrymod.oracle_sql())
     for k in rows_only:
+        # the §2 TABLE ROW for the key, not any prose mention
         line = next(
-            (ln for ln in surv.splitlines() if f"`{k}`" in ln), ""
+            (ln for ln in surv.splitlines() if ln.startswith(f"| `{k}` |")), ""
         )
+        assert line, f"{k} has no SURVEY §2 table row"
         assert "rows-only" in line, f"{k} lacks a rows-only annotation in SURVEY §2"

@@ -17,9 +17,10 @@ from stock_data_project_spark.sources import read_csv, stocks_csv_schema
 def _reference_csv(path: str) -> pd.DataFrame:
     rows = []
     price = {"^GSPC": 4700.0, "^DJI": 37500.0}
+    offset = {"^GSPC": 3, "^DJI": 5}  # fixed (hash() is seed-randomized)
     for d in range(1, 26):
         for tkr in ("^GSPC", "^DJI"):
-            p = price[tkr] * (1 + ((d * 13 + hash(tkr) % 7) % 11 - 5) / 500)
+            p = price[tkr] * (1 + ((d * 13 + offset[tkr]) % 11 - 5) / 500)
             rows.append(
                 {
                     "Date": f"2024-01-{d:02d}",

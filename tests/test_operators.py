@@ -63,19 +63,12 @@ def test_volatility_matches_pandas_rolling_std(spark, toy_series):
 
 
 def test_drawdown_zero_at_new_highs(spark, toy_series):
+    from pyspark.sql import Window
+
     got = with_drawdown(toy_series)
     assert got.filter(F.col("drawdown") > 0).count() == 0
-    firsts = (
-        got.withColumn(
-            "rn",
-            F.row_number().over(
-                __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
-                    "series_key"
-                ).orderBy("date")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-    )
+    w = Window.partitionBy("series_key").orderBy("date")
+    firsts = got.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     assert firsts.filter(F.col("drawdown") != 0).count() == 0
 
 
@@ -177,7 +170,7 @@ def test_winnow_whitespace_parity(spark):
     """Python-side normalization must match the SQL oracle on
     tab/newline whitespace (Spark trim strips spaces only)."""
     from stock_data_project_spark.operators.dedup import winnow_fingerprints
-    from tests.oracle_utils import compare, duckdb_run
+    from tests.oracle_utils import compare
     import duckdb
 
     df = spark.createDataFrame(

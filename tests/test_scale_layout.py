@@ -49,13 +49,13 @@ def test_bucketed_join_has_no_exchange(spark):
     # (spark-warehouse/ under cwd, gitignored); dropped in finally
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite"
-    ).saveAsTable("b_orders")
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
-        "overwrite"
-    ).saveAsTable("b_lineitem")
     try:
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_orders")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_lineitem")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         joined = spark.table("b_lineitem").join(
             spark.table("b_orders"),

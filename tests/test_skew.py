@@ -22,12 +22,23 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_salted_join_spreads_hot_key(spark):
+    """Drive the REAL operator and observe the physical spread: with
+    one hot key, the joined output must land across many partitions
+    (the join shuffles on (key, _salt)), not one."""
     probe = spark.createDataFrame(
         [(1, i) for i in range(1000)], "k int, probe_id int"
     )
-    salted = probe.withColumn(
-        "_salt", F.pmod(F.xxhash64(*probe.columns), F.lit(8)).cast("int")
-    )
-    per_salt = salted.groupBy("_salt").count().collect()
-    assert len(per_salt) == 8  # every replica sees traffic
-    assert max(r["count"] for r in per_salt) < 1000 * 0.3  # no replica hogs
+    build = spark.createDataFrame([(1, "hot")], "k int, tag string")
+    # AQE would coalesce the tiny post-join partitions and hide the
+    # spread we're asserting on
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = salted_join(probe, build, "k", salt=8).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        per_part = [r["count"] for r in out.groupBy("_pid").count().collect()]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert sum(per_part) == 1000
+    assert len(per_part) >= 4  # the hot key spread across partitions
+    assert max(per_part) < 1000 * 0.5  # no single partition hogs it
