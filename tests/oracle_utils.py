@@ -5,6 +5,7 @@ column names (sorted), and values order-insensitively."""
 from __future__ import annotations
 
 import duckdb
+import numpy as np  # _normalize handles numpy-array cells
 import pandas as pd
 
 from stock_data_project_spark.catalog import TABLES, table_path
