@@ -45,3 +45,47 @@ def stocks_csv_to_fact(stocks: DataFrame) -> DataFrame:
     bars = bars_from_stocks_csv(stocks)
     bars = with_daily_return(bars)
     return with_rolling_volatility(bars, window=20)
+
+
+def run_daily_pipeline(spark, stocks_csv_path: str, out_dir: str) -> None:
+    """The reference DAG end-to-end (fetch_stocks.py:292-317:
+    fetch_stocks >> fetch_world_bank >> create_star_schema), minus
+    the network fetchers (Airflow's job): read the CSV drop, derive
+    the fact metrics, write the queryable parquet star layout. One
+    call replaces the reference's daily create_star_schema task."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from stock_data_project_spark.functions.dateparts import dow, is_weekend
+    from stock_data_project_spark.functions.keys import surrogate_key
+    from stock_data_project_spark.sources import read_csv, stocks_csv_schema
+    from stock_data_project_spark.sources.writers import write_partitioned
+
+    stocks = read_csv(spark, stocks_csv_path, stocks_csv_schema())
+    good = stocks.filter(F2.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    fact = stocks_csv_to_fact(good)
+    fact = (
+        fact.withColumn("entity_key", surrogate_key("series_key"))
+        .withColumn("year", F2.year("date"))
+        .withColumn("month", F2.month("date"))
+    )
+    write_partitioned(fact, os.path.join(out_dir, "fact_market"), ["year", "month"])
+    dim = (
+        good.select(F2.col("Ticker").alias("entity_name"))
+        .distinct()
+        .select(surrogate_key("entity_name").alias("entity_key"), "entity_name")
+    )
+    dim.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_entity"))
+    dates = (
+        fact.select("date")
+        .distinct()
+        .select(
+            F2.col("date").alias("date_key"),
+            F2.year("date").alias("year"),
+            F2.month("date").alias("month"),
+            dow("date").alias("dow"),
+            is_weekend("date").alias("is_weekend"),
+        )
+    )
+    dates.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_date"))

@@ -38,6 +38,32 @@ def _reference_csv(path: str) -> pd.DataFrame:
     return pdf
 
 
+def test_run_daily_pipeline_end_to_end(spark):
+    """The reference DAG equivalent: CSV drop in, queryable star
+    layout out — with the Streamlit-style filtered read working on
+    the result."""
+    from stock_data_project_spark.operators.ingest import run_daily_pipeline
+
+    with tempfile.TemporaryDirectory() as d:
+        csv_path = os.path.join(d, "stocks_2024-01-26.csv")
+        _reference_csv(csv_path)
+        out = os.path.join(d, "star")
+        run_daily_pipeline(spark, csv_path, out)
+        fact = spark.read.parquet(os.path.join(out, "fact_market"))
+        dim = spark.read.parquet(os.path.join(out, "dim_entity"))
+        assert fact.count() == 50
+        assert dim.count() == 2
+        # the Streamlit charts query shape (app.py:106-110) on the output
+        one = (
+            fact.join(dim, "entity_key")
+            .filter(F.col("entity_name") == "^GSPC")
+            .orderBy("date")
+        )
+        rows = one.select("date", "close", "daily_return", "volatility").collect()
+        assert len(rows) == 25
+        assert rows[0]["daily_return"] is None and rows[1]["daily_return"] is not None
+
+
 def test_reference_csv_through_fact_pipeline(spark):
     with tempfile.TemporaryDirectory() as d:
         # NB the reference names drops "stocks:{date}.csv" — the colon
