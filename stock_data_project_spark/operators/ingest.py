@@ -34,7 +34,9 @@ def bars_from_stocks_csv(stocks: DataFrame, price_col: str = "Close") -> DataFra
         F.col("Low").alias("low"),
         F.col(price_col).alias("close"),
         F.col("Volume").cast("long").alias("volume"),
-        F.round(F.col(price_col) * F.col("Volume"), 6).alias("turnover"),
+        # turnover is traded notional — always raw Close x Volume,
+        # even when close carries adjusted prices
+        F.round(F.col("Close") * F.col("Volume"), 6).alias("turnover"),
     )
 
 
@@ -55,37 +57,48 @@ def run_daily_pipeline(spark, stocks_csv_path: str, out_dir: str) -> None:
     call replaces the reference's daily create_star_schema task."""
     import os
 
-    from pyspark.sql import functions as F2
-
     from stock_data_project_spark.functions.dateparts import dow, is_weekend
     from stock_data_project_spark.functions.keys import surrogate_key
     from stock_data_project_spark.sources import read_csv, stocks_csv_schema
     from stock_data_project_spark.sources.writers import write_partitioned
 
     stocks = read_csv(spark, stocks_csv_path, stocks_csv_schema())
-    good = stocks.filter(F2.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    fact = stocks_csv_to_fact(good)
-    fact = (
-        fact.withColumn("entity_key", surrogate_key("series_key"))
-        .withColumn("year", F2.year("date"))
-        .withColumn("month", F2.month("date"))
+    # cache the PARSED rows before branching: without it, each write
+    # re-parses the CSV with its own pruned column set, and a row
+    # corrupt only in a pruned-away column gets rejected by the fact
+    # branch but kept by the dim branch (inconsistent star schema);
+    # the cache also collapses three CSV scans into one
+    good = (
+        stocks.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record").cache()
     )
-    write_partitioned(fact, os.path.join(out_dir, "fact_market"), ["year", "month"])
-    dim = (
-        good.select(F2.col("Ticker").alias("entity_name"))
-        .distinct()
-        .select(surrogate_key("entity_name").alias("entity_key"), "entity_name")
-    )
-    dim.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_entity"))
-    dates = (
-        fact.select("date")
-        .distinct()
-        .select(
-            F2.col("date").alias("date_key"),
-            F2.year("date").alias("year"),
-            F2.month("date").alias("month"),
-            dow("date").alias("dow"),
-            is_weekend("date").alias("is_weekend"),
+    try:
+        fact = stocks_csv_to_fact(good)
+        fact = (
+            fact.withColumn("entity_key", surrogate_key("series_key"))
+            .withColumn("year", F.year("date"))
+            .withColumn("month", F.month("date"))
         )
-    )
-    dates.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_date"))
+        write_partitioned(fact, os.path.join(out_dir, "fact_market"), ["year", "month"])
+        dim = (
+            good.select(F.col("Ticker").alias("entity_name"))
+            .distinct()
+            .select(surrogate_key("entity_name").alias("entity_key"), "entity_name")
+        )
+        dim.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_entity"))
+        # dim_date reads back the fact parquet just written instead of
+        # re-running the whole window pipeline a second time
+        written = spark.read.parquet(os.path.join(out_dir, "fact_market"))
+        dates = (
+            written.select("date")
+            .distinct()
+            .select(
+                F.col("date").alias("date_key"),
+                F.year("date").alias("year"),
+                F.month("date").alias("month"),
+                dow("date").alias("dow"),
+                is_weekend("date").alias("is_weekend"),
+            )
+        )
+        dates.write.mode("overwrite").parquet(os.path.join(out_dir, "dim_date"))
+    finally:
+        good.unpersist()

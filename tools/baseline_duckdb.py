@@ -30,12 +30,15 @@ def main() -> None:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
     keys = [k for k in HEADLINE if k in oracles]
+    # Arrow bulk transfer, not fetchall(): per-row Python tuple
+    # conversion would bill result-set size to DuckDB in a way the
+    # Spark noop sink never pays, biasing the comparison
     for k in keys:  # warmup (buffer cache, JIT-ish costs)
-        con.sql(oracles[k]).fetchall()
+        con.sql(oracles[k]).arrow()
     timings = {}
     for k in keys:
         t0 = time.perf_counter()
-        con.sql(oracles[k]).fetchall()
+        con.sql(oracles[k]).arrow()
         timings[k] = round(time.perf_counter() - t0, 3)
     skipped = [k for k in HEADLINE if k not in oracles]
     print(

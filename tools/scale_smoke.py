@@ -94,7 +94,14 @@ def replicate(spark, out_dir: str, n: int) -> dict[str, int]:
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
     for small in ("region", "nation", "customer", "supplier", "part", "embeddings"):
-        shutil.copy(os.path.join(SRC, f"{small}.parquet"), os.path.join(out_dir, f"{small}.parquet"))
+        src = os.path.join(SRC, f"{small}.parquet")
+        dst = os.path.join(out_dir, f"{small}.parquet")
+        # single-file parquet (testdata layout) or directory-style
+        # (Spark-written) both work
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy(src, dst)
     for t in ("events", "orders", "lineitem", "documents"):
         counts[t] = spark.read.parquet(os.path.join(out_dir, f"{t}.parquet")).count()
     return counts
@@ -109,6 +116,11 @@ def main() -> None:
         counts = replicate(spark, out_dir, n)
         prep = round(time.perf_counter() - t0, 1)
         qs = all_queries()
+        # one unmeasured warmup run per query, matching bench.py:
+        # single cold runs would fold one-time codegen/file-index
+        # costs into the published scale-up ratios
+        for k in QUERIES:
+            qs[k](spark, out_dir).write.mode("overwrite").format("noop").save()
         timings = {}
         for k in QUERIES:
             t0 = time.perf_counter()
