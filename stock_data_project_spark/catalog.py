@@ -62,6 +62,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for the SQL API."""
+    """Register every table as a temp view for the SQL API. Skips the
+    work (10 parquet footer reads) when this session already has views
+    for the same sf_dir."""
+    marker = "spark.stock_data_project.registered_sf_dir"
+    try:
+        if spark.conf.get(marker) == sf_dir:
+            return
+    except Exception:
+        pass
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.conf.set(marker, sf_dir)

@@ -16,7 +16,13 @@ def surrogate_key(*cols: Column | str) -> Column:
     """Deterministic md5 hex key over one or more columns.
 
     Multi-column input is joined with a ``\\x1f`` unit separator so
-    (``"a", "bc"``) and (``"ab", "c"``) don't collide.
+    (``"a", "bc"``) and (``"ab", "c"``) don't collide. NULL in any
+    input yields a NULL key (concat propagates NULLs) — matching SQL
+    md5(NULL) semantics; concat_ws would silently DROP the NULL part
+    and collide with the key of the remaining columns.
     """
     parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
-    return F.md5(F.concat_ws("\x1f", *parts))
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.concat(joined, F.lit("\x1f"), p)
+    return F.md5(joined)

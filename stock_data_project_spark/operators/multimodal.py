@@ -65,7 +65,14 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     fixed-width feature batch out) is fully exercised."""
     for pdf in batches:
         feats = [
-            [float(b) / 255.0 for b in (bytes(p)[:FEATURE_DIM].ljust(FEATURE_DIM, b"\0"))]
+            [
+                float(b) / 255.0
+                for b in (
+                    (b"" if p is None else bytes(p))[:FEATURE_DIM].ljust(
+                        FEATURE_DIM, b"\0"
+                    )
+                )
+            ]
             for p in pdf["payload"]
         ]
         yield pd.DataFrame(

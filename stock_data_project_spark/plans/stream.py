@@ -8,8 +8,6 @@ exercises the actual streaming engine, not a batch stand-in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-
 from stock_data_project_spark.streaming.pipeline import (
     stream_dedup_counts,
     stream_enrich_counts,
@@ -19,32 +17,12 @@ from stock_data_project_spark.streaming.pipeline import (
 )
 
 
-def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stream_window_counts(spark, sf_dir)
-
-
-def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stream_sessionize(spark, sf_dir)
-
-
-def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stream_running_stats(spark, sf_dir)
-
-
-def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stream_dedup_counts(spark, sf_dir)
-
-
-def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stream_enrich_counts(spark, sf_dir)
-
-
 QUERIES = {
-    "stream_window_counts": q_stream_window_counts,
-    "stream_sessionize": q_stream_sessionize,
-    "stream_running_stats": q_stream_running_stats,
-    "stream_dedup": q_stream_dedup,
-    "stream_enrich": q_stream_enrich,
+    "stream_window_counts": stream_window_counts,
+    "stream_sessionize": stream_sessionize,
+    "stream_running_stats": stream_running_stats,
+    "stream_dedup": stream_dedup_counts,
+    "stream_enrich": stream_enrich_counts,
 }
 
 ORACLE = {
@@ -64,12 +42,13 @@ ORACLE = {
         GROUP BY 1, 2
     """,
     # session_window(gap 30min): window = [min ts, max ts + 30min);
-    # a new session starts when the inter-event gap is >= the gap
-    # duration (window end is exclusive).
+    # an event at EXACTLY the previous session's end still merges
+    # (verified empirically), so a new session starts only when the
+    # inter-event gap is STRICTLY greater than the gap duration.
     "stream_sessionize": """
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,
-                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
