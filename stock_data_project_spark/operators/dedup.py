@@ -25,9 +25,15 @@ SIMHASH_BITS = 64
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Group by md5 of normalized text: one row per distinct content,
     keeper = min id, n_dups = group size. Single shuffle on a
-    64-hex key — uniform, skew-free at any scale."""
+    64-hex key — uniform, skew-free at any scale.
+
+    NULL text is excluded up front: md5(NULL) is NULL and groupBy
+    puts all NULLs in one group, which would silently declare every
+    NULL-text document a duplicate of every other — absent content is
+    not duplicate content. The oracle filters identically."""
     return (
-        df.select(F.col(id_col), F.md5(normalized(text_col)).alias("content_hash"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.md5(normalized(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
     )
@@ -96,7 +102,7 @@ def minhash_candidates(
     num_perms: int = NUM_PERMS,
     bands: int = BANDS,
     threshold: float = 0.5,
-    collapse_exact: bool = False,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
@@ -106,13 +112,16 @@ def minhash_candidates(
     The band join is the only shuffle and its key space is wide, so
     no hot partitions at scale.
 
-    Pipeline-order note: the OUTPUT is inherently quadratic in
-    exact-duplicate multiplicity (k copies of one text => k(k-1)/2
-    true pairs — measured 17× slowdown on a 30×-replicated corpus).
-    ``collapse_exact=True`` is the scale path: identical normalized
-    content is collapsed to its min-id representative first (the
-    ``exact_duplicates`` output covers those groups), and near-dup
-    pairs are found between distinct contents only.
+    Pipeline-order note: with ``collapse_exact=False`` the OUTPUT is
+    inherently quadratic in exact-duplicate multiplicity (k copies of
+    one text => k(k-1)/2 true pairs — measured 17× slowdown on a
+    30×-replicated corpus, ~50s vs 3.6s at 30× sf0.1). Real web-scale
+    corpora ARE duplicate-heavy, so the DEFAULT is the scale path,
+    ``collapse_exact=True``: identical normalized content is collapsed
+    to its min-id representative first (the ``exact_duplicates``
+    output covers those groups losslessly), and near-dup pairs are
+    found between distinct contents only. Pass ``False`` only when
+    the raw all-pairs output is explicitly wanted.
     """
     if collapse_exact:
         # the representative set IS exact_duplicates' keepers, so the

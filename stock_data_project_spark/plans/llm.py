@@ -38,6 +38,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs between DISTINCT contents (collapse_exact=True
+    default — exact-dup groups are dedup_exact's output; emitting
+    them here too is quadratic in duplicate multiplicity)."""
     return minhash_candidates(load_table(spark, sf_dir, "documents"))
 
 
@@ -289,7 +292,8 @@ ORACLE = {
             FROM (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS best FROM scored)
         ),
         keepers AS (
-            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+            SELECT min(doc_id) AS doc_id FROM documents
+            WHERE text IS NOT NULL GROUP BY md5({_NORM})
         )
         SELECT d.doc_id, d.lang, l.pred_lang, q.quality_score, q.n_words
         FROM documents d
@@ -311,7 +315,7 @@ ORACLE = {
     "dedup_exact": f"""
         SELECT md5({_NORM}) AS content_hash,
                min(doc_id) AS keeper_id, count(*) AS n_dups
-        FROM documents GROUP BY 1
+        FROM documents WHERE text IS NOT NULL GROUP BY 1
     """,
     "ngram_jaccard": f"""
         WITH docs AS (

@@ -32,25 +32,27 @@ def _doc_table(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def test_minhash_finds_planted_near_dups(spark):
+def test_minhash_finds_planted_near_dups_raw(spark):
+    """collapse_exact=False (opt-in raw path): every true pair is
+    emitted, including exact-duplicate pairs."""
     docs = _doc_table(spark)
     pairs = {
         (r["doc_id_a"], r["doc_id_b"]): r["est_jaccard"]
-        for r in minhash_candidates(docs, threshold=0.5).collect()
+        for r in minhash_candidates(docs, threshold=0.5, collapse_exact=False).collect()
     }
     assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup: all perms agree
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5  # near dup found
     assert not any(4 in p or 5 in p for p in pairs)  # unrelated docs don't pair
 
 
-def test_minhash_collapse_exact(spark):
-    """collapse_exact=True: exact copies collapse to one
-    representative (their pairs belong to exact_duplicates), while
+def test_minhash_collapse_exact_is_default(spark):
+    """Default path (collapse_exact=True): exact copies collapse to
+    one representative (their pairs belong to exact_duplicates), while
     near-dup pairs between distinct contents are still found."""
     docs = _doc_table(spark)
     pairs = {
         (r["doc_id_a"], r["doc_id_b"])
-        for r in minhash_candidates(docs, threshold=0.5, collapse_exact=True).collect()
+        for r in minhash_candidates(docs, threshold=0.5).collect()
     }
     assert (1, 2) in pairs  # near dup across distinct contents survives
     assert not any(3 in p for p in pairs)  # exact copy of 1 was collapsed away

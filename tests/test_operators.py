@@ -134,6 +134,19 @@ def test_exact_dedup_finds_planted_dups(spark):
     assert by_keeper == {1: 3, 3: 1}
 
 
+def test_exact_dedup_ignores_null_text(spark):
+    """NULL-text docs are never grouped as duplicates of each other
+    (md5(NULL) would otherwise bucket them all together)."""
+    df = spark.createDataFrame(
+        [(1, "real doc"), (2, None), (3, None), (4, "real doc")],
+        "doc_id long, text string",
+    )
+    out = exact_duplicates(df).collect()
+    by_keeper = {r["keeper_id"]: r["n_dups"] for r in out}
+    assert by_keeper == {1: 2}
+    assert all(r["content_hash"] is not None for r in out)
+
+
 def test_drawdown_null_on_zero_peak(spark):
     """A zero running peak yields NULL drawdown, not an ANSI crash."""
     df = spark.createDataFrame(
