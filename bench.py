@@ -39,6 +39,9 @@ HEADLINE = (
     "doc_winnow",
     "ann_cosine_topk",
     "embedding_dedup",
+    "embedding_dedup_ivf",
+    "ntile_deciles",
+    "wilder_rsi",
     "text_quality",
     "token_count",
 )

@@ -1,0 +1,162 @@
+"""IVF coarse quantizer: spherical k-means over the embedding
+column, expressed entirely as DataFrame ops — the block-key provider
+for near-duplicate detection and ANN partitioning at scale.
+
+Scale shape (the FAISS IVF recipe re-expressed relationally):
+
+- init: the ``n_centroids`` vectors with the smallest
+  ``xxhash64(id)`` — a deterministic pseudo-random sample picked via
+  ``orderBy(hash).limit(n)`` (TakeOrderedAndProject: per-partition
+  partial top-n, never a global sort).
+- assign: crossJoin(broadcast(centroids)) + map-side partial
+  ``max(struct(sim, -cid))`` — the shuffle carries one row per
+  vector, not one per (vector, centroid).
+- update: posexplode + groupBy(cid, dim) mean — partial aggregation
+  map-side; centroid count × dim rows total.
+- No ``.collect()``: centroids stay a (tiny, broadcast) DataFrame
+  throughout; iteration count is a fixed small constant.
+
+The quantizer's output (``centroid_id``) is the block key for
+``blocked_cosine_pairs`` — per-block all-pairs GEMM, quadratic only
+within a block, blocks parallel across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.operators.similarity import dot, unit
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``centroid_id`` (0..n_centroids-1) = nearest spherical
+    k-means centroid by cosine. Deterministic: hash-picked init, fixed
+    iteration count, id-tie-broken argmax.
+
+    ``probes > 1`` is IVF multi-probe: each vector is emitted once per
+    each of its ``probes`` nearest centroids (output has that many rows
+    per input row). For near-dup blocking this recovers pairs that sit
+    astride a Voronoi boundary — the standard recall lever when the
+    corpus has weak cluster structure; consumers must dedupe pairs
+    found in more than one block (``blocked_cosine_pairs`` does)."""
+    vecs = df.select(F.col(id_col).alias("_id"), unit(F.col(vec_col)).alias("_v")).cache()
+
+    # deterministic sample as initial centroids; the window runs over
+    # exactly n_centroids rows (metadata-sized)
+    init = vecs.orderBy(F.xxhash64("_id")).limit(n_centroids)
+    wid = Window.orderBy(F.xxhash64("_id"))
+    centroids = init.select(
+        (F.row_number().over(wid) - 1).alias("_cid"), F.col("_v").alias("_cv")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "_id",
+            "_v",
+            F.struct(
+                F.coalesce(dot(F.col("_v"), F.col("_cv")), F.lit(-2.0)).alias("sim"),
+                (-F.col("_cid")).alias("neg_cid"),
+            ).alias("_sc"),
+        )
+        return (
+            scored.groupBy("_id")
+            .agg(F.max("_sc").alias("_best"), F.first("_v").alias("_v"))
+            .select("_id", "_v", (-F.col("_best.neg_cid")).alias("_cid"))
+        )
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        centroids = (
+            assigned.select("_cid", F.posexplode("_v").alias("_j", "_x"))
+            .groupBy("_cid", "_j")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_j", "_m"))), lambda s: s["_m"]
+                ).alias("_raw")
+            )
+            .select("_cid", unit(F.col("_raw")).alias("_cv"))
+            .cache()  # tiny (n_centroids rows); truncates per-iteration lineage fan-out
+        )
+
+    if probes <= 1:
+        final = assign(centroids).select("_id", F.col("_cid").alias("centroid_id"))
+    else:
+        scored = vecs.crossJoin(F.broadcast(centroids)).select(
+            "_id",
+            F.struct(
+                F.coalesce(dot(F.col("_v"), F.col("_cv")), F.lit(-2.0)).alias("sim"),
+                (-F.col("_cid")).alias("neg_cid"),
+            ).alias("_sc"),
+        )
+        # collect_list holds n_centroids tiny structs per vector — the
+        # shuffle is still one (small) row-set per vector
+        final = (
+            scored.groupBy("_id")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list("_sc"), asc=False), 1, probes
+                ).alias("_top")
+            )
+            .select("_id", F.explode("_top").alias("_sc"))
+            .select("_id", (-F.col("_sc.neg_cid")).alias("centroid_id"))
+        )
+    return df.join(final, df[id_col] == final["_id"]).drop("_id")
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs within each block with cosine >= threshold. Each
+    block's pairwise cosines are one numpy GEMM inside
+    ``applyInPandas`` — the scale-correct kernel for block-local
+    all-pairs (BLAS matmul measured ~10× faster than interpreted dot
+    folds at sf0.1); blocks parallelize across executors."""
+    import numpy as np
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_bid").reset_index(drop=True)
+        m = np.stack(pdf["_bv"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, 6)
+        iu, ju = np.triu_indices(len(pdf), k=1)
+        keep = sims[iu, ju] >= threshold
+        ids = pdf["_bid"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[iu[keep]],
+                "vec_id_b": ids[ju[keep]],
+                "block": pdf["_blk"].iloc[0],
+                "cosine_sim": sims[iu, ju][keep],
+            }
+        )
+
+    blocks = df.select(
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_bv"),
+        F.col(block_col).cast("long").alias("_blk"),
+    )
+    pairs = blocks.groupBy("_blk").applyInPandas(
+        per_block, schema="vec_id_a long, vec_id_b long, block long, cosine_sim double"
+    )
+    # multi-probe assignment finds the same pair in several blocks;
+    # dedupe on the (small) pair output, keeping the lowest block id
+    return (
+        pairs.groupBy("vec_id_a", "vec_id_b")
+        .agg(F.min("block").alias("block"), F.max("cosine_sim").alias("cosine_sim"))
+        .select("vec_id_a", "vec_id_b", "block", "cosine_sim")
+    )

@@ -1,0 +1,86 @@
+"""Distributed global ranking / ntile without a single-partition
+window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` funnels the ENTIRE
+input through one task — the classic driver-of-one-task killer on a
+100 TB fact column. The scale-correct construction is the classic
+two-level (tera-sort-style) rank:
+
+1. ``repartitionByRange`` on the sort key — the range exchange
+   Spark's own global ``orderBy`` uses, so data is sorted ACROSS
+   partitions while each partition sorts locally in parallel;
+2. ``row_number`` within each range partition (narrow window,
+   parallel);
+3. per-partition row counts (one tiny metadata row per partition)
+   joined triangularly to form exclusive prefix offsets — a
+   broadcast join over ~num_partitions rows, never a
+   single-partition exchange over data;
+4. global rank = partition offset + local rank, and the SQL-standard
+   ntile bucket is computed arithmetically from (rank, total).
+
+Exactly matches SQL ``ntile(k) OVER (ORDER BY ...)``: the first
+``n % k`` buckets get ``n // k + 1`` rows, the rest ``n // k``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_ntile(
+    df: DataFrame,
+    buckets: int,
+    order_cols: list[Column],
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Append ``out_col`` = SQL ntile(buckets) over a global order,
+    computed with two parallel shuffles (range exchange + tiny
+    metadata join) instead of one single-partition window.
+
+    ``order_cols`` must define a total order (include a unique
+    tie-breaker) so ranks are deterministic regardless of where the
+    sampled range boundaries fall.
+    """
+    sc = df.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism, 1)
+    parted = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = parted.withColumn("_lr", F.row_number().over(local_w))
+
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # exclusive prefix sum via triangular self-join: ~n_parts rows,
+    # broadcast both sides — no single-partition exchange anywhere
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    total = counts.agg(F.sum("_cnt").alias("_n"))
+
+    def idiv(a: Column, b: Column) -> Column:
+        # integer floor-division; operands here are nonnegative longs
+        # well under 2^52, so the double round-trip is exact
+        return F.floor(a / b).cast("long")
+
+    r = F.col("_off") + F.col("_lr")  # 1-based global rank
+    n = F.col("_n").cast("long")
+    k = F.lit(buckets).cast("long")
+    q = idiv(n, k)  # small-bucket size
+    m = n % k  # number of (q+1)-sized buckets
+    big_span = m * (q + F.lit(1))
+    bucket = (
+        F.when(r <= big_span, idiv(r - F.lit(1), q + F.lit(1)) + F.lit(1))
+        # q == 0 implies n < k, every rank sits in the big_span branch;
+        # greatest() keeps the unevaluated else-branch ANSI-safe
+        .otherwise(m + idiv(r - big_span - F.lit(1), F.greatest(q, F.lit(1))) + F.lit(1))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_pid", "_lr", "_off", "_n")
+    )

@@ -123,6 +123,70 @@ def with_macd(
     )
 
 
+def with_wilder_rsi(
+    df: DataFrame,
+    value_col: str = "close",
+    key_col: str = "series_key",
+    order_col: str = "date",
+    window: int = 14,
+    out_col: str = "wilder_rsi",
+) -> DataFrame:
+    """Wilder-smoothed RSI — the classic variant a finance stack
+    migrating from the reference expects (``with_rsi`` deliberately
+    ships the window-expressible simple-average one): average gain /
+    loss seeded with the SMA of the first ``window`` deltas, then
+    recursively smoothed as avg = (prev*(window-1) + cur) / window.
+
+    The recursion can't be a window aggregate, so per-series state
+    runs in ``applyInPandas`` (same seam as ``with_macd``): one Arrow
+    batch per series key, parallel across keys. Inside the batch the
+    recursion IS vectorized — (prev*(n-1)+cur)/n is exactly
+    ``ewm(alpha=1/window, adjust=False)`` once its initial state is
+    the SMA seed, so the seed is prepended and pandas' C path does
+    the rest. NULL until ``window`` deltas exist (pandas parity)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f.dataType for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, in_fields[key_col]),
+            T.StructField(order_col, in_fields[order_col]),
+            T.StructField(value_col, in_fields[value_col]),
+            T.StructField(out_col, T.DoubleType()),
+        ]
+    )
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        px = pdf[value_col].astype(float).to_numpy()
+        n = len(px)
+        rsi = np.full(n, np.nan)
+        if n > window:
+            delta = np.diff(px)
+            gains = np.clip(delta, 0.0, None)
+            losses = np.clip(-delta, 0.0, None)
+
+            def smooth(x: np.ndarray) -> np.ndarray:
+                seeded = np.concatenate([[x[:window].mean()], x[window:]])
+                return (
+                    pd.Series(seeded).ewm(alpha=1.0 / window, adjust=False).mean().to_numpy()
+                )
+
+            ag, al = smooth(gains), smooth(losses)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = np.where(al == 0.0, 100.0, 100.0 - 100.0 / (1.0 + ag / al))
+            rsi[window:] = vals
+        out = pdf[[key_col, order_col, value_col]].copy()
+        out[out_col] = np.round(rsi, 6)
+        return out
+
+    return df.select(key_col, order_col, value_col).groupBy(key_col).applyInPandas(
+        per_series, schema=out_schema
+    )
+
+
 def with_rsi(
     df: DataFrame,
     value_col: str = "close",

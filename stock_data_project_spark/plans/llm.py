@@ -137,6 +137,25 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_dedup with the block key coming from the IVF coarse
+    quantizer (spherical k-means + multi-probe, operators/ivf.py)
+    instead of a ground-truth label — the 100 TB path, where no label
+    exists. Rows-only check (k-means isn't SQL-expressible).
+
+    Measured on the sf0.01 testdata (near-uniform, IVF's adversarial
+    case; 59 true pairs ≥ 0.4): probes=1 finds 25, probes=2 finds 48,
+    probes=3 finds 56; n_centroids=1 is exactly brute force. The
+    label-blocked variant finds only the 5 same-label pairs — labels
+    are not cosine clusters here, so the quantizer beats the label
+    block key even before real cluster structure exists."""
+    from stock_data_project_spark.operators.ivf import blocked_cosine_pairs, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, n_centroids=8, iters=3, probes=2)
+    return blocked_cosine_pairs(assigned, block_col="centroid_id", threshold=0.4)
+
+
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload + typed metadata ->
     Arrow-batched feature extraction (stub decoder). Rows-only check:
@@ -201,6 +220,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "clean_corpus": q_clean_corpus,
     "embedding_dedup": q_embedding_dedup,
+    "embedding_dedup_ivf": q_embedding_dedup_ivf,
     "media_pipeline": q_media_pipeline,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,

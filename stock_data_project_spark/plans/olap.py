@@ -471,17 +471,18 @@ def q_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer account-balance deciles via ntile. The single global
-    window is fine at dimension-table cardinality; for a 100 TB fact
-    you'd switch to approx_percentile boundaries + a broadcast
-    bucket join instead of one-partition ntile."""
+    """Customer account-balance deciles, exact ntile semantics via
+    the distributed two-level rank (range exchange + parallel local
+    row_number + tiny offset join) — no single-partition window, so
+    the same plan holds on a 100 TB fact column. See operators/rank.py."""
+    from stock_data_project_spark.operators.rank import distributed_ntile
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return cust.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.col("c_acctbal"),
-        F.ntile(10).over(w).alias("balance_decile"),
+    return distributed_ntile(
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        buckets=10,
+        order_cols=[F.desc("c_acctbal"), F.asc("c_custkey")],
+        out_col="balance_decile",
     )
 
 

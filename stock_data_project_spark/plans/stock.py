@@ -223,7 +223,14 @@ def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-day ROLLING correlation between two series' returns (corr
     as a window aggregate over a rows frame — the time-varying
-    version of `return_correlation`)."""
+    version of `return_correlation`).
+
+    SCALE NOTE: ``Window.orderBy`` with no partitionBy is a
+    single-partition global window. Here it is safe BY CONSTRUCTION —
+    the joined frame has exactly one row per calendar date (two fixed
+    series), so its size is bounded by the calendar, not the data.
+    Do not copy this shape onto a per-key frame: partition by the
+    pair key instead (as every other rolling operator here does)."""
     from pyspark.sql import Window
 
     bars = with_daily_return(daily_bars(load_table(spark, sf_dir, "events")))
@@ -310,6 +317,17 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_macd(bars)
 
 
+def q_wilder_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder-smoothed RSI via applyInPandas (recursive smoothing
+    state per series, SMA-seeded) — rows-only check: the recursion
+    isn't window-expressible in SQL. Complements the simple-average
+    ``rsi`` the same way with_macd complements SMA crossovers."""
+    from stock_data_project_spark.operators.volatility import with_wilder_rsi
+
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    return with_wilder_rsi(bars, window=14)
+
+
 def q_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar re-aggregation: daily bars -> weekly OHLC. The weekly
     rollup reuses the daily shuffle's partial results (groupBy on a
@@ -361,6 +379,7 @@ QUERIES = {
     "range_window_avg": q_range_window_avg,
     "market_beta": q_market_beta,
     "macd": q_macd,
+    "wilder_rsi": q_wilder_rsi,
     "dim_date": q_dim_date,
     "dim_entity": q_dim_entity,
     "dim_country": q_dim_country,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from stock_data_project_spark.streaming.pipeline import (
     stream_dedup_counts,
     stream_enrich_counts,
+    stream_interval_join,
     stream_running_stats,
     stream_sessionize,
     stream_window_counts,
@@ -23,9 +24,29 @@ QUERIES = {
     "stream_running_stats": stream_running_stats,
     "stream_dedup": stream_dedup_counts,
     "stream_enrich": stream_enrich_counts,
+    "stream_interval_join": stream_interval_join,
 }
 
 ORACLE = {
+    # epoch_us on both engines: DuckDB's TIMESTAMP_NS truncates to µs
+    # exactly like Spark's nanos-div-1000 read path
+    "stream_interval_join": """
+        SELECT v.event_id AS view_id, c.event_id AS click_id,
+               v.user_id AS user_id, v.ts AS view_ts, c.ts AS click_ts
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND epoch_us(c.ts) >= epoch_us(v.ts)
+         AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800 * 1000000
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    # Semantics caveat: the streaming side dedups ids recurring
+    # WITHIN the 1-hour watermark and keeps the FIRST row's
+    # event_type; this oracle counts DISTINCT event_id globally per
+    # type. The two agree on this testdata (event_ids are unique) but
+    # diverge if an id replays later than the watermark or recurs
+    # under a different event_type — keep-first-within-watermark is
+    # the intended production semantic, the oracle is its bounded
+    # unique-id specialization.
     "stream_dedup": """
         SELECT event_type, count(DISTINCT event_id) AS n
         FROM events GROUP BY event_type

@@ -172,6 +172,58 @@ def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join in APPEND mode: every click
+    is matched to the same user's views from the preceding 30
+    minutes.
+
+    Both sides carry a 1-hour watermark and the join condition bounds
+    click_ts to [view_ts, view_ts + 30 min], so the state store holds
+    only one watermark-plus-interval's worth of each side: a view's
+    state is evicted once the watermark passes view_ts + 30 min (no
+    future click can match it), and a click arriving later than the
+    watermark allows is dropped as late — tail emission is bounded.
+    ``test_streaming.py`` proves the eviction with a two-batch file
+    stream. On the bounded testdata the file source delivers one
+    micro-batch, so the result equals the batch interval join and the
+    oracle can verify it exactly (comparisons in epoch_us on both
+    engines: Spark's ts is nanos div 1000)."""
+    ev = read_events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + interval 30 minutes"
+        ),
+    ).select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "click_ts",
+    )
+    _run_to_memory(joined, "stream_interval_join", "append")
+    return spark.table("stream_interval_join")
+
+
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once style ingest dedup: drop replayed event_ids, then
     count per type — the at-least-once -> exactly-once bridge a
@@ -243,6 +295,79 @@ def combine_bars(parts: DataFrame) -> DataFrame:
     )
 
 
+_POINTER = "_last_epoch"
+_LINK = "fact_bars"
+
+
+def _committed(out_dir: str) -> tuple[int, str | None]:
+    """(epoch, data dir) of the last committed upsert; (-1, None)
+    before the first commit. The pointer file is the single source of
+    truth — data dirs not named by it are uncommitted garbage."""
+    try:
+        with open(os.path.join(out_dir, _POINTER)) as fh:
+            epoch_s, dirname = fh.read().strip().split("\t")
+            return int(epoch_s), os.path.join(out_dir, dirname)
+    except (FileNotFoundError, ValueError):
+        return -1, None
+
+
+def _refresh_link(out_dir: str, data_dir: str) -> None:
+    """Point the stable-name symlink at the committed dir via create
+    + rename (atomic replace): readers of out_dir/fact_bars never see
+    a missing or half-written table."""
+    link = os.path.join(out_dir, _LINK)
+    tmp_link = os.path.join(out_dir, f".{_LINK}.tmp")
+    if os.path.islink(tmp_link) or os.path.exists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(os.path.basename(data_dir), tmp_link)
+    os.rename(tmp_link, link)
+
+
+def upsert_bars_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """One micro-batch of the incremental star upsert. Commit
+    protocol (crash-safe at every point):
+
+    1. read the pointer file -> last committed (epoch, dir);
+       replayed epochs (foreachBatch is at-least-once) are no-ops, or
+       their events would double-count into volume/sum_value;
+    2. merge the batch's bars with the committed dir's contents and
+       write to a NEW epoch-named dir (never in place);
+    3. commit = write pointer tmp + one ``os.rename`` — a single
+       atomic step, so a crash anywhere leaves the pointer naming a
+       fully-written dir: before the rename the old epoch stays
+       committed and the replay simply redoes the merge from it;
+       after, the replay guard makes the redelivery a no-op. (The
+       previous two-rename dir swap had a window where the target was
+       missing and a replay would silently restart history from one
+       batch.)
+    4. refresh the stable-name symlink and sweep uncommitted dirs.
+    """
+    committed_epoch, committed_dir = _committed(out_dir)
+    if epoch_id <= committed_epoch:
+        if committed_dir:
+            _refresh_link(out_dir, committed_dir)  # crash after commit, before link
+        return
+    sp = batch.sparkSession
+    # the pointer names only fully-committed dirs, so a read failure
+    # here is real corruption and must FAIL the batch — treating it as
+    # 'no data' would erase the accumulated history
+    existing = sp.read.parquet(committed_dir) if committed_dir else None
+    bars = mergeable_bars(batch)
+    merged = combine_bars(existing.unionByName(bars)) if existing is not None else bars
+    data_dir = os.path.join(out_dir, f"fact_bars_{epoch_id}")
+    merged.write.mode("overwrite").parquet(data_dir)
+    ptr_tmp = os.path.join(out_dir, f".{_POINTER}.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(f"{epoch_id}\t{os.path.basename(data_dir)}")
+    os.rename(ptr_tmp, os.path.join(out_dir, _POINTER))  # THE commit
+    _refresh_link(out_dir, data_dir)
+    import shutil
+
+    for name in os.listdir(out_dir):
+        if name.startswith("fact_bars_") and name != os.path.basename(data_dir):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+
 def run_incremental_star(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Incremental star-schema maintenance: each micro-batch of raw
     events is rolled up to daily bars and upserted into the fact
@@ -250,8 +375,9 @@ def run_incremental_star(spark: SparkSession, sf_dir: str, out_dir: str) -> None
     reference's daily create_star_schema task (fetch_stocks.py:122).
 
     MERGE needs Delta/Iceberg (not in this container); the upsert is
-    emulated with read-existing -> re-aggregate -> rewrite, which at
-    scale would be a partition-overwrite on date.
+    emulated with read-committed -> re-aggregate -> write-new-dir ->
+    pointer commit (see ``upsert_bars_batch``), which at scale would
+    be a table format's snapshot commit / partition overwrite.
 
     Bars are stored with first/last event-time bounds so a (key, day)
     split across micro-batches MERGES correctly: open/close resolve
@@ -259,52 +385,16 @@ def run_incremental_star(spark: SparkSession, sf_dir: str, out_dir: str) -> None
     associatively. A plain replace-by-key upsert would silently drop
     the earlier batch's events for that day.
 
-    Durability: an epoch marker makes replayed micro-batches no-ops
-    (foreachBatch is at-least-once), and the table swap is a rename
-    of the fully-written staging dir. The marker, checkpoint and
-    table live together under ``out_dir`` — reset all three together
-    or none.
+    The pointer, checkpoint and data dirs live together under
+    ``out_dir`` — reset all together or none. ``out_dir/fact_bars``
+    is a stable symlink to the committed table.
     """
     ev = read_events_stream(spark, sf_dir)
-    target = os.path.join(out_dir, "fact_bars")
-    marker = os.path.join(out_dir, "_last_epoch")
-
-    def upsert(batch: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        # foreachBatch is at-least-once: a replayed epoch must be a
-        # no-op, or its events double-count into volume/sum_value
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if epoch_id <= int(fh.read().strip() or -1):
-                    return
-        sp = batch.sparkSession
-        try:
-            existing = sp.read.parquet(target)
-        except AnalysisException:
-            existing = None  # first epoch: target doesn't exist yet
-        # any other exception (I/O, corruption) must FAIL the batch —
-        # treating it as 'no data' would erase the accumulated history
-        bars = mergeable_bars(batch)
-        merged = combine_bars(existing.unionByName(bars)) if existing is not None else bars
-        tmp = os.path.join(out_dir, f"_staging_{epoch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        # swap staging into place via rename (atomic on a local FS; a
-        # real deployment uses a table format's commit — see MERGE
-        # note above) and only then advance the epoch marker
-        old = os.path.join(out_dir, f"_old_{epoch_id}")
-        if os.path.exists(target):
-            os.rename(target, old)
-        os.rename(tmp, target)
-        with open(marker, "w") as fh:
-            fh.write(str(epoch_id))
-        if os.path.exists(old):
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
 
     q = (
-        ev.writeStream.foreachBatch(upsert)
+        ev.writeStream.foreachBatch(
+            lambda batch, epoch_id: upsert_bars_batch(batch, epoch_id, out_dir)
+        )
         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
         .trigger(availableNow=True)
         .start()

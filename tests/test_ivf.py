@@ -1,0 +1,76 @@
+"""IVF quantizer semantics: within-block exactness, multi-probe
+recall monotonicity, and no false positives — every emitted pair must
+carry the true cosine and clear the threshold (verified against a
+numpy brute force over the full corpus)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.ivf import blocked_cosine_pairs, ivf_assign
+from tests.conftest import SF_SMOKE
+
+THRESH = 0.4
+
+
+def _true_pairs(spark):
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    iu, ju = np.triu_indices(len(ids), 1)
+    keep = sims[iu, ju] >= THRESH
+    return {
+        (int(ids[iu[k]]), int(ids[ju[k]])): float(sims[iu, ju][k])
+        for k in np.flatnonzero(keep)
+    }
+
+
+def _ivf_pairs(spark, **kw):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = blocked_cosine_pairs(ivf_assign(emb, **kw), "centroid_id", THRESH).collect()
+    return {(r["vec_id_a"], r["vec_id_b"]): r["cosine_sim"] for r in out}
+
+
+def test_single_block_is_exact_brute_force(spark):
+    truth = _true_pairs(spark)
+    got = _ivf_pairs(spark, n_centroids=1, iters=1)
+    assert got == truth
+
+
+def test_multiprobe_recall_monotone_and_exact_sims(spark):
+    truth = _true_pairs(spark)
+    p1 = _ivf_pairs(spark, n_centroids=8, iters=3, probes=1)
+    p2 = _ivf_pairs(spark, n_centroids=8, iters=3, probes=2)
+    # no false positives, and sims are the true cosines
+    for got in (p1, p2):
+        for pair, sim in got.items():
+            assert pair in truth and sim == truth[pair]
+    # multi-probe only adds pairs
+    assert set(p1) <= set(p2)
+    # measured on this data: 25 (probes=1) -> 48 (probes=2) of 59 true
+    assert len(p2) >= len(truth) * 0.7
+
+
+def test_probe_output_multiplicity(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    assigned = ivf_assign(emb, n_centroids=8, iters=2, probes=2)
+    assert assigned.count() == 2 * n
+    # every vector's probes hit distinct centroids
+    from pyspark.sql import functions as F
+
+    dup = (
+        assigned.groupBy("vec_id", "centroid_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0

@@ -12,7 +12,7 @@ from stock_data_project_spark.operators.dedup import (
     simhash_candidates,
 )
 from stock_data_project_spark.operators.similarity import cosine_topk, lsh_topk
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 _BASE = (
     "the quick brown fox jumps over the lazy dog while seventeen "
@@ -70,6 +70,25 @@ def test_simhash_finds_planted_near_dups(spark):
     assert pairs.get((1, 3)) == 0  # identical text -> identical simhash
     assert (1, 2) in pairs and pairs[(1, 2)] <= 7
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_lsh_default_recall(spark):
+    """The shipped defaults must hold the measured recall on the
+    near-uniform testdata (LSH's adversarial case): 4 planes × 16
+    tables measured recall@5 = 0.94 at sf0.01 (4×8 was only 0.76;
+    the sparser sf0.001 corpus sits at 0.84, so the bound is checked
+    where it was measured)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, queries, k=5).collect()
+    }
+    assert len(brute & approx) / len(brute) >= 0.9
 
 
 def test_lsh_ann_agrees_with_brute_force(spark):

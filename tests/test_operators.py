@@ -208,3 +208,67 @@ def test_word_shingles_short_doc(spark):
     got = df.select("doc_id", word_shingles("text", 3).alias("sh")).orderBy("doc_id").collect()
     assert got[0]["sh"] == ["one two"]
     assert got[1]["sh"] == ["a b c", "b c d"]
+
+
+def test_wilder_rsi_matches_loop_reference(spark, toy_series):
+    """with_wilder_rsi (ewm-with-SMA-seed vectorization) must equal
+    the textbook scalar recursion avg = (prev*(n-1) + cur) / n."""
+    from stock_data_project_spark.operators.volatility import with_wilder_rsi
+
+    window = 14
+    got = {
+        (r["series_key"], str(r["date"])): r["wilder_rsi"]
+        for r in with_wilder_rsi(toy_series, window=window).collect()
+    }
+
+    pdf = toy_series.toPandas().sort_values(["series_key", "date"])
+    for key, grp in pdf.groupby("series_key"):
+        prices = grp["close"].tolist()
+        dates = [str(d) for d in grp["date"]]
+        n = len(prices)
+        deltas = [prices[i + 1] - prices[i] for i in range(n - 1)]
+        gains = [max(d, 0.0) for d in deltas]
+        losses = [max(-d, 0.0) for d in deltas]
+        want: list[float | None] = [None] * n
+        if n > window:
+            ag = sum(gains[:window]) / window
+            al = sum(losses[:window]) / window
+
+            def val(ag: float, al: float) -> float:
+                return 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+
+            want[window] = val(ag, al)
+            for i in range(window + 1, n):
+                ag = (ag * (window - 1) + gains[i - 1]) / window
+                al = (al * (window - 1) + losses[i - 1]) / window
+                want[i] = val(ag, al)
+        for d, w in zip(dates, want):
+            g = got[(key, d)]
+            if w is None:
+                assert g is None
+            else:
+                assert g == pytest.approx(round(w, 6), abs=1e-6)
+
+
+def test_wilder_rsi_all_gains_is_100(spark):
+    from stock_data_project_spark.operators.volatility import with_wilder_rsi
+
+    df = spark.createDataFrame(
+        [("up", d, 100.0 + d) for d in range(1, 21)],
+        "series_key string, date int, close double",
+    )
+    rows = {r["date"]: r["wilder_rsi"] for r in with_wilder_rsi(df, window=14).collect()}
+    assert rows[10] is None  # window not yet full
+    assert rows[15] == 100.0 and rows[20] == 100.0
+
+
+def test_wilder_rsi_short_series_all_null(spark):
+    from stock_data_project_spark.operators.volatility import with_wilder_rsi
+
+    df = spark.createDataFrame(
+        [("s", d, 100.0 + (d * 3 % 7)) for d in range(1, 11)],
+        "series_key string, date int, close double",
+    )
+    assert all(
+        r["wilder_rsi"] is None for r in with_wilder_rsi(df, window=14).collect()
+    )

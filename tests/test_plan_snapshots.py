@@ -1,0 +1,78 @@
+"""Plan-regression snapshots for the headline queries: the physical
+properties the 100 TB design depends on, asserted from the physical
+plan so a refactor can't silently regress them.
+
+Invariants asserted (not exact plan text, which shifts across Spark
+versions): dimension joins stay broadcast, filters stay pushed to
+the scan, no unhinted cartesian/nested-loop joins appear, and the
+shuffle count stays at the designed minimum."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from stock_data_project_spark.plans import olap, stock
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(plan: str) -> int:
+    return len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+
+
+def test_tpch_q5_dims_broadcast_one_fact_shuffle(spark):
+    plan = _plan(olap.QUERIES["tpch_q5"](spark, SF_SMOKE))
+    # the dimension chain (customer, supplier, nation, region) rides
+    # broadcast joins; only lineitem⋈orders + the agg shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    # 2 join-input exchanges + 1 aggregate exchange + 1 top-level sort
+    assert _n_exchanges(plan) <= 5
+
+
+def test_tpch_q6_filters_and_projection_reach_the_scan(spark):
+    plan = _plan(olap.QUERIES["tpch_q6"](spark, SF_SMOKE))
+    # plan text truncates long filter lists with "...", so match the
+    # segment, not a closed bracket
+    m = re.search(r"PushedFilters: \[([^\n]*)", plan)
+    assert m and "l_shipdate" in m.group(1) and "l_discount" in m.group(1)
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "l_orderkey" not in m.group(0)  # pruned to the 4 used cols
+
+
+def test_fact_build_no_cartesian_and_broadcast_dims(spark):
+    plan = _plan(stock.QUERIES["fact_build"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_keyed_shuffle(spark):
+    plan = _plan(olap.QUERIES["asof_join"](spark, SF_SMOKE))
+    # union + window construction: everything meets in ONE
+    # hash-partitioned exchange on the join key (plus the two
+    # pre-aggregations' own exchanges); no nested-loop fallback
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _n_exchanges(plan) <= 4
+
+
+def test_ntile_deciles_no_global_window(spark):
+    plan = _plan(olap.QUERIES["ntile_deciles"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan.lower()
+    # the data-path window partitions by _pid; a regression to a
+    # global ntile would show a Window with an empty partition spec
+    # downstream of a SinglePartition exchange feeding the full scan
+    for mt in re.finditer(r"Window \[[^\]]*ntile", plan):
+        raise AssertionError(f"global ntile window reappeared: {mt.group(0)}")
+
+
+def test_dedup_exact_single_shuffle(spark):
+    from stock_data_project_spark.plans import llm
+
+    plan = _plan(llm.QUERIES["dedup_exact"](spark, SF_SMOKE))
+    assert _n_exchanges(plan) == 1  # one groupBy on the content hash

@@ -1,0 +1,48 @@
+"""distributed_ntile == Spark's own ntile on a single-partition
+window, for sizes that exercise both bucket-size classes, plus a
+plan assertion that the distributed version never funnels the data
+through one partition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.operators.rank import distributed_ntile
+
+
+def _table(spark, n):
+    # pseudo-random but deterministic values, with planted ties
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.xxhash64("id").bitwiseAND(F.lit(0xFFFF))).alias("v"),
+    )
+
+
+@pytest.mark.parametrize("n,k", [(7, 10), (10, 10), (25, 10), (1000, 10), (1001, 7)])
+def test_distributed_ntile_matches_window_ntile(spark, n, k):
+    df = _table(spark, n)
+    order = [F.desc("v"), F.asc("k")]
+    got = {
+        r["k"]: r["b"]
+        for r in distributed_ntile(df, k, order, out_col="b").collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["k"]: r["b"]
+        for r in df.select("k", F.ntile(k).over(w).alias("b")).collect()
+    }
+    assert got == want
+
+
+def test_distributed_ntile_no_single_partition_exchange_on_data(spark):
+    """The only SinglePartition anything in the plan may touch the
+    ~num_partitions-row metadata side, never the ranked data: the
+    data path must go through a range exchange."""
+    df = _table(spark, 10_000)
+    plan = distributed_ntile(df, 10, [F.desc("v"), F.asc("k")])._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # Spark's global-window shape would show a sort over SinglePartition
+    # feeding a Window with no partition spec; ours partitions by _pid
+    assert "Window" not in plan or "_pid" in plan

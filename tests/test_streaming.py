@@ -15,6 +15,7 @@ from stock_data_project_spark.streaming.pipeline import (
     combine_bars,
     mergeable_bars,
     run_incremental_star,
+    upsert_bars_batch,
 )
 from tests.conftest import SF_SMOKE
 
@@ -40,6 +41,48 @@ def test_incremental_star_matches_batch(spark):
         assert again.count() == want.count()
 
 
+def test_upsert_survives_crash_windows(spark):
+    """The pointer-file commit must keep history through every crash
+    window: an uncommitted data dir left by a crash mid-epoch never
+    becomes visible, a replayed epoch is a no-op, and a lost symlink
+    refresh (crash after commit) heals on the next delivery."""
+    import os
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    with tempfile.TemporaryDirectory() as out:
+        upsert_bars_batch(b0, 0, out)
+        count0 = spark.read.parquet(f"{out}/fact_bars").count()
+
+        # crash window A: epoch-1 dir written (here: garbage) but the
+        # pointer was never committed -> replay of epoch 0 is a no-op
+        # and the table still serves the epoch-0 state
+        os.makedirs(f"{out}/fact_bars_1")
+        with open(f"{out}/fact_bars_1/junk", "w") as fh:
+            fh.write("not parquet")
+        upsert_bars_batch(b0, 0, out)
+        assert spark.read.parquet(f"{out}/fact_bars").count() == count0
+
+        # redelivery of epoch 1 completes: full batch parity
+        upsert_bars_batch(b1, 1, out)
+        want = daily_bars(ev)
+        got = _visible(spark.read.parquet(f"{out}/fact_bars"))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+        # crash window B: commit landed but the symlink refresh was
+        # lost -> the replayed delivery restores it without rewriting
+        os.remove(f"{out}/fact_bars")
+        upsert_bars_batch(b1, 1, out)
+        got = _visible(spark.read.parquet(f"{out}/fact_bars"))
+        assert got.exceptAll(want).count() == 0
+
+        # only the committed dir remains after the sweep
+        dirs = [n for n in os.listdir(out) if n.startswith("fact_bars_")]
+        assert dirs == ["fact_bars_1"]
+
+
 def test_partial_batches_merge_losslessly(spark):
     """The bug a replace-by-key upsert has: a day split across two
     micro-batches must still produce the full day's bar."""
@@ -54,3 +97,103 @@ def test_partial_batches_merge_losslessly(spark):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_interval_join_parity_and_late_row_eviction(spark):
+    """(a) On single-batch bounded input the streaming interval join
+    equals the batch join. (b) With two micro-batches, a click whose
+    event time is older than the advanced watermark minus the
+    interval bound must NOT produce a match — the view's state was
+    evicted; an in-watermark click still matches."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from stock_data_project_spark.plans.stream import QUERIES
+
+    # (a) parity on the bounded testdata vs the equivalent batch join
+    got = QUERIES["stream_interval_join"](spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("u"), F.col("ts").alias("vts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    want = v.join(
+        c,
+        F.expr("u = cu AND cts >= vts AND cts <= vts + interval 30 minutes"),
+    )
+    assert got.count() == want.count()
+
+    # (b) eviction across micro-batches on a hand-built file stream
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    base = "2024-01-01 00:00:00"
+
+    def rows(*specs):
+        import datetime
+
+        b = datetime.datetime.fromisoformat(base)
+        return [
+            (eid, b + datetime.timedelta(minutes=m), uid, et)
+            for (eid, m, uid, et) in specs
+        ]
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        os.makedirs(src)
+        # batch 1: a view at t+0 for user 1, and far-future rows on
+        # BOTH sides at t+600 — the global watermark is the MIN over
+        # every input's watermark, so the click side must also see
+        # data for it to advance past t+540
+        spark.createDataFrame(
+            rows((1, 0, 1, "view"), (2, 600, 2, "view"), (5, 600, 99, "click")),
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("vu"), F.col("ts").alias("view_ts"))
+            .withWatermark("view_ts", "1 hour")
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "1 hour")
+        )
+        joined = views.join(
+            clicks,
+            F.expr("vu = cu AND click_ts >= view_ts AND click_ts <= view_ts + interval 30 minutes"),
+        ).select("view_id", "click_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("interval_evict")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # watermark -> 600min - 60min = t+540
+            # batch 2: a LATE click at t+10 (matches view 1 in event
+            # time, but view 1's state was evicted at watermark t+540 >
+            # t+0+30min) and an on-time click at t+605 matching view 2
+            spark.createDataFrame(
+                rows((3, 10, 1, "click"), (4, 605, 2, "click")), schema
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        matches = {
+            (r["view_id"], r["click_id"])
+            for r in spark.table("interval_evict").collect()
+        }
+        assert (2, 4) in matches  # in-watermark pair joins
+        assert (1, 3) not in matches  # late click: view state evicted
