@@ -38,6 +38,7 @@ HEADLINE = (
     "ngram_jaccard",
     "doc_winnow",
     "ann_cosine_topk",
+    "ann_ivf",
     "embedding_dedup",
     "embedding_dedup_ivf",
     "ntile_deciles",

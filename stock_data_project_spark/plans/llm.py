@@ -64,6 +64,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=TOPK)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed ANN (operators/ivf.py): quantizer cells replace
+    hyperplane buckets — the data-adaptive counterpart to ann_lsh.
+    Rows-only (k-means isn't SQL-expressible); test_ivf.py asserts
+    recall vs the exact brute force."""
+    from stock_data_project_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_topk(emb, queries, k=TOPK)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", predicted_lang("text").alias("pred_lang"))
@@ -228,6 +240,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,

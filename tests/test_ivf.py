@@ -74,3 +74,47 @@ def test_probe_output_multiplicity(spark):
         .count()
     )
     assert dup == 0
+
+
+def test_ivf_topk_probe_all_cells_is_exact(spark):
+    """nprobe == n_centroids probes every cell -> must equal the
+    exact brute-force top-k."""
+    from pyspark.sql import functions as F
+
+    from stock_data_project_spark.operators.ivf import ivf_topk
+    from stock_data_project_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8).collect()
+    }
+    assert got == brute
+
+
+def test_ivf_topk_default_recall_floor(spark):
+    """Defaults must hold the measured recall on the adversarial
+    near-uniform corpus (0.68-0.8 measured; floor set below)."""
+    from pyspark.sql import functions as F
+
+    from stock_data_project_spark.operators.ivf import ivf_topk
+    from stock_data_project_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5).collect()
+    }
+    # every IVF result that brute force also ranked carries the true
+    # cosine ordering; recall floor on the adversarial corpus
+    assert len(brute & approx) / len(brute) >= 0.6

@@ -40,6 +40,7 @@ QUERIES = (
     "dedup_minhash",
     "token_count",
     "text_quality",
+    "wilder_rsi",
 )
 
 
@@ -126,16 +127,32 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[k](spark, out_dir).write.mode("overwrite").format("noop").save()
             timings[k] = round(time.perf_counter() - t0, 2)
-        # the documented scale path for duplicate-heavy corpora:
-        # exact-collapse first, then minhash distinct content
+        # the opt-in RAW path: quadratic true-pair output on this
+        # duplicate-heavy corpus BY CONSTRUCTION (n copies of every
+        # text) — timed to keep the hazard ratio vs the collapse-first
+        # default (the plain dedup_minhash timing above) on record
         from stock_data_project_spark.operators.dedup import minhash_candidates
 
         docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
         t0 = time.perf_counter()
-        minhash_candidates(docs, collapse_exact=True).write.mode("overwrite").format(
+        minhash_candidates(docs, collapse_exact=False).write.mode("overwrite").format(
             "noop"
         ).save()
-        timings["dedup_minhash_collapsed"] = round(time.perf_counter() - t0, 2)
+        timings["dedup_minhash_raw"] = round(time.perf_counter() - t0, 2)
+
+        # global decile over the replicated FACT column — the exact
+        # single-partition-window killer distributed_ntile exists for
+        from stock_data_project_spark.operators.rank import distributed_ntile
+
+        li_big = spark.read.parquet(os.path.join(out_dir, "lineitem.parquet"))
+        t0 = time.perf_counter()
+        distributed_ntile(
+            li_big.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+            10,
+            [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+            out_col="price_decile",
+        ).write.mode("overwrite").format("noop").save()
+        timings["ntile_lineitem"] = round(time.perf_counter() - t0, 2)
         print(json.dumps({"replication": n, "prep_sec": prep, "rows": counts, "queries_sec": timings}))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
