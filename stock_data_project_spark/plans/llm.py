@@ -171,14 +171,29 @@ def q_embedding_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload + typed metadata ->
     Arrow-batched feature extraction (stub decoder). Rows-only check:
-    mapInPandas output isn't SQL-expressible."""
+    mapInPandas output isn't SQL-expressible.
+
+    The graded projection flattens the fixed-width ``features`` array
+    to scalar feature_0..feature_{FEATURE_DIM-1} columns — the
+    driver's canonicalizer cannot hash ARRAY-typed cells (r2
+    finding); the library operator keeps the array shape."""
     from stock_data_project_spark.operators.multimodal import (
+        FEATURE_DIM,
         extract_features,
         with_media_payload,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(with_media_payload(docs))
+    feats = extract_features(with_media_payload(docs))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        *[
+            F.round(F.col("features")[i], 6).alias(f"feature_{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -328,6 +328,58 @@ def q_wilder_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_wilder_rsi(bars, window=14)
 
 
+def q_adj_close_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted-close analytics through the reference-CSV migration
+    path (fetch_stocks.py:69-70 fetches both ``Close`` and ``Adj
+    Close``; the reference computes returns on Close only — this
+    query grades the adjusted branch of ``bars_from_stocks_csv``).
+
+    The testdata has no pre-adjusted series, so the query synthesizes
+    one deterministically: a 2:1 split on 2024-01-15 means every
+    close before the split is halved in adjusted terms. Both price
+    columns then flow through the SAME adapter + return operator;
+    adjusted and raw returns agree everywhere except the row that
+    crosses the split date (where the raw series shows a phantom
+    ~-50% move and the adjusted one does not)."""
+    from stock_data_project_spark.operators.ingest import bars_from_stocks_csv
+
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    adj_factor = F.when(F.col("date") < F.lit("2024-01-15"), 0.5).otherwise(1.0)
+    stocks_shape = bars.select(
+        F.col("series_key").alias("Ticker"),
+        F.col("date").alias("Date"),
+        F.col("open").alias("Open"),
+        F.col("high").alias("High"),
+        F.col("low").alias("Low"),
+        F.col("close").alias("Close"),
+        (F.col("close") * adj_factor).alias("Adj Close"),
+        F.col("volume").alias("Volume"),
+    )
+    adj = with_daily_return(bars_from_stocks_csv(stocks_shape, price_col="Adj Close"))
+    raw = with_daily_return(bars_from_stocks_csv(stocks_shape, price_col="Close"))
+    return (
+        adj.select(
+            "series_key",
+            "date",
+            F.col("close").alias("adj_close"),
+            F.col("daily_return").alias("adj_return"),
+        )
+        .join(
+            raw.select(
+                "series_key", "date", F.col("daily_return").alias("raw_return")
+            ),
+            ["series_key", "date"],
+        )
+        .withColumn(
+            "split_artifact",
+            F.coalesce(
+                F.round(F.col("raw_return") - F.col("adj_return"), 6) != 0.0,
+                F.lit(False),
+            ),
+        )
+    )
+
+
 def q_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar re-aggregation: daily bars -> weekly OHLC. The weekly
     rollup reuses the daily shuffle's partial results (groupBy on a
@@ -380,6 +432,7 @@ QUERIES = {
     "market_beta": q_market_beta,
     "macd": q_macd,
     "wilder_rsi": q_wilder_rsi,
+    "adj_close_returns": q_adj_close_returns,
     "dim_date": q_dim_date,
     "dim_entity": q_dim_entity,
     "dim_country": q_dim_country,
@@ -630,5 +683,27 @@ ORACLE = {
         SELECT event_type AS series_key, max(ts) AS high_watermark,
                count(*) AS n_rows
         FROM events GROUP BY 1
+    """,
+    "adj_close_returns": f"""
+        WITH {_BARS},
+        adjb AS (
+            SELECT series_key, date, close,
+                   close * CASE WHEN date < TIMESTAMP '2024-01-15'
+                                THEN 0.5 ELSE 1.0 END AS adj_close
+            FROM bars
+        ),
+        r AS (
+            SELECT series_key, date, adj_close,
+                   round((adj_close - lag(adj_close) OVER w)
+                         / nullif(lag(adj_close) OVER w, 0), 6) AS adj_return,
+                   round((close - lag(close) OVER w)
+                         / nullif(lag(close) OVER w, 0), 6) AS raw_return
+            FROM adjb
+            WINDOW w AS (PARTITION BY series_key ORDER BY date)
+        )
+        SELECT series_key, date, adj_close, adj_return, raw_return,
+               coalesce(round(raw_return - adj_return, 6) <> 0.0, FALSE)
+                   AS split_artifact
+        FROM r
     """,
 }

@@ -64,6 +64,41 @@ def test_run_daily_pipeline_end_to_end(spark):
         assert rows[0]["daily_return"] is None and rows[1]["daily_return"] is not None
 
 
+def test_adjusted_close_diverges_at_split(spark):
+    """The adjusted-close branch (bars_from_stocks_csv(price_col="Adj
+    Close"), fetch_stocks.py:69-70): with a 2:1 split on day 10,
+    adjusted and raw returns agree everywhere EXCEPT the row crossing
+    the split date, where the raw series shows a phantom ~-50% move."""
+    from stock_data_project_spark.operators.ingest import bars_from_stocks_csv
+    from stock_data_project_spark.operators.returns import with_daily_return
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "stocks_2024-01-26.csv")
+        pdf = _reference_csv(path)
+        # 2:1 split on 2024-01-10: raw Close halves from that day on;
+        # Adj Close rescales history so the adjusted series is smooth
+        split = pdf["Date"] >= "2024-01-10"
+        pdf.loc[split, ["Open", "High", "Low", "Close"]] /= 2.0
+        pdf["Adj Close"] = pdf["Close"]
+        pdf.loc[~split, "Adj Close"] /= 2.0
+        pdf.to_csv(path, index=False)
+
+        stocks = read_csv(spark, path, stocks_csv_schema()).drop("_corrupt_record")
+        raw = with_daily_return(bars_from_stocks_csv(stocks, price_col="Close"))
+        adj = with_daily_return(bars_from_stocks_csv(stocks, price_col="Adj Close"))
+        r = raw.select("series_key", "date", F.col("daily_return").alias("rr"))
+        a = adj.select("series_key", "date", F.col("daily_return").alias("ar"))
+        both = r.join(a, ["series_key", "date"]).orderBy("series_key", "date").toPandas()
+
+        cross = both["date"].dt.strftime("%Y-%m-%d") == "2024-01-10"
+        # at the crossing: raw return is ~-50%-ish, adjusted is not
+        assert (both.loc[cross, "rr"] < -0.4).all()
+        assert ((both.loc[cross, "ar"] - both.loc[cross, "rr"]).abs() > 0.4).all()
+        # everywhere else the two series agree to the 6dp rounding
+        rest = both[~cross].dropna(subset=["rr", "ar"])
+        assert (rest["rr"] - rest["ar"]).abs().max() <= 2e-6
+
+
 def test_reference_csv_through_fact_pipeline(spark):
     with tempfile.TemporaryDirectory() as d:
         # NB the reference names drops "stocks:{date}.csv" — the colon
