@@ -155,16 +155,19 @@ def q_embedding_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a ground-truth label — the 100 TB path, where no label
     exists. Rows-only check (k-means isn't SQL-expressible).
 
-    Measured on the sf0.01 testdata (near-uniform, IVF's adversarial
-    case; 59 true pairs ≥ 0.4): probes=1 finds 25, probes=2 finds 48,
-    probes=3 finds 56; n_centroids=1 is exactly brute force. The
-    label-blocked variant finds only the 5 same-label pairs — labels
-    are not cosine clusters here, so the quantizer beats the label
-    block key even before real cluster structure exists."""
+    The cell count is data-adaptive (k ≈ √n, operators/ivf.py:
+    _auto_centroids — r3; the r2 constant k=8 made each block n/8
+    rows, an O((n/8)²) GEMM per block at scale). Measured at
+    sf0.001/0.01 (near-uniform, IVF's adversarial case; 66 true
+    pairs ≥ 0.4, auto k=22): probes=2 finds 47, probes=4 finds 62,
+    probes=6 finds all 66; n_centroids=1 is exactly brute force.
+    The label-blocked variant finds only the 5 same-label pairs —
+    labels are not cosine clusters here, so the quantizer beats the
+    label block key even before real cluster structure exists."""
     from stock_data_project_spark.operators.ivf import blocked_cosine_pairs, ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(emb, n_centroids=8, iters=3, probes=2)
+    assigned = ivf_assign(emb, iters=3, probes=2)
     return blocked_cosine_pairs(assigned, block_col="centroid_id", threshold=0.4)
 
 

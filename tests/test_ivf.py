@@ -98,8 +98,10 @@ def test_ivf_topk_probe_all_cells_is_exact(spark):
 
 
 def test_ivf_topk_default_recall_floor(spark):
-    """Defaults must hold the measured recall on the adversarial
-    near-uniform corpus (0.68-0.8 measured; floor set below)."""
+    """Adaptive defaults (k ≈ √n, nprobe ≈ √k) must hold the
+    measured recall on the adversarial near-uniform corpus (0.60
+    measured at n=500 with k=22, nprobe=5 — i.e. recall ≈ 2.6× the
+    23% scanned fraction; floor set with margin below)."""
     from pyspark.sql import functions as F
 
     from stock_data_project_spark.operators.ivf import ivf_topk
@@ -117,4 +119,73 @@ def test_ivf_topk_default_recall_floor(spark):
     }
     # every IVF result that brute force also ranked carries the true
     # cosine ordering; recall floor on the adversarial corpus
-    assert len(brute & approx) / len(brute) >= 0.6
+    assert len(brute & approx) / len(brute) >= 0.5
+
+
+def test_auto_centroids_track_corpus_size(spark):
+    """n_centroids=None derives k ≈ √n (the scale default — a
+    constant k makes per-cell all-pairs O(n²/k), the r2 verdict
+    finding). 500 vectors → k = round(√500) = 22, all cells
+    non-degenerate."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned = ivf_assign(emb, iters=2)
+    cells = assigned.groupBy("centroid_id").count().collect()
+    assert len(cells) == 22  # round(sqrt(500))
+    # near-uniform corpus -> no cell hoards the corpus
+    assert max(c["count"] for c in cells) <= 500 // 4
+
+
+def test_skewed_corpus_cells_stay_bounded(spark):
+    """A 90%-mass tight cluster must be SPLIT across cells, not
+    dumped into one: hash-sampled init is density-proportional, so
+    k-means allocates centroids inside the dense region. Guards the
+    100 TB blocking use — one corpus-sized cell would mean one
+    O(n²) GEMM block downstream."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim = 1000, 16
+    hub = rng.normal(0, 1, dim)
+    dense = hub + rng.normal(0, 0.05, (int(n * 0.9), dim))  # tight cluster
+    sparse = rng.normal(0, 1, (n - int(n * 0.9), dim))
+    vecs = np.vstack([dense, sparse])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = ivf_assign(df, iters=3)
+    cells = assigned.groupBy("centroid_id").count().collect()
+    k = len(cells)
+    assert k >= 16  # auto k = round(sqrt(1000)) = 32, some may be empty
+    # bounded: no cell holds more than a small multiple of n/k
+    assert max(c["count"] for c in cells) <= 6 * (n // k)
+
+
+def test_fit_fraction_samples_fit_but_transforms_all(spark):
+    """fit_fraction trains k-means on a sample; every corpus vector
+    still gets an assignment, and auto-k scales the sampled count
+    back up so k tracks the FULL corpus size."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned = ivf_assign(emb, iters=2, fit_fraction=0.5)
+    assert assigned.count() == 500  # transform covers the corpus
+    k = assigned.select("centroid_id").distinct().count()
+    # k derived from (sampled n) / fraction ≈ 500 -> ≈ 22; sampling
+    # noise moves the estimate, not the order of magnitude
+    assert 15 <= k <= 30
+
+
+def test_ivf_fit_unpersists_corpus_cache(spark):
+    """ivf_fit must not leave corpus-sized frames cached: only the
+    (tiny) final centroid table may remain (ADVICE r2)."""
+    from stock_data_project_spark.operators.ivf import ivf_fit
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = ivf_fit(emb, iters=2)
+    jsc = spark.sparkContext._jsc
+    persistent = jsc.getPersistentRDDs()
+    # the final centroid frame is the only cache left behind
+    assert persistent.size() <= 1
+    assert centroids.count() == 22
