@@ -54,9 +54,20 @@ def distributed_ntile(
     tie-breaker) so ranks are deterministic regardless of where the
     sampled range boundaries fall.
     """
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     n_parts = max(sc.defaultParallelism, 1)
     ranged = df.repartitionByRange(n_parts, *order_cols)
+    # CORRECTNESS depends on the data branch and the counts branch
+    # seeing the SAME range boundaries. With exchange reuse on (the
+    # default), Catalyst dedupes the two identical range exchanges
+    # into one executed stage; with it off, each branch would sample
+    # boundaries independently (the RangePartitioner seed involves
+    # the RDD id), silently mis-bucketing rows near every boundary
+    # (r2 ADVICE: 15% of rows at 200k). Persisting `ranged` pins
+    # both branches to one materialization in that case.
+    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
+        ranged = ranged.persist()
     local = (
         ranged.sortWithinPartitions(*order_cols)
         .select("*", F.monotonically_increasing_id().alias("_mid"))

@@ -302,13 +302,45 @@ _LINK = "fact_bars"
 def _committed(out_dir: str) -> tuple[int, str | None]:
     """(epoch, data dir) of the last committed upsert; (-1, None)
     before the first commit. The pointer file is the single source of
-    truth — data dirs not named by it are uncommitted garbage."""
+    truth — data dirs not named by it are uncommitted garbage.
+
+    Stale or foreign state FAILS LOUDLY instead of parsing as 'no
+    commit' (r2 ADVICE): an unreadable pointer, a pointer naming a
+    missing dir, or a real (non-symlink) directory squatting on the
+    stable name would otherwise make the next epoch merge from
+    nothing and commit a pointer that permanently truncates history
+    to a single batch."""
+    ptr = os.path.join(out_dir, _POINTER)
+    link = os.path.join(out_dir, _LINK)
     try:
-        with open(os.path.join(out_dir, _POINTER)) as fh:
-            epoch_s, dirname = fh.read().strip().split("\t")
-            return int(epoch_s), os.path.join(out_dir, dirname)
-    except (FileNotFoundError, ValueError):
+        with open(ptr) as fh:
+            raw = fh.read()
+    except FileNotFoundError:
+        # no pointer is legal only on a FRESH out_dir; a real dir at
+        # the stable name means a previous (pre-pointer) layout
+        if os.path.exists(link) and not os.path.islink(link):
+            raise RuntimeError(
+                f"{link} exists but is not a symlink: out_dir holds state "
+                "from another layout; reset pointer+checkpoint+data dirs "
+                "together or none"
+            )
         return -1, None
+    try:
+        epoch_s, dirname = raw.strip().split("\t")
+        epoch = int(epoch_s)
+    except ValueError as exc:
+        raise RuntimeError(
+            f"unparseable commit pointer {ptr} ({raw!r}): refusing to "
+            "treat unknown state as 'no commit'; reset "
+            "pointer+checkpoint+data dirs together or none"
+        ) from exc
+    data_dir = os.path.join(out_dir, dirname)
+    if not os.path.isdir(data_dir):
+        raise RuntimeError(
+            f"commit pointer names missing data dir {data_dir}: out_dir "
+            "is corrupt; reset pointer+checkpoint+data dirs together"
+        )
+    return epoch, data_dir
 
 
 def _refresh_link(out_dir: str, data_dir: str) -> None:
@@ -340,7 +372,14 @@ def upsert_bars_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
        previous two-rename dir swap had a window where the target was
        missing and a replay would silently restart history from one
        batch.)
-    4. refresh the stable-name symlink and sweep uncommitted dirs.
+    4. refresh the stable-name symlink and sweep stale dirs — keeping
+       the PREVIOUS committed dir one extra commit cycle, so a reader
+       that resolved the symlink just before this commit can finish
+       its scan (r2 ADVICE: an immediate rmtree could delete parquet
+       files mid-read). The visibility guarantee is therefore: a
+       reader never sees a missing/half-written table, and its
+       resolved snapshot outlives it as long as it finishes within
+       one commit interval; slower readers must retry.
     """
     committed_epoch, committed_dir = _committed(out_dir)
     if epoch_id <= committed_epoch:
@@ -363,8 +402,11 @@ def upsert_bars_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
     _refresh_link(out_dir, data_dir)
     import shutil
 
+    keep = {os.path.basename(data_dir)}
+    if committed_dir:
+        keep.add(os.path.basename(committed_dir))  # readers' grace window
     for name in os.listdir(out_dir):
-        if name.startswith("fact_bars_") and name != os.path.basename(data_dir):
+        if name.startswith("fact_bars_") and name not in keep:
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
 

@@ -46,3 +46,44 @@ def test_distributed_ntile_no_single_partition_exchange_on_data(spark):
     # Spark's global-window shape would show a sort over SinglePartition
     # feeding a Window with no partition spec; ours partitions by _pid
     assert "Window" not in plan or "_pid" in plan
+
+
+def test_distributed_ntile_range_exchange_is_reused(spark):
+    """Correctness requires the data branch and the counts branch to
+    share ONE executed range exchange (independent exchanges sample
+    independent boundaries -> local ranks vs counts disagree, silent
+    mis-bucketing — r2 ADVICE). Pin it: exactly one range exchange in
+    the executed plan, the other branch reads a ReusedExchange."""
+    df = _table(spark, 10_000)
+    res = distributed_ntile(df, 10, [F.desc("v"), F.asc("k")])
+    res.collect()  # AQE resolves stage reuse at runtime -> final plan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    lowered = plan.lower()
+    assert "isfinalplan=true" in lowered
+    # 4 plan branches reference the range exchange (data, counts as
+    # both triangular-join sides, total); exactly 3 must read the
+    # reused stage, leaving ONE executed exchange
+    assert lowered.count("reusedexchange") == 3, plan
+
+
+def test_distributed_ntile_correct_with_exchange_reuse_disabled(spark):
+    """With spark.sql.exchange.reuse=false the operator must fall
+    back to persisting the ranged frame (one materialization feeds
+    both branches) instead of silently mis-bucketing ~15% of rows."""
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = _table(spark, 50_000)
+        order = [F.desc("v"), F.asc("k")]
+        got = {
+            r["k"]: r["b"]
+            for r in distributed_ntile(df, 10, order, out_col="b").collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            r["k"]: r["b"]
+            for r in df.select("k", F.ntile(10).over(w).alias("b")).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.exchange.reuse")
+        spark.catalog.clearCache()

@@ -78,9 +78,48 @@ def test_upsert_survives_crash_windows(spark):
         got = _visible(spark.read.parquet(f"{out}/fact_bars"))
         assert got.exceptAll(want).count() == 0
 
-        # only the committed dir remains after the sweep
-        dirs = [n for n in os.listdir(out) if n.startswith("fact_bars_")]
-        assert dirs == ["fact_bars_1"]
+        # the sweep keeps the PREVIOUS committed dir for one commit
+        # cycle (grace window for readers that resolved the symlink
+        # just before the commit), and drops it on the next commit
+        dirs = sorted(n for n in os.listdir(out) if n.startswith("fact_bars_"))
+        assert dirs == ["fact_bars_0", "fact_bars_1"]
+        upsert_bars_batch(b1.limit(0), 2, out)  # empty epoch advances commit
+        dirs = sorted(n for n in os.listdir(out) if n.startswith("fact_bars_"))
+        assert dirs == ["fact_bars_1", "fact_bars_2"]
+        got = _visible(spark.read.parquet(f"{out}/fact_bars"))
+        assert got.exceptAll(want).count() == 0
+
+
+def test_stale_state_fails_loudly_instead_of_truncating(spark):
+    """Unrecognizable commit state must raise, never parse as 'no
+    commit' (which would merge the next epoch from nothing and
+    permanently truncate history — r2 ADVICE)."""
+    import os
+
+    import pytest
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+
+    # old-format pointer (no tab)
+    with tempfile.TemporaryDirectory() as out:
+        with open(f"{out}/_last_epoch", "w") as fh:
+            fh.write("3")
+        with pytest.raises(RuntimeError, match="unparseable commit pointer"):
+            upsert_bars_batch(b0, 4, out)
+
+    # pointer names a dir that does not exist
+    with tempfile.TemporaryDirectory() as out:
+        with open(f"{out}/_last_epoch", "w") as fh:
+            fh.write("3\tfact_bars_3")
+        with pytest.raises(RuntimeError, match="missing data dir"):
+            upsert_bars_batch(b0, 4, out)
+
+    # a REAL directory squatting on the stable symlink name, no pointer
+    with tempfile.TemporaryDirectory() as out:
+        os.makedirs(f"{out}/fact_bars")
+        with pytest.raises(RuntimeError, match="not a symlink"):
+            upsert_bars_batch(b0, 0, out)
 
 
 def test_partial_batches_merge_losslessly(spark):
