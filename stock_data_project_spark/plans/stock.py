@@ -80,7 +80,12 @@ annual AS (
 # ------------------------------------------------------------ queries
 
 def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dim_date(load_table(spark, sf_dir, "events"))
+    """DimDate = union of the trading calendar and the annual
+    indicator calendar (fetch_stocks.py:165-184 unions the stocks and
+    world-bank SELECT DISTINCTs), so indicator years with no trading
+    days still appear."""
+    ev = load_table(spark, sf_dir, "events")
+    return dim_date(ev, indicator_years=annual_indicators(ev))
 
 
 def q_dim_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,13 +553,19 @@ ORACLE = {
         GROUP BY r.series_key
     """,
     "dim_date": """
-        SELECT DISTINCT
-            date_trunc('day', ts) AS date_key,
-            CAST(year(ts) AS INT) AS year,
-            CAST(month(ts) AS INT) AS month,
-            CAST(date_part('dow', ts) AS INT) AS dow,
-            date_part('dow', ts) IN (0, 6) AS is_weekend
-        FROM events
+        WITH cal AS (
+            SELECT DISTINCT date_trunc('day', ts) AS date_key FROM events
+            UNION
+            SELECT DISTINCT CAST(make_date(CAST(year(CAST(ts AS DATE)) AS INT), 1, 1)
+                                 AS TIMESTAMP) AS date_key
+            FROM events
+        )
+        SELECT date_key,
+               CAST(year(date_key) AS INT) AS year,
+               CAST(month(date_key) AS INT) AS month,
+               CAST(date_part('dow', date_key) AS INT) AS dow,
+               date_part('dow', date_key) IN (0, 6) AS is_weekend
+        FROM cal
     """,
     "dim_country": """
         SELECT 'USA' AS country_key, 'United States' AS country_name,

@@ -272,3 +272,24 @@ def test_wilder_rsi_short_series_all_null(spark):
     assert all(
         r["wilder_rsi"] is None for r in with_wilder_rsi(df, window=14).collect()
     )
+
+def test_dim_date_unions_indicator_only_years(spark):
+    """An indicator year with NO trading days must still appear in
+    DimDate (the reference unions the stock and world-bank calendars,
+    fetch_stocks.py:165-184). 2023 has no events below; its year-start
+    row comes from the indicator frame — 2023-01-01 was a Sunday."""
+    from stock_data_project_spark.operators.star import dim_date
+
+    events = spark.createDataFrame(
+        [("2024-01-02 10:00:00",), ("2024-01-03 11:00:00",)], "ts string"
+    ).select(F.to_timestamp("ts").alias("ts"))
+    indicators = spark.createDataFrame([(2023,), (2024,)], "year int")
+
+    rows = {r["date_key"].strftime("%Y-%m-%d"): r
+            for r in dim_date(events, indicator_years=indicators).collect()}
+    assert set(rows) == {"2024-01-02", "2024-01-03", "2023-01-01", "2024-01-01"}
+    jan1_23 = rows["2023-01-01"]
+    assert (jan1_23["year"], jan1_23["month"]) == (2023, 1)
+    assert jan1_23["dow"] == 0 and jan1_23["is_weekend"]  # Sunday
+    # a year already covered by events dedupes, no duplicate rows
+    assert len(rows) == 4
