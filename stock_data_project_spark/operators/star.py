@@ -69,16 +69,28 @@ def dim_date(
     )
 
 
-def dim_entity(events: DataFrame, key_col: str = "event_type") -> DataFrame:
-    """Distinct series keys with an md5 surrogate (DimStockIndex analog)."""
-    return (
-        events.select(F.col(key_col).alias("entity_name"))
-        .distinct()
-        .select(
-            surrogate_key("entity_name").alias("entity_key"),
-            "entity_name",
-            F.upper(F.col("entity_name")).alias("entity_code"),
-        )
+def dim_entity(
+    events: DataFrame,
+    key_col: str = "event_type",
+    name_map: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct series keys with an md5 surrogate (DimStockIndex analog).
+
+    ``name_map`` (columns ``entity_name, display_name``) replaces the
+    reference's hard-coded CASE mapping of tickers to display names
+    ('^GSPC' -> 'S&P 500' etc., fetch_stocks.py:192-197) with a
+    broadcast lookup join — same 1:1 semantics, but extensible
+    without editing SQL. Unmapped keys fall back to ``upper(name)``
+    (the previous behavior)."""
+    ents = events.select(F.col(key_col).alias("entity_name")).distinct()
+    code = F.upper(F.col("entity_name"))
+    if name_map is not None:
+        ents = ents.join(F.broadcast(name_map), "entity_name", "left")
+        code = F.coalesce(F.col("display_name"), code)
+    return ents.select(
+        surrogate_key("entity_name").alias("entity_key"),
+        "entity_name",
+        code.alias("entity_code"),
     )
 
 

@@ -107,6 +107,16 @@ def q_daily_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_daily_return(bars).select("series_key", "date", "close", "daily_return")
 
 
+def q_log_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key log return ln(close / lag(close)) — the additive
+    counterpart of daily_return (sums telescope across time, the
+    form every multi-period risk model wants)."""
+    from stock_data_project_spark.operators.returns import with_log_return
+
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    return with_log_return(bars).select("series_key", "date", "close", "log_return")
+
+
 def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = with_daily_return(daily_bars(load_table(spark, sf_dir, "events")))
     return with_rolling_volatility(bars, window=20).select(
@@ -443,6 +453,7 @@ QUERIES = {
     "dim_country": q_dim_country,
     "fact_build": q_fact_build,
     "daily_return": q_daily_return,
+    "log_return": q_log_return,
     "rolling_volatility": q_rolling_volatility,
     "filter_range": q_filter_range,
     "annual_join": q_annual_join,
@@ -590,6 +601,13 @@ ORACLE = {
     "daily_return": f"""
         WITH {_BARS}, {_RET}
         SELECT series_key, date, close, daily_return FROM ret
+    """,
+    "log_return": f"""
+        WITH {_BARS}
+        SELECT series_key, date, close,
+               round(ln(close / nullif(lag(close) OVER w, 0)), 6) AS log_return
+        FROM bars
+        WINDOW w AS (PARTITION BY series_key ORDER BY date)
     """,
     "rolling_volatility": f"""
         WITH {_BARS}, {_RET}, {_VOL}

@@ -293,3 +293,23 @@ def test_dim_date_unions_indicator_only_years(spark):
     assert jan1_23["dow"] == 0 and jan1_23["is_weekend"]  # Sunday
     # a year already covered by events dedupes, no duplicate rows
     assert len(rows) == 4
+
+def test_dim_entity_display_name_lookup(spark):
+    """The reference's ticker -> display-name CASE mapping
+    (fetch_stocks.py:192-197) as a broadcast lookup join; unmapped
+    keys keep the upper() fallback."""
+    from stock_data_project_spark.operators.star import dim_entity
+
+    events = spark.createDataFrame(
+        [("^gspc",), ("^dji",), ("unknown",)], "event_type string"
+    )
+    name_map = spark.createDataFrame(
+        [("^gspc", "S&P 500"), ("^dji", "Dow Jones")],
+        "entity_name string, display_name string",
+    )
+    rows = {r["entity_name"]: r["entity_code"]
+            for r in dim_entity(events, name_map=name_map).collect()}
+    assert rows == {"^gspc": "S&P 500", "^dji": "Dow Jones", "unknown": "UNKNOWN"}
+    # without a map the previous upper() behavior is intact
+    plain = {r["entity_name"]: r["entity_code"] for r in dim_entity(events).collect()}
+    assert plain["^gspc"] == "^GSPC"
