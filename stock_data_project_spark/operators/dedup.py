@@ -267,6 +267,36 @@ def simhash_candidates(
     return scored.groupBy("doc_id_a", "doc_id_b").agg(F.min("hamming").alias("hamming"))
 
 
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Within-document repetition signal (the Gopher duplicate-n-gram
+    family): fraction of k-word shingles that are repeats of an
+    earlier shingle in the SAME document — high values flag boilerplate
+    / TV-transcript-style looping text that poisons LM training.
+
+    Plan shape: shingles (O(k) whole-array zips, see word_shingles)
+    -> explode -> one (doc, gram) groupBy feeding a per-doc rollup
+    that reuses the same doc_id key prefix — wordcount-shaped,
+    map-side combinable on both levels. NULL-text docs are excluded
+    (no gram identity), mirroring exact_duplicates."""
+    grams = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("n"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+        F.round(
+            F.lit(1.0) - F.try_divide(F.count(F.lit(1)).cast("double"), F.sum("n")),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -105,6 +105,39 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document-quality gate signals (Rae et al. 2021,
+    §A1.1) adapted to this corpus: word-count bounds, mean word
+    length bounds, symbol-to-word ratio, and the ≥2-distinct-
+    stopwords rule. (The line-based rules — bullet/ellipsis line
+    fractions — have no analog here: the synthetic corpus is
+    single-line.) Pure codegen expressions, zero shuffles."""
+    txt = F.col(text_col)
+    w = words(text_col)
+    n_words = F.size(w)
+    mean_wl = F.try_divide(
+        F.length(F.regexp_replace(normalized(text_col), " ", "")).cast("double"),
+        n_words,
+    )
+    n_symbols = F.length(F.regexp_replace(txt, r"[A-Za-z0-9\s]", ""))
+    symbol_ratio = F.try_divide(n_symbols.cast("double"), n_words)
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_distinct_stop = F.size(F.array_intersect(F.array_distinct(w), en_stop))
+    passes = (
+        n_words.between(50, 100_000)
+        & mean_wl.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (n_distinct_stop >= 2)
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_wl, 6))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 6))
+        .withColumn("n_distinct_stopwords", n_distinct_stop)
+        .withColumn("passes_gopher", passes)
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text
     (the reference's MD5 surrogate-key idiom, fetch_stocks.py:190,

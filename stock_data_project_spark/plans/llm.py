@@ -25,6 +25,7 @@ from stock_data_project_spark.operators.textops import (
     STOPWORDS,
     predicted_lang,
     with_fingerprint,
+    with_gopher_signals,
     with_quality,
     with_token_counts,
 )
@@ -199,6 +200,30 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-gate signals (word-count / mean-word-
+    length / symbol-ratio bounds + the ≥2-distinct-stopwords rule) —
+    the rule-based sibling of the linear-blend ``text_quality``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_gopher_signals(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "n_distinct_stopwords",
+        "passes_gopher",
+    )
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-3-gram fraction (Gopher repetition
+    signal): flags looping/boilerplate text for the training-data
+    gate."""
+    from stock_data_project_spark.operators.dedup import ngram_repetition
+
+    return ngram_repetition(load_table(spark, sf_dir, "documents"))
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF as pure relational algebra: term counts per doc ⋈
     document frequencies -> tf·idf -> top-3 terms per doc (window).
@@ -264,6 +289,8 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow": q_doc_winnow,
+    "gopher_quality": q_gopher_quality,
+    "ngram_repetition": q_ngram_repetition,
 }
 
 # SQL fragments shared with operators/textops.py (keep in sync).
@@ -455,6 +482,48 @@ ORACLE = {
     """,
     "doc_fingerprint": f"""
         SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+    """,
+    "gopher_quality": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len({_WORDS}) AS INT) AS n_words,
+                   length(replace({_NORM}, ' ', '')) AS nc_nospace,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_symbols,
+                   CAST(len(list_intersect(list_distinct({_WORDS}),
+                                           {_sql_list(STOPWORDS["en"])})) AS INT)
+                       AS n_distinct_stopwords
+            FROM documents
+        )
+        SELECT doc_id, n_words,
+               round(CAST(nc_nospace AS DOUBLE) / n_words, 6) AS mean_word_len,
+               round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+               n_distinct_stopwords,
+               (n_words BETWEEN 50 AND 100000)
+                   AND (CAST(nc_nospace AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+                   AND (CAST(n_symbols AS DOUBLE) / n_words < 0.1)
+                   AND (n_distinct_stopwords >= 2) AS passes_gopher
+        FROM base
+    """,
+    "ngram_repetition": f"""
+        WITH w AS (
+            SELECT doc_id, {_WORDS} AS ws FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 3
+                        THEN ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]
+                             || ' ' || ws[CAST(i + 2 AS INT)]
+                        ELSE array_to_string(ws, ' ') END AS gram
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+                  FROM w)
+        ),
+        pg AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               round(1.0 - CAST(count(*) AS DOUBLE) / sum(n), 6) AS dup_fraction
+        FROM pg GROUP BY doc_id
     """,
     "doc_winnow": f"""
         WITH norm_t AS (

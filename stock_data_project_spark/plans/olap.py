@@ -244,6 +244,74 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority classes (Q12 shape: fact-dim join +
+    conditional agg over a selective date scan). The testdata has no
+    l_shipmode/l_commitdate, so the group key is the order->ship
+    delay class and the date filter sits on l_shipdate — same plan
+    shape: pushed scan filter, one join, two CASE aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    delay_class = (
+        F.when(delay < 30, "fast").when(delay < 60, "medium").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(delay_class.alias("delay_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (Q13): LEFT join so
+    zero-order customers land in the c_count=0 bin, then a histogram
+    of counts. The original's comment NOT LIKE filter becomes a
+    priority exclusion (no o_comment column in the testdata)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "3-MEDIUM"
+    )
+    per_c = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_c.groupBy(F.col("c_count").cast("int").alias("c_count")).agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (Q17 shape): the correlated
+    per-part AVG subquery re-expressed as an aggregate joined back to
+    the fact — Catalyst/AQE picks broadcast when the per-part
+    aggregate is small; at catalog scale it degrades gracefully to a
+    shuffle join on the same key. (No p_container in the testdata;
+    the brand predicate alone plays the selective dim filter.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, li.l_partkey == avg_q.aq_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user: lag ->
     gap flag -> running sum = session id -> per-session rollup. Two
@@ -597,8 +665,12 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plans/__init__.py). Keys with no r1 driver row lead so r2 covers them.
 QUERIES = {
     # approx_stats leads: its r2 driver row errored (ARRAY output, now
-    # fixed) and the r3 window only reaches a handful of olap keys.
+    # fixed) and the r3 window only reaches a handful of olap keys;
+    # q12/q13/q17 are new in r3 and must debut inside the window.
     "approx_stats": q_approx_stats,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q17": q_tpch_q17,
     "rollup_sales": q_rollup_sales,
     "customers_no_orders": q_customers_no_orders,
     "customers_with_orders": q_customers_with_orders,
@@ -634,6 +706,43 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tpch_q12": """
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+                    WHEN date_diff('day', o_orderdate, l_shipdate) < 60 THEN 'medium'
+                    ELSE 'slow' END AS delay_class,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """,
+    "tpch_q13": """
+        WITH per_c AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '3-MEDIUM') o
+              ON c_custkey = o.o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT CAST(c_count AS INT) AS c_count, count(*) AS custdist
+        FROM per_c GROUP BY 1
+    """,
+    "tpch_q17": """
+        WITH avg_q AS (
+            SELECT l_partkey AS aq_partkey,
+                   0.2 * avg(l_quantity) AS qty_threshold
+            FROM lineitem GROUP BY 1
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+        JOIN avg_q ON l_partkey = aq_partkey
+        WHERE l_quantity < qty_threshold
+    """,
     "tpch_q19": """
         SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                count(*) AS n_items
