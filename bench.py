@@ -45,6 +45,10 @@ HEADLINE = (
     "wilder_rsi",
     "text_quality",
     "token_count",
+    "ngram_repetition",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q17",
 )
 
 
