@@ -14,7 +14,11 @@ from stock_data_project_spark.sources.readers import (
     read_parquet,
     stocks_csv_schema,
 )
-from stock_data_project_spark.sources.writers import configure_s3a, write_partitioned
+from stock_data_project_spark.sources.writers import (
+    configure_s3a,
+    write_bucketed,
+    write_partitioned,
+)
 
 __all__ = [
     "read_csv",
@@ -22,5 +26,6 @@ __all__ = [
     "read_parquet",
     "stocks_csv_schema",
     "configure_s3a",
+    "write_bucketed",
     "write_partitioned",
 ]

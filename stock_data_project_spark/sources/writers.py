@@ -29,6 +29,58 @@ def configure_s3a(
     hc.set("fs.s3a.connection.ssl.enabled", "true" if ssl else "false")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    n_buckets: int,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+    coalesce_files: bool = True,
+) -> None:
+    """Bucketed (+ sorted) parquet table for repeated co-located
+    joins: two tables bucketed on their join key with the same bucket
+    count sort-merge join with ZERO Exchange — the shuffle is paid
+    once at write time and amortized over every subsequent join
+    (tests/test_scale_layout.py asserts the Exchange-free plan).
+    This is the Spark-native analog of the reference's habit of
+    re-joining the same daily fact export (fetch_stocks.py:221-247).
+
+    ``coalesce_files=True`` repartitions by the bucket columns into
+    exactly ``n_buckets`` partitions before writing. Without it each
+    write task emits one file PER bucket it sees — n_tasks ×
+    n_buckets files at scale (the bucketed small-files trap). Spark
+    computes both the repartition target and the bucket id with the
+    same Murmur3 hash (pmod over the same column hash), so with
+    n_partitions == n_buckets every task holds exactly one bucket's
+    rows → one file per bucket. Set it False when the upstream frame
+    is already clustered or when per-bucket data exceeds a healthy
+    file size (then prefer more buckets instead).
+
+    ``path=None`` writes a managed table under the warehouse dir;
+    pass an explicit path for an external table. Buckets default to
+    sorting by the bucket columns, which layers in-file ordering on
+    top (rangeless sort-merge reads, better parquet stats pruning).
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    sc = (
+        cols
+        if sort_cols is None
+        else ([sort_cols] if isinstance(sort_cols, str) else list(sort_cols))
+    )
+    out = df.repartition(n_buckets, *cols) if coalesce_files else df
+    w = (
+        out.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *cols)
+        .sortBy(*sc)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -313,3 +313,44 @@ def test_dim_entity_display_name_lookup(spark):
     # without a map the previous upper() behavior is intact
     plain = {r["entity_name"]: r["entity_code"] for r in dim_entity(events).collect()}
     assert plain["^gspc"] == "^GSPC"
+
+
+def test_ngram_repetition_planted_loop(spark):
+    """A doc that loops one phrase has high dup_fraction; a doc of
+    all-distinct 3-grams has exactly 0; short docs (< k words) count
+    their single truncated gram once."""
+    from stock_data_project_spark.operators.dedup import ngram_repetition
+
+    looping = " ".join(["the cat sat"] * 10)  # 28 grams, 3 distinct
+    distinct = "one two three four five six"  # 4 grams, all distinct
+    df = spark.createDataFrame(
+        [(1, looping), (2, distinct), (3, "hi there"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_repetition(df).collect()}
+    assert set(rows) == {1, 2, 3}  # NULL text excluded
+    assert rows[2]["dup_fraction"] == 0.0
+    assert rows[3]["n_grams"] == 1 and rows[3]["dup_fraction"] == 0.0
+    r1 = rows[1]
+    assert r1["n_grams"] == 28 and r1["n_distinct_grams"] == 3
+    assert r1["dup_fraction"] == round(1.0 - 3 / 28, 6)
+
+
+def test_gopher_signals_planted_cases(spark):
+    """Each Gopher rule fails on a doc built to break exactly it and
+    the gate passes on a doc built to satisfy all four."""
+    from stock_data_project_spark.operators.textops import with_gopher_signals
+
+    good = "the quick brown fox jumps over a lazy dog and then " * 10  # ~110 words
+    too_short = "the quick brown fox and a dog"  # < 50 words
+    symbol_heavy = ("the and " + "@@@ ### $$$ " * 30) * 5  # symbols >> 0.1/word
+    no_stopwords = "alpha beta gamma delta epsilon zeta " * 20  # 0 distinct stopwords
+    df = spark.createDataFrame(
+        [(1, good), (2, too_short), (3, symbol_heavy), (4, no_stopwords)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_gopher_signals(df).collect()}
+    assert rows[1]["passes_gopher"] is True
+    assert rows[2]["passes_gopher"] is False and rows[2]["n_words"] < 50
+    assert rows[3]["passes_gopher"] is False and rows[3]["symbol_ratio"] > 0.1
+    assert rows[4]["passes_gopher"] is False and rows[4]["n_distinct_stopwords"] < 2

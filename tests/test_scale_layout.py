@@ -43,6 +43,8 @@ def test_date_partitioned_scan_prunes(spark):
 
 @pytest.mark.filterwarnings("ignore")
 def test_bucketed_join_has_no_exchange(spark):
+    from stock_data_project_spark.sources import write_bucketed
+
     orders = load_table(spark, SF_SMOKE, "orders")
     li = load_table(spark, SF_SMOKE, "lineitem")
     # bucketed tables need saveAsTable -> default warehouse dir
@@ -50,12 +52,17 @@ def test_bucketed_join_has_no_exchange(spark):
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     try:
-        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-            "overwrite"
-        ).saveAsTable("b_orders")
-        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
-            "overwrite"
-        ).saveAsTable("b_lineitem")
+        write_bucketed(orders, "b_orders", "o_orderkey", 8)
+        write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+        # coalesce_files pre-repartitions on the bucket hash → exactly
+        # one parquet file per bucket (not n_tasks × n_buckets)
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED b_orders")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        )
+        files = [f for f in os.listdir(loc.removeprefix("file:")) if f.endswith(".parquet")]
+        assert len(files) == 8, files
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         joined = spark.table("b_lineitem").join(
             spark.table("b_orders"),
