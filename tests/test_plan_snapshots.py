@@ -76,3 +76,32 @@ def test_dedup_exact_single_shuffle(spark):
 
     plan = _plan(llm.QUERIES["dedup_exact"](spark, SF_SMOKE))
     assert _n_exchanges(plan) == 1  # one groupBy on the content hash
+
+
+def test_tpch_q17_part_broadcast_no_cartesian(spark):
+    """Q17's selective part filter must ride a broadcast join; the
+    agg-join-back on l_partkey must not degrade to a nested loop."""
+    plan = _plan(olap.QUERIES["tpch_q17"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = re.findall(r"PushedFilters: \[([^\n]*)", plan)
+    # dim filter reaches the part scan (any of the scans' pushed lists)
+    assert any("p_brand" in p for p in pushed), pushed
+
+
+def test_tpch_q12_date_filter_pushed(spark):
+    plan = _plan(olap.QUERIES["tpch_q12"](spark, SF_SMOKE))
+    m = re.search(r"PushedFilters: \[([^\n]*)", plan)
+    assert m and "l_shipdate" in m.group(1)
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_repetition_zero_shuffles(spark):
+    """The r3 reshape: the repetition signal is row-local, so the
+    plan is one scan with no Exchange (the first cut's (doc, gram)
+    groupBy shuffled ~n_grams rows, 2× slower at 30×)."""
+    from stock_data_project_spark.plans import llm
+
+    plan = _plan(llm.QUERIES["ngram_repetition"](spark, SF_SMOKE))
+    assert _n_exchanges(plan) == 0, plan

@@ -41,6 +41,10 @@ QUERIES = (
     "token_count",
     "text_quality",
     "wilder_rsi",
+    "ngram_repetition",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q17",
 )
 
 
