@@ -1,0 +1,92 @@
+"""Deterministic sampling operators: split stability under
+repartitioning (the exact property randomSplit lacks), fraction
+accuracy, and remix mixture convergence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.sampling import hash_split, remix_corpus
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_ORACLE, "documents")
+
+
+def test_hash_split_fractions_and_coverage(spark, docs):
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # exhaustive, no dropped rows
+    assert abs(counts["train"] / n - 0.8) < 0.06
+    assert abs(counts["val"] / n - 0.1) < 0.05
+    assert abs(counts["test"] / n - 0.1) < 0.05
+
+
+def test_hash_split_stable_across_partitioning(spark, docs):
+    """The whole point vs randomSplit: membership is a pure function
+    of (id, seed), so ANY repartitioning yields the identical
+    assignment."""
+    w = {"train": 0.9, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(17, "lang"), w).collect()
+    }
+    assert a == b
+    # and a different seed re-draws (at least some rows move)
+    c = {r["doc_id"]: r["split"] for r in hash_split(docs, w, seed=7).collect()}
+    assert a != c
+
+
+def test_hash_split_single_bucket(spark, docs):
+    out = hash_split(docs, {"all": 1.0})
+    assert out.filter(F.col("split") != "all").count() == 0
+
+
+def test_remix_hits_target_mixture(spark, docs):
+    """Remix to uniform across sources: kept counts match s·t_d
+    within hash noise, and no domain is up-sampled."""
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    assert len(sources) >= 2
+    target = {s: 1.0 / len(sources) for s in sources}
+    out = remix_corpus(docs, target, domain_col="source")
+    kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    orig = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the scarcest domain sets the scale: it is kept (nearly) whole
+    scarcest = min(orig, key=orig.get)
+    assert kept[scarcest] >= orig[scarcest] * 0.9
+    # every domain is within hash noise of the scarcest's count
+    for s in sources:
+        assert kept[s] <= orig[s]  # never up-sampled
+        assert abs(kept[s] - kept[scarcest]) <= max(25, 0.2 * kept[scarcest])
+    # schema is unchanged (helper columns dropped)
+    assert out.columns == docs.columns
+
+
+def test_remix_drops_unlisted_domains(spark, docs):
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    out = remix_corpus(docs, {sources[0]: 1.0}, domain_col="source")
+    assert out.select("source").distinct().collect()[0]["source"] == sources[0]
+
+
+def test_remix_is_deterministic(spark, docs):
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    target = {s: 1.0 / len(sources) for s in sources}
+    a = sorted(r["doc_id"] for r in remix_corpus(docs, target).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in remix_corpus(docs, target).select("doc_id").collect())
+    assert a == b
+
+
+def test_hash_split_zero_shuffles(spark, docs):
+    plan = (
+        hash_split(docs, {"train": 0.8, "test": 0.2})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
