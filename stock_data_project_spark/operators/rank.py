@@ -17,9 +17,11 @@ two-level (tera-sort-style) rank:
    exchange Catalyst can't elide, measured +25% at 18M rows; a
    ``mapInPandas`` counter pays the Arrow round-trip, +2×);
 3. per-partition row counts (one tiny metadata row per partition,
-   reusing the range exchange) joined triangularly to form exclusive
-   prefix offsets — a broadcast join over ~num_partitions rows,
-   never a single-partition exchange over data;
+   read from the SAME persisted materialization of the range
+   exchange — see the correctness note in ``distributed_ntile``)
+   joined triangularly to form exclusive prefix offsets — a
+   broadcast join over ~num_partitions rows, never a
+   single-partition exchange over data;
 4. global rank = partition offset + local rank, and the SQL-standard
    ntile bucket is computed arithmetically from (rank, total).
 
@@ -57,17 +59,23 @@ def distributed_ntile(
     spark = df.sparkSession
     sc = spark.sparkContext
     n_parts = max(sc.defaultParallelism, 1)
-    ranged = df.repartitionByRange(n_parts, *order_cols)
     # CORRECTNESS depends on the data branch and the counts branch
-    # seeing the SAME range boundaries. With exchange reuse on (the
-    # default), Catalyst dedupes the two identical range exchanges
-    # into one executed stage; with it off, each branch would sample
-    # boundaries independently (the RangePartitioner seed involves
-    # the RDD id), silently mis-bucketing rows near every boundary
-    # (r2 ADVICE: 15% of rows at 200k). Persisting `ranged` pins
-    # both branches to one materialization in that case.
-    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
-        ranged = ranged.persist()
+    # seeing the SAME sampled range boundaries. ReuseExchange is NOT
+    # a sufficient guarantee: it dedupes the two range exchanges only
+    # when their subtrees canonicalize identically, and column
+    # pruning breaks that whenever the input carries columns the
+    # counts branch doesn't need (a parquet scan prunes them on one
+    # side only → two independently-sampled exchanges → local ranks
+    # vs counts disagree → silent mis-bucketing: 377/15000 rows at
+    # sf0.1, caught by the r3 full-SF parity sweep; the r2 ADVICE
+    # conf-off variant was the same failure at 15%/200k). Persisting
+    # the ranged frame pins every branch to ONE materialization
+    # regardless of reuse — correctness by construction. The cache
+    # costs one extra copy of the (already shuffled) data and lives
+    # until the caller's session drops it; at fact-table scale
+    # MEMORY_AND_DISK spills to executor disks, which is the
+    # tera-sort intermediate this construction mirrors anyway.
+    ranged = df.repartitionByRange(n_parts, *order_cols).persist()
     local = (
         ranged.sortWithinPartitions(*order_cols)
         .select("*", F.monotonically_increasing_id().alias("_mid"))
@@ -78,10 +86,9 @@ def distributed_ntile(
         )
     )
 
-    # counts branch hangs off `ranged` (no sort needed for partition
-    # sizes; the identical range exchange is deduplicated by
-    # ReuseExchange) — deriving counts from the ranked frame was
-    # measured 2-3× slower (the sort ran once per plan branch)
+    # counts branch hangs off the persisted `ranged` (no sort needed
+    # for partition sizes) — deriving counts from the ranked frame
+    # was measured 2-3× slower (the sort ran once per plan branch)
     counts = (
         ranged.withColumn("_pid", F.spark_partition_id().cast("long"))
         .groupBy("_pid")

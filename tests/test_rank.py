@@ -48,22 +48,31 @@ def test_distributed_ntile_no_single_partition_exchange_on_data(spark):
     assert "Window" not in plan or "_pid" in plan
 
 
-def test_distributed_ntile_range_exchange_is_reused(spark):
-    """Correctness requires the data branch and the counts branch to
-    share ONE executed range exchange (independent exchanges sample
-    independent boundaries -> local ranks vs counts disagree, silent
-    mis-bucketing — r2 ADVICE). Pin it: exactly one range exchange in
-    the executed plan, the other branch reads a ReusedExchange."""
-    df = _table(spark, 10_000)
-    res = distributed_ntile(df, 10, [F.desc("v"), F.asc("k")])
-    res.collect()  # AQE resolves stage reuse at runtime -> final plan
-    plan = res._jdf.queryExecution().executedPlan().toString()
-    lowered = plan.lower()
-    assert "isfinalplan=true" in lowered
-    # 4 plan branches reference the range exchange (data, counts as
-    # both triangular-join sides, total); exactly 3 must read the
-    # reused stage, leaving ONE executed exchange
-    assert lowered.count("reusedexchange") == 3, plan
+def test_distributed_ntile_correct_with_pruned_payload_columns(spark):
+    """THE r3 regression: an input carrying columns the counts branch
+    doesn't need breaks ReuseExchange (column pruning makes the two
+    range-exchange subtrees canonically different), so each branch
+    sampled its own boundaries — 377/15000 rows mis-bucketed at
+    sf0.1. The unconditional persist pins one materialization; with
+    a payload column present, values must still match window ntile
+    exactly."""
+    df = _table(spark, 50_000).withColumn("payload", F.md5(F.col("k").cast("string")))
+    try:
+        order = [F.desc("v"), F.asc("k")]
+        res = distributed_ntile(df, 10, order, out_col="b")
+        got = {r["k"]: r["b"] for r in res.collect()}
+        want = {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k", F.ntile(10).over(Window.orderBy(*order)).alias("b")
+            ).collect()
+        }
+        assert got == want
+        # and every branch reads the one persisted materialization
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_distributed_ntile_correct_with_exchange_reuse_disabled(spark):
