@@ -55,6 +55,13 @@ def distributed_ntile(
     ``order_cols`` must define a total order (include a unique
     tie-breaker) so ranks are deterministic regardless of where the
     sampled range boundaries fall.
+
+    Cache ownership: the ranged input stays persisted after the call
+    (see the correctness note below — unpersisting inside this
+    function would let the branches recompute against re-sampled
+    boundaries). A long-lived session calling this repeatedly should
+    ``spark.catalog.clearCache()`` (or unpersist the returned frame's
+    lineage) once the result has been fully consumed.
     """
     spark = df.sparkSession
     sc = spark.sparkContext
