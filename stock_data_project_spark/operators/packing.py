@@ -1,0 +1,95 @@
+"""Sequence packing: group documents into fixed token-budget bins
+(training-batch construction — pack short docs together so a context
+window wastes no padding).
+
+Exact global bin packing is inherently sequential; the scalable
+construction is per-group first-fit-decreasing (FFD) over
+VALUE-DETERMINISTIC groups:
+
+1. group key = ``pmod(xxhash64(id), n_groups)`` — a pure function of
+   the id, so the same doc always packs against the same companions
+   regardless of input layout or cluster size (the same determinism
+   argument as ``sampling.hash_split``);
+2. per group: sort by (tokens desc, id) and run FFD inside one
+   ``applyInPandas`` kernel — greedy against open-bin remaining
+   capacities, O(n·open_bins) per group; the group shuffle is the
+   plan's ONLY exchange;
+3. bin ids are namespaced ``group * 2^40 + local_bin`` so they are
+   globally unique without coordination.
+
+FFD packs within 11/9·OPT + 1 bins per group; grouping costs at most
+``n_groups - 1`` extra partially-filled bins vs a global pack —
+negligible at corpus scale, and groups pack in parallel. Docs longer
+than the budget get a singleton bin (flagged ``oversize``) — the
+caller decides whether to truncate or split.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BIN_SHIFT = 40  # 2^40 local bins per group; group ids < 2^23
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_groups: int | None = None,
+) -> DataFrame:
+    """Assign every row a ``bin_id`` such that each bin's summed
+    ``tokens_col`` is <= ``budget`` (except ``oversize`` singletons).
+
+    Output columns: ``(id_col, tokens_col, bin_id, oversize)``.
+    Deterministic: a pure function of the (id, tokens) values and
+    ``num_groups`` — stable across input partitioning and re-runs.
+    ``num_groups`` should scale with the corpus (default: the
+    session's parallelism) so each group's FFD stays memory-bounded.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n_groups = num_groups or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["_tok", "_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        base = int(key[0]) << _BIN_SHIFT
+        remaining: list[int] = []  # open-bin leftover capacity
+        bins, oversize = [], []
+        for tok in pdf["_tok"].astype(int):
+            if tok > budget:
+                bins.append(base + len(remaining))
+                remaining.append(0)  # closed: nothing else fits
+                oversize.append(True)
+                continue
+            for i, cap in enumerate(remaining):  # first fit
+                if tok <= cap:
+                    remaining[i] = cap - tok
+                    bins.append(base + i)
+                    break
+            else:
+                bins.append(base + len(remaining))
+                remaining.append(budget - tok)
+            oversize.append(False)
+        return pd.DataFrame(
+            {"_id": pdf["_id"], "_tok": pdf["_tok"], "bin_id": bins, "oversize": oversize}
+        )
+
+    prepared = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(tokens_col).cast("long").alias("_tok"),
+        F.pmod(F.xxhash64(id_col), F.lit(n_groups)).alias("_part"),
+    )
+    packed = prepared.groupBy("_part").applyInPandas(
+        pack, schema="_id long, _tok long, bin_id long, oversize boolean"
+    )
+    return packed.select(
+        F.col("_id").alias(id_col),
+        F.col("_tok").alias(tokens_col),
+        "bin_id",
+        "oversize",
+    )
