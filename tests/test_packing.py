@@ -91,3 +91,15 @@ def test_pack_single_exchange(spark, counted):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pack_auto_groups_scales_with_corpus(spark):
+    """The default group count tracks corpus size (~100k docs per FFD
+    kernel) instead of a constant — the fixed-default scale hazard
+    class from the r2 IVF finding."""
+    from stock_data_project_spark.operators.packing import _auto_groups
+
+    assert _auto_groups(1_000, 32) == 32  # floor at parallelism
+    assert _auto_groups(3_200_000, 32) == 32
+    assert _auto_groups(10_000_000, 32) == 100
+    assert _auto_groups(1_000_000_000, 32) == 10_000
