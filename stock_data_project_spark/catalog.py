@@ -33,22 +33,35 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def convert_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Shared nanos->timestamp conversion (batch + streaming read
-    paths): integer division keeps int64 nanos exact; a float path
-    would corrupt values past 2^53."""
-    if dict(df.dtypes).get(col) == "bigint":
+    """Normalize the events timestamp to TIMESTAMP_LTZ across the two
+    testdata layouts seen so far (batch + streaming read paths):
+
+    - TIMESTAMP(NANOS): Spark has no native type; read as int64 via
+      the ``nanosAsLong`` conf, then integer-divide to micros (the
+      testdata is µs-aligned so this is exact; a float path would
+      corrupt int64 nanos past 2^53).
+    - TIMESTAMP(micros, isAdjustedToUTC=false): read as
+      TIMESTAMP_NTZ; the session time zone is pinned UTC before every
+      scan, so casting to TIMESTAMP_LTZ re-tags the same instant and
+      keeps unix_micros()/window() downstream working unchanged.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Parquet carries the schema; Catalyst prunes.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    has no native type for — it's read via the ``nanosAsLong`` legacy
-    conf and converted to a microsecond timestamp with integer
-    division (the testdata is µs-aligned, so this is lossless; a
-    float path would corrupt int64 nanos past 2^53).
+    ``events.ts`` physical type has varied across driver testdata
+    generations (TIMESTAMP(NANOS) in r1-r2, TIMESTAMP(micros,
+    isAdjustedToUTC=false) in r3); ``convert_nanos_ts`` normalizes
+    either layout to TIMESTAMP_LTZ under a UTC session zone. The
+    ``nanosAsLong`` conf is set unconditionally — it only affects
+    NANOS columns and is a no-op on the micros layout.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

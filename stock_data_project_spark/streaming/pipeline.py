@@ -17,34 +17,29 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# Raw schema as stored (ts = TIMESTAMP(NANOS) read as long via the
-# nanosAsLong conf — see catalog.load_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stock_data_project_spark.catalog import convert_nanos_ts
+    """File-stream source over the events table.
+
+    The stream source needs an explicit schema; the ``ts`` physical
+    type has varied across testdata generations (TIMESTAMP(NANOS)
+    → long under nanosAsLong; TIMESTAMP(micros, unadjusted) →
+    TIMESTAMP_NTZ), so the schema is probed from a one-footer batch
+    read of the same file and ``convert_nanos_ts`` normalizes either
+    layout to TIMESTAMP_LTZ.
+    """
+    from stock_data_project_spark.catalog import convert_nanos_ts, table_path
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # UTC, like catalog.load_table: day-bucketing in the streaming
     # path must agree with batch daily_bars under any caller session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # the file-stream source wants a directory; filter to the events
     # table within the sf_dir
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
