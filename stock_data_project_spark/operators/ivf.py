@@ -1,20 +1,31 @@
 """IVF coarse quantizer: spherical k-means over the embedding
-column, expressed entirely as DataFrame ops — the block-key provider
-for near-duplicate detection and ANN partitioning at scale.
+column — the block-key provider for near-duplicate detection and ANN
+partitioning at scale.
 
-Scale shape (the FAISS IVF recipe re-expressed relationally):
+Scale shape (the FAISS IVF recipe on Spark, the MLlib KMeans
+lifecycle):
 
 - init: the ``n_centroids`` vectors with the smallest
   ``xxhash64(id)`` — a deterministic pseudo-random sample picked via
   ``orderBy(hash).limit(n)`` (TakeOrderedAndProject: per-partition
   partial top-n, never a global sort).
-- assign: crossJoin(broadcast(centroids)) + map-side partial
-  ``max(struct(sim, -cid))`` — the shuffle carries one row per
-  vector, not one per (vector, centroid).
-- update: posexplode + groupBy(cid, dim) mean — partial aggregation
-  map-side; centroid count × dim rows total.
-- No ``.collect()``: centroids stay a (tiny, broadcast) DataFrame
-  throughout; iteration count is a fixed small constant.
+- assign: one BLAS GEMM per Arrow batch inside ``mapInPandas``, with
+  the centroid matrix shipped in the kernel closure. The centroid
+  table is metadata-sized (k ≈ √n rows), so holding it driver-side
+  and broadcasting it with the task closure is the same lifecycle as
+  MLlib's ``KMeansModel.clusterCenters`` — the CORPUS never reaches
+  the driver. (The r1-r3a relational formulation — crossJoin +
+  interpreted ``aggregate``/``zip_with`` dot folds — was measured
+  ~4× slower at sf0.1: Spark HOF lambdas are interpreted per
+  element, exactly the hazard the repo's dedup operators already
+  avoid.)
+- update: the same kernel accumulates per-partition per-cell vector
+  sums, so the per-iteration shuffle carries ≤ partitions × k rows
+  (map-side combined to k × dim cells) — MLlib KMeans's
+  aggregate-by-key shape.
+- transform: map-only (zero shuffle) — every input column is carried
+  through the kernel and ``centroid_id`` appended, so blocking a
+  100 TB corpus costs one scan and no join.
 
 The quantizer's output (``centroid_id``) is the block key for
 ``blocked_cosine_pairs`` — per-block all-pairs GEMM, quadratic only
@@ -24,9 +35,14 @@ within a block, blocks parallel across executors.
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from stock_data_project_spark.operators.similarity import dot, unit
 
@@ -66,17 +82,38 @@ def ivf_assign(
     return ivf_transform(df, centroids, probes, id_col, vec_col)
 
 
-def _scored(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(id, vec, struct(sim, neg_cid)) for every vector×centroid —
-    the shared scoring projection; broadcast-side centroids."""
-    return vecs.crossJoin(F.broadcast(cents)).select(
-        "_id",
-        "_v",
-        F.struct(
-            F.coalesce(dot(F.col("_v"), F.col("_cv")), F.lit(-2.0)).alias("sim"),
-            (-F.col("_cid")).alias("neg_cid"),
-        ).alias("_sc"),
-    )
+def _centroids_np(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Centroid table → (cid vector, (k, d) float64 matrix), rows in
+    ascending ``_cid`` order. k ≈ √n rows — metadata-sized; this is
+    the one intentional driver-side materialization (see module
+    docstring)."""
+    pdf = centroids.orderBy("_cid").toPandas()
+    cids = pdf["_cid"].to_numpy(dtype=np.int32)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_cv"]])
+    return cids, mat
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize; all-zero / non-finite rows become zero rows
+    (their sim to every centroid is then 0 — handled by callers with
+    an explicit -2 sentinel to match the relational NULL semantics)."""
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(nrm > 0, m / nrm, 0.0)
+    return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def _sims(batch: pd.Series, cent_t: np.ndarray) -> np.ndarray:
+    """(rows, k) cosine matrix for one Arrow batch: normalize + GEMM.
+    Degenerate vectors (zero / non-finite norm) score -2 everywhere,
+    so argmax deterministically lands them in the lowest cell —
+    identical to the relational formulation's NULL→coalesce(-2)."""
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
+    nrm = np.linalg.norm(m, axis=1)
+    bad = ~np.isfinite(nrm) | (nrm == 0)
+    sims = _unit_rows(m) @ cent_t
+    sims[bad] = -2.0
+    return sims
 
 
 def ivf_fit(
@@ -103,62 +140,81 @@ def ivf_fit(
     iters×full-scan fit cost). The auto-k count is taken on the
     sample and scaled back up by 1/fraction so k still tracks n.
 
-    Every intermediate cached here (the fit vectors and per-iteration
-    centroid frames) is unpersisted before returning; the final
-    centroid table is materialized and left cached (it is
-    n_centroids rows — metadata-sized — and both transform passes
-    broadcast it)."""
-    vecs = df.select(F.col(id_col).alias("_id"), unit(F.col(vec_col)).alias("_v"))
+    Per iteration: one map job over the (cached) fit vectors — GEMM
+    assign + per-partition per-cell sum accumulation in a single
+    kernel — then a ≤ partitions×k-row reduction whose k×d result
+    comes back to the driver to become the next closure matrix. The
+    corpus cache is dropped in ``finally``; the returned centroid
+    table is literal data (no lineage), so nothing stays cached."""
+    spark = df.sparkSession
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.xxhash64(F.col(id_col)).alias("_h"),
+    )
     if fit_fraction is not None and fit_fraction < 1.0:
         vecs = vecs.sample(fraction=fit_fraction, seed=7)
     vecs = vecs.cache()
-    interim: list[DataFrame] = [vecs]
     try:
         if n_centroids is None:
             n_fit = vecs.count()
             scale = 1.0 / fit_fraction if fit_fraction else 1.0
             n_centroids = _auto_centroids(int(n_fit * scale))
 
-        # deterministic sample as initial centroids; the window runs
-        # over exactly n_centroids rows (metadata-sized)
-        init = vecs.orderBy(F.xxhash64("_id")).limit(n_centroids)
-        wid = Window.orderBy(F.xxhash64("_id"))
-        centroids = init.select(
-            (F.row_number().over(wid) - 1).alias("_cid"), F.col("_v").alias("_cv")
-        )
+        # deterministic pseudo-random init: the n_centroids vectors
+        # with the smallest xxhash64(id) (per-partition partial top-n,
+        # never a global sort), cids assigned in hash order
+        init = vecs.orderBy("_h").limit(n_centroids).toPandas().sort_values("_h")
+        cids = np.arange(len(init), dtype=np.int32)
+        cent = _unit_rows(np.stack([np.asarray(v, dtype=np.float64) for v in init["_v"]]))
 
         for _ in range(iters):
-            assigned = (
-                _scored(vecs, centroids)
-                .groupBy("_id")
-                .agg(F.max("_sc").alias("_best"), F.first("_v").alias("_v"))
-                .select("_id", "_v", (-F.col("_best.neg_cid")).alias("_cid"))
+            cent_t = cent.T
+            k, d = cent.shape
+
+            def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                sums = np.zeros((k, d))
+                cnts = np.zeros(k, dtype=np.int64)
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    sims = _sims(pdf["_v"], cent_t)
+                    best = sims.argmax(axis=1)  # ties → lowest cell, like max(sim,-cid)
+                    m = _unit_rows(
+                        np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                    )
+                    np.add.at(sums, best, m)
+                    np.add.at(cnts, best, 1)
+                nz = np.flatnonzero(cnts)
+                yield pd.DataFrame({"_c": nz.astype(np.int32), "_sum": list(sums[nz])})
+
+            # reduce the per-partition partials relationally (map-side
+            # combine → k×d cells), then pull the k×d result back
+            red = (
+                vecs.mapInPandas(partials, schema="_c int, _sum array<double>")
+                .select("_c", F.posexplode("_sum").alias("_j", "_x"))
+                .groupBy("_c", "_j")
+                .agg(F.sum("_x").alias("_s"))
+                .toPandas()
             )
-            centroids = (
-                assigned.select("_cid", F.posexplode("_v").alias("_j", "_x"))
-                .groupBy("_cid", "_j")
-                .agg(F.avg("_x").alias("_m"))
-                .groupBy("_cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("_j", "_m"))), lambda s: s["_m"]
-                    ).alias("_raw")
-                )
-                .select("_cid", unit(F.col("_raw")).alias("_cv"))
-                .cache()  # tiny; truncates per-iteration lineage fan-out
-            )
-            interim.append(centroids)
-        # materialize the final centroids BEFORE dropping the inputs
-        # they derive from, then keep only that tiny frame cached
-        if interim[-1] is centroids:
-            interim.pop()
-        else:
-            centroids = centroids.cache()  # iters=0: cache the init frame
-        centroids.count()
-        return centroids
+            new = np.zeros((k, d))
+            new[red["_c"].to_numpy(), red["_j"].to_numpy()] = red["_s"].to_numpy()
+            norms = np.linalg.norm(new, axis=1)
+            keep = norms > 0  # cells that lost every member vanish
+            cids, cent = cids[keep], _unit_rows(new[keep])
+
+        out = pd.DataFrame({"_cid": cids, "_cv": list(cent)})
+        return spark.createDataFrame(
+            out,
+            T.StructType(
+                [
+                    T.StructField("_cid", T.IntegerType()),
+                    T.StructField("_cv", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        )
     finally:
-        for frame in interim:
-            frame.unpersist()
+        vecs.unpersist()
 
 
 def ivf_transform(
@@ -170,30 +226,32 @@ def ivf_transform(
 ) -> DataFrame:
     """Append ``centroid_id`` = each vector's ``probes`` nearest
     centroids from a fitted centroid table (one output row per
-    probe)."""
-    vecs = df.select(F.col(id_col).alias("_id"), unit(F.col(vec_col)).alias("_v"))
-    if probes <= 1:
-        final = (
-            _scored(vecs, centroids)
-            .groupBy("_id")
-            .agg(F.max("_sc").alias("_best"))
-            .select("_id", (-F.col("_best.neg_cid")).alias("centroid_id"))
-        )
-    else:
-        # collect_list holds n_centroids tiny structs per vector — the
-        # shuffle is still one (small) row-set per vector
-        final = (
-            _scored(vecs, centroids)
-            .groupBy("_id")
-            .agg(
-                F.slice(
-                    F.sort_array(F.collect_list("_sc"), asc=False), 1, probes
-                ).alias("_top")
-            )
-            .select("_id", F.explode("_top").alias("_sc"))
-            .select("_id", (-F.col("_sc.neg_cid")).alias("centroid_id"))
-        )
-    return df.join(final, df[id_col] == final["_id"]).drop("_id")
+    probe). Map-only: every input column is carried through the GEMM
+    kernel, so blocking costs one scan and zero shuffles — the r3a
+    relational formulation paid a corpus-sized join here."""
+    cids, cent = _centroids_np(centroids)
+    cent_t = cent.T
+    n_probe = min(probes, len(cids)) if probes > 1 else 1
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("centroid_id", T.IntegerType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sims = _sims(pdf[vec_col], cent_t)
+            if n_probe == 1:
+                picks = sims.argmax(axis=1).reshape(-1, 1)
+            else:
+                # stable sort: equal sims keep ascending cell order —
+                # same tie-break as desc-sort on struct(sim, -cid)
+                picks = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
+            out["centroid_id"] = cids[picks.ravel()]
+            yield out
+
+    return df.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_topk(
@@ -240,7 +298,7 @@ def ivf_topk(
     otherwise. Approximate by design -> rows-only check."""
     centroids = ivf_fit(embeddings, n_centroids, iters, id_col, vec_col, fit_fraction)
     if nprobe is None:
-        # centroids is materialized + cached by ivf_fit → free count
+        # the centroid table is literal driver-built data → free count
         nprobe = max(4, round(math.sqrt(centroids.count())))
     corpus = ivf_transform(embeddings, centroids, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),

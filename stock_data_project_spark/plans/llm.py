@@ -158,10 +158,11 @@ def q_embedding_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cell count is data-adaptive (k ≈ √n, operators/ivf.py:
     _auto_centroids — r3; the r2 constant k=8 made each block n/8
-    rows, an O((n/8)²) GEMM per block at scale). Measured at
-    sf0.001/0.01 (near-uniform, IVF's adversarial case; 66 true
-    pairs ≥ 0.4, auto k=22): probes=2 finds 47, probes=4 finds 62,
-    probes=6 finds all 66; n_centroids=1 is exactly brute force.
+    rows, an O((n/8)²) GEMM per block at scale). Measured at sf0.01
+    (near-uniform, IVF's adversarial case; 59 true pairs ≥ 0.4,
+    auto k=22, zero false positives at every setting): probes=2
+    finds 37, probes=4 finds 56; n_centroids=1 is exactly brute
+    force.
     The label-blocked variant finds only the 5 same-label pairs —
     labels are not cosine clusters here, so the quantizer beats the
     label block key even before real cluster structure exists."""
