@@ -98,7 +98,18 @@ def replicate(spark, out_dir: str, n: int) -> dict[str, int]:
         ),
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
-    for small in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+    emb = load_table(spark, SRC, "embeddings")
+    max_vid = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    fan(
+        emb,
+        lambda d: d.select(
+            (F.col("vec_id") + F.col("rep") * max_vid).alias("vec_id"),
+            "embedding",
+            "label",
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    for small in ("region", "nation", "customer", "supplier", "part"):
         src = os.path.join(SRC, f"{small}.parquet")
         dst = os.path.join(out_dir, f"{small}.parquet")
         # single-file parquet (testdata layout) or directory-style
@@ -107,7 +118,7 @@ def replicate(spark, out_dir: str, n: int) -> dict[str, int]:
             shutil.copytree(src, dst, dirs_exist_ok=True)
         else:
             shutil.copy(src, dst)
-    for t in ("events", "orders", "lineitem", "documents"):
+    for t in ("events", "orders", "lineitem", "documents", "embeddings"):
         counts[t] = spark.read.parquet(os.path.join(out_dir, f"{t}.parquet")).count()
     return counts
 
@@ -143,6 +154,20 @@ def main() -> None:
             "noop"
         ).save()
         timings["dedup_minhash_raw"] = round(time.perf_counter() - t0, 2)
+
+        # the IVF quantizer over the replicated embedding corpus:
+        # auto-k tracks the inflated n, the GEMM assign kernel is the
+        # cost under test. Blocked pairs are deliberately excluded —
+        # a corpus of n identical copies has quadratic true-pair
+        # output BY CONSTRUCTION, like the raw minhash path above.
+        from stock_data_project_spark.operators.ivf import ivf_assign
+
+        emb_big = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet"))
+        t0 = time.perf_counter()
+        ivf_assign(emb_big, iters=3, probes=2).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        timings["ivf_assign_embeddings"] = round(time.perf_counter() - t0, 2)
 
         # global decile over the replicated FACT column — the exact
         # single-partition-window killer distributed_ntile exists for
