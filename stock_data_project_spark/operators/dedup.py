@@ -446,3 +446,51 @@ def blocked_jaccard_pairs(
         F.array_distinct(words(text_col)).alias("wordset"),
     )
     return docs.groupBy("lang", "len_bucket").applyInPandas(per_block, schema=out_schema)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    history: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run exact dedup — the ingest gate of a continuously
+    growing corpus: drop every new document whose content fingerprint
+    already exists in the historical store, then collapse duplicates
+    WITHIN the batch (keeper = min id, same rule as
+    ``exact_duplicates``). NULL text is excluded up front for the
+    same reason as there: absent content is not duplicate content.
+
+    Returns ``(survivors, new_history)``: survivors carry all input
+    columns plus ``content_hash``; new_history is their one-column
+    ``content_hash`` projection, to be APPENDED to the store after
+    the survivors are durably written. The store stays append-only —
+    correctness needs only that it is a superset of every fingerprint
+    kept so far, so a crash between the two writes is safe in the
+    keep-too-little direction (re-ingest re-drops, never re-admits).
+
+    Scale design: the batch pays exactly one shuffle (content_hash —
+    uniform 128-bit key, skew-free) for the anti join and the
+    within-batch collapse; the history side at 100 TB is a bucketed
+    table on content_hash (``sources.write_bucketed``), so the anti
+    join reads it Exchange-free and history is NEVER reshuffled, no
+    matter how large it grows relative to the daily batch
+    (tests/test_scale_layout.py asserts the history-side plan has no
+    Exchange). A broadcast of the batch's hashes would also work when
+    the batch is small — Catalyst/AQE picks that automatically below
+    the broadcast threshold.
+    """
+    hashed = new_docs.filter(F.col(text_col).isNotNull()).withColumn(
+        "content_hash", F.md5(normalized(text_col))
+    )
+    if history is not None:
+        hashed = hashed.join(
+            history.select("content_hash"), "content_hash", "left_anti"
+        )
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    survivors = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return survivors, survivors.select("content_hash")
