@@ -110,3 +110,62 @@ def remix_corpus(
         .filter(u < F.col("_rate"))
         .drop("_dom", "_rate")
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    n: int,
+    key_cols: str | list[str] = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Cap each key's row count at (approximately) ``n``, keeping a
+    deterministic hash-uniform sample of the key's rows — the
+    "max N documents per domain" gate of a training mix, where a few
+    over-crawled domains would otherwise dominate the corpus.
+
+    Default (the 100 TB path): per-key keep RATES. One k-row count
+    aggregation derives rate_k = n / n_k, broadcast back, and rows
+    keep iff ``xxhash64(id, seed)`` falls under the rate — map-only
+    on the data path, no sorts, no per-key state, so a single
+    billion-row hot domain costs the same scan as everyone else.
+    Kept counts are Binomial(n_k, n/n_k): within O(√n) of the cap,
+    never biased. Like ``hash_split``/``remix_corpus``, membership is
+    a pure function of (id, seed) — stable across partitioning and
+    re-runs.
+
+    ``exact=True``: row_number over (key, hash order) ≤ n — exactly
+    min(n, n_k) rows per key, but a hot key's whole group sorts
+    inside one task; choose it only when key cardinality ≫ max key
+    size (it is also the tie-free ground truth the approximate path
+    is tested against).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+    counts = df.groupBy(*[F.col(k).alias(f"_k_{k}") for k in keys]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    rates = counts.select(
+        *[F.col(f"_k_{k}") for k in keys],
+        F.least(F.lit(1.0), F.lit(float(n)) / F.col("_n")).alias("_rate"),
+    )
+    cond = [df[k] == F.col(f"_k_{k}") for k in keys]
+    u = _unit_hash(id_col, seed)
+    return (
+        df.join(F.broadcast(rates), cond)
+        .filter(u < F.col("_rate"))
+        .drop("_rate", *[f"_k_{k}" for k in keys])
+    )

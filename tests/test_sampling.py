@@ -90,3 +90,52 @@ def test_hash_split_zero_shuffles(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_cap_per_key_exact(spark, docs):
+    from stock_data_project_spark.operators.sampling import cap_per_key
+
+    capped = cap_per_key(docs, 30, exact=True)
+    per = capped.groupBy("source").count().collect()
+    src_n = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert {r["source"]: r["count"] for r in per} == {
+        s: min(30, c) for s, c in src_n.items()
+    }
+    # deterministic: repartitioning does not change membership
+    again = cap_per_key(docs.repartition(7), 30, exact=True)
+    assert {r["doc_id"] for r in again.select("doc_id").collect()} == {
+        r["doc_id"] for r in capped.select("doc_id").collect()
+    }
+
+
+def test_cap_per_key_approx_tracks_cap_and_is_stable(spark, docs):
+    from stock_data_project_spark.operators.sampling import cap_per_key
+
+    capped = cap_per_key(docs, 50)
+    src_n = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    per = {r["source"]: r["count"] for r in capped.groupBy("source").count().collect()}
+    for s, n_k in src_n.items():
+        kept = per.get(s, 0)
+        if n_k <= 50:
+            assert kept == n_k  # rate 1.0 keeps everything
+        else:
+            assert abs(kept - 50) <= 25, (s, kept)  # binomial, ~3.5 sd
+    again = cap_per_key(docs.repartition(9), 50)
+    assert {r["doc_id"] for r in again.select("doc_id").collect()} == {
+        r["doc_id"] for r in capped.select("doc_id").collect()
+    }
+
+
+def test_cap_per_key_data_path_is_map_only(spark, docs):
+    """The data side must stay broadcast-join + filter: exactly one
+    Exchange in the whole plan (the k-row count agg feeding rates)."""
+    from stock_data_project_spark.operators.sampling import cap_per_key
+
+    plan = (
+        cap_per_key(docs, 50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

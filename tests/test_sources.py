@@ -79,3 +79,37 @@ def test_write_partitioned_roundtrip(spark):
         back = spark.read.parquet(out)
         assert back.count() == 300
         assert back.filter(F.col("part") == "a").count() == 100
+
+
+def test_ts_layout_normalization_nanos_and_ntz_micros(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (r1-r2)
+    and TIMESTAMP(micros, isAdjustedToUTC=false) → TIMESTAMP_NTZ
+    (r3). convert_nanos_ts must normalize BOTH layouts to the same
+    TIMESTAMP_LTZ instants under the pinned UTC session zone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from stock_data_project_spark.catalog import convert_nanos_ts
+
+    micros = [1704067207_179575, 1706659032_194062]  # µs-aligned
+    nanos_path = str(tmp_path / "nanos.parquet")
+    ntz_path = str(tmp_path / "ntz.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns"))}),
+        nanos_path,
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array(micros, pa.timestamp("us"))}), ntz_path
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for name, path in (("nanos", nanos_path), ("ntz", ntz_path)):
+        df = convert_nanos_ts(spark.read.parquet(path))
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        out[name] = sorted(
+            r[0] for r in df.select(F.unix_micros("ts")).collect()
+        )
+    assert out["nanos"] == out["ntz"] == sorted(micros)
