@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from stock_data_project_spark.operators.similarity import dot, unit
 
 # Auto cell count: k ≈ √n, clamped. √n balances the two corpus-sized
 # costs — assign is O(n·k·d) and per-cell all-pairs is O(n·(n/k)·d)
@@ -295,30 +294,80 @@ def ivf_topk(
     OR-amplification re-draws the partition 16 times where
     single-assignment IVF cannot; on real clustered embeddings the
     ordering flips — prefer IVF when cluster structure exists, LSH
-    otherwise. Approximate by design -> rows-only check."""
+    otherwise. Approximate by design -> rows-only check.
+
+    Scoring shape: the probed query routing (|Q| × nprobe rows —
+    metadata-sized, it was already the broadcast side) ships in the
+    scoring kernel's closure as per-cell query matrices; each corpus
+    Arrow batch GEMMs only against the queries probing its rows'
+    cells and emits its LOCAL top-k per query, so the global-ranking
+    shuffle carries ≤ batches × |Q| × k rows. Sims round to 6dp
+    before ranking (repo parity rule), which also keeps
+    ``nprobe == n_centroids`` bit-identical to ``cosine_topk``."""
+    import pandas as pd
+
     centroids = ivf_fit(embeddings, n_centroids, iters, id_col, vec_col, fit_fraction)
     if nprobe is None:
         # the centroid table is literal driver-built data → free count
         nprobe = max(4, round(math.sqrt(centroids.count())))
+    probed = (
+        ivf_transform(queries, centroids, nprobe, id_col, vec_col)
+        .select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"), "centroid_id")
+        .toPandas()
+    )
+    # per-cell query matrices: cell -> (query ids, normalized matrix^T)
+    cell_queries: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for cid, grp in probed.groupby("centroid_id"):
+        qm = _unit_rows(np.stack([np.asarray(v, dtype=np.float64) for v in grp["_qv"]]))
+        keep = np.linalg.norm(qm, axis=1) > 0  # degenerate queries score nothing
+        if keep.any():
+            cell_queries[int(cid)] = (grp["_qid"].to_numpy()[keep], qm[keep].T)
+
+    id_type = embeddings.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cand: dict[object, list[tuple[np.ndarray, np.ndarray]]] = {}
+            for cid, grp in pdf.groupby("centroid_id"):
+                cq = cell_queries.get(int(cid))
+                if cq is None:
+                    continue
+                qids, qt = cq
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
+                nrm = np.linalg.norm(m, axis=1)
+                ok = np.isfinite(nrm) & (nrm > 0)  # degenerate neighbors excluded
+                sims = np.round(_unit_rows(m) @ qt, 6)
+                nids = grp[id_col].to_numpy()
+                for j, qid in enumerate(qids):
+                    mask = ok & (nids != qid)
+                    if mask.any():
+                        cand.setdefault(qid, []).append((nids[mask], sims[mask, j]))
+            frames = []
+            for qid, parts in cand.items():
+                ids = np.concatenate([p[0] for p in parts])
+                s = np.concatenate([p[1] for p in parts])
+                order = np.lexsort((ids, -s))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids[order], "cosine_sim": s[order]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
     corpus = ivf_transform(embeddings, centroids, 1, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        unit(F.col(vec_col)).alias("neighbor_vec"),
-        "centroid_id",
+        id_col, vec_col, "centroid_id"
     )
-    probed = ivf_transform(queries, centroids, nprobe, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        unit(F.col(vec_col)).alias("query_vec"),
-        "centroid_id",
-    )
-    scored = (
-        corpus.join(F.broadcast(probed), "centroid_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot(F.col("query_vec"), F.col("neighbor_vec")), 6).alias("cosine_sim"),
-        )
-    )
+    scored = corpus.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
