@@ -15,6 +15,7 @@ from stock_data_project_spark.sources.readers import (
     stocks_csv_schema,
 )
 from stock_data_project_spark.sources.writers import (
+    compact_parquet,
     configure_s3a,
     write_bucketed,
     write_partitioned,
@@ -25,6 +26,7 @@ __all__ = [
     "read_json",
     "read_parquet",
     "stocks_csv_schema",
+    "compact_parquet",
     "configure_s3a",
     "write_bucketed",
     "write_partitioned",

@@ -97,3 +97,45 @@ def write_partitioned(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict[str, int]:
+    """Compact a parquet directory's many small files into
+    ~``target_file_bytes`` outputs — the standing maintenance job for
+    any streaming / micro-batch sink, where every trigger appends a
+    few files and a year of triggers yields millions of them (at
+    100 TB the scan's task-scheduling cost becomes file-count-bound,
+    not byte-bound).
+
+    Writes to a NEW directory and returns stats; it deliberately does
+    NOT mutate ``src`` in place — swap visibility with whatever
+    commit mechanism owns the table (a metastore location update, or
+    the pointer-file snapshot commit in ``streaming/pipeline.py``).
+    In-place swaps are where readers observe half-states; keeping
+    this function pure makes the crash story the caller's single
+    concern.
+
+    Sizes come from the Hadoop FileSystem API, so s3a:// paths work
+    unchanged on a real cluster. The rewrite is one full shuffle
+    (``repartition``) — round-robin, so output files are even-sized
+    regardless of input skew.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    files = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            files += 1
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    spark.read.parquet(src).repartition(n_out).write.mode("error").parquet(dst)
+    return {"files_before": files, "files_after": n_out, "bytes": total_bytes}

@@ -113,3 +113,33 @@ def test_ts_layout_normalization_nanos_and_ntz_micros(spark, tmp_path):
             r[0] for r in df.select(F.unix_micros("ts")).collect()
         )
     assert out["nanos"] == out["ntz"] == sorted(micros)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Many-small-files dir → few target-sized files, same rows; src
+    untouched (the swap belongs to the caller's commit mechanism)."""
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.sources import compact_parquet
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.repartition(16).write.parquet(src)
+    n_src_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src_files == 16
+
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    stats = compact_parquet(spark, src, dst, target_file_bytes=total)
+    assert stats["files_before"] == 16
+    n_dst_files = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst_files == stats["files_after"] <= 2
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+    # pure function: the fragmented source is still there, unchanged
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 16
