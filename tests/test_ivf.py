@@ -189,3 +189,35 @@ def test_ivf_fit_unpersists_corpus_cache(spark):
     # the final centroid frame is the only cache left behind
     assert persistent.size() <= 1
     assert centroids.count() == 22
+
+
+def test_topk_partition_invariance(spark):
+    """The per-batch local-top-k pre-aggregation must be invariant to
+    partitioning: global top-k ⊆ union of local top-k holds for ANY
+    batch boundaries, so an 8-way repartition (and a tiny
+    arrow batch size) must reproduce the single-partition result
+    exactly — for both the brute-force and the IVF scorer."""
+    from pyspark.sql import functions as F
+
+    from stock_data_project_spark.operators.ivf import ivf_topk
+    from stock_data_project_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        def rows(df):
+            return sorted(
+                (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+                for r in df.collect()
+            )
+
+        assert rows(cosine_topk(emb.repartition(8), queries, k=5)) == rows(
+            cosine_topk(emb, queries, k=5)
+        )
+        # exact IVF limit (probe all cells) is partition-invariant too
+        assert rows(
+            ivf_topk(emb.repartition(8), queries, k=5, n_centroids=8, nprobe=8)
+        ) == rows(ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8))
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
