@@ -40,7 +40,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs all executor threads inside the driver JVM,
+        # so this is the WHOLE heap: size it for the 32-way scale
+        # smokes (36M-row shuffles spill under 8g); cluster deployments
+        # override per-executor memory in deployment conf instead
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
