@@ -437,3 +437,117 @@ def run_incremental_star(spark: SparkSession, sf_dir: str, out_dir: str) -> None
         .start()
     )
     q.awaitTermination()
+
+
+# --- streaming ingest gate: cross-run dedup at the door -------------
+
+_DEDUP_POINTER = "_dedup_last_epoch"
+
+
+def _dedup_committed(out_dir: str) -> int:
+    """Last committed ingest epoch; -1 on a fresh out_dir. Foreign or
+    unparseable state fails loudly (same rule as ``_committed``)."""
+    ptr = os.path.join(out_dir, _DEDUP_POINTER)
+    try:
+        with open(ptr) as fh:
+            raw = fh.read()
+    except FileNotFoundError:
+        return -1
+    try:
+        return int(raw.strip())
+    except ValueError as exc:
+        raise RuntimeError(
+            f"unparseable ingest pointer {ptr} ({raw!r}); reset "
+            "pointer+checkpoint+epoch dirs together or none"
+        ) from exc
+
+
+def _dedup_epoch_dirs(out_dir: str, prefix: str, upto: int) -> list[str]:
+    out = []
+    for name in sorted(os.listdir(out_dir) if os.path.isdir(out_dir) else []):
+        if name.startswith(prefix):
+            try:
+                epoch = int(name.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            if epoch <= upto:
+                out.append(os.path.join(out_dir, name))
+    return out
+
+
+def ingest_dedup_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """One micro-batch of the streaming ingest gate: admit only
+    documents whose content fingerprint is NEW across every previous
+    committed epoch (``operators.dedup.incremental_dedup``), then
+    commit. Crash/replay-safe at every point under foreachBatch's
+    at-least-once contract:
+
+    - survivors and their fingerprints land in EPOCH-NAMED dirs
+      (``docs_epoch_N`` / ``hashes_epoch_N``), written with overwrite
+      — a replayed half-written epoch rewrites the same dirs;
+    - the history read unions only hash dirs with epoch ≤ the
+      committed pointer, so a crash mid-write can never make this
+      batch's own (partial) hashes visible to its retry — which
+      would silently drop the batch's survivors on replay;
+    - commit = pointer tmp + one atomic rename AFTER both dirs are
+      fully written; replayed epochs ≤ pointer are no-ops.
+
+    At scale the hash-dir family is exactly the append-only store
+    ``incremental_dedup`` documents: periodically rewrite it with
+    ``sources.compact_parquet`` + ``write_bucketed`` (one bucketed
+    table keeps the anti join Exchange-free); the pointer swap stays
+    the commit.
+    """
+    from stock_data_project_spark.operators.dedup import incremental_dedup
+
+    committed = _dedup_committed(out_dir)
+    if epoch_id <= committed:
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    sp = batch.sparkSession
+    hist_dirs = _dedup_epoch_dirs(out_dir, "hashes_epoch_", committed)
+    history = sp.read.parquet(*hist_dirs) if hist_dirs else None
+    survivors, hashes = incremental_dedup(batch, history)
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"docs_epoch_{epoch_id}")
+    )
+    hashes.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"hashes_epoch_{epoch_id}")
+    )
+    ptr_tmp = os.path.join(out_dir, f".{_DEDUP_POINTER}.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(str(epoch_id))
+    os.rename(ptr_tmp, os.path.join(out_dir, _DEDUP_POINTER))  # THE commit
+
+
+def run_ingest_dedup(spark: SparkSession, in_dir: str, out_dir: str, checkpoint: str) -> None:
+    """Streaming ingest gate over a documents drop directory: each
+    new parquet file becomes a micro-batch, deduped against all
+    previously committed content before admission. Drive with
+    ``processAllAvailable`` + ``stop`` per drop (the test pattern) or
+    leave running against a live directory."""
+    schema = spark.read.parquet(in_dir).schema  # probe from existing drop
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: ingest_dedup_batch(b, e, out_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def read_ingested(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Reader view of the admitted corpus: union of committed epoch
+    dirs only (uncommitted partials are invisible)."""
+    dirs = _dedup_epoch_dirs(out_dir, "docs_epoch_", _dedup_committed(out_dir))
+    if not dirs:
+        raise FileNotFoundError(f"no committed ingest epochs under {out_dir}")
+    return spark.read.parquet(*dirs)

@@ -236,3 +236,66 @@ def test_interval_join_parity_and_late_row_eviction(spark):
         }
         assert (2, 4) in matches  # in-watermark pair joins
         assert (1, 3) not in matches  # late click: view state evicted
+
+
+def test_stream_ingest_dedup_gate(spark, tmp_path):
+    """Streaming ingest gate: batch-2 re-drops of already-admitted
+    content are rejected, genuinely new content is admitted, replayed
+    epochs are no-ops, and the reader view never double-counts."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.streaming.pipeline import (
+        ingest_dedup_batch,
+        read_ingested,
+        run_ingest_dedup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    in_dir = tmp_path / "drops"
+    out_dir = str(tmp_path / "ingested")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_contents = docs.select(F.md5(F.lower("text"))).distinct().count()  # rough floor
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", in_dir / "drop1.parquet")
+    run_ingest_dedup(spark, str(in_dir), out_dir, ckpt)
+    admitted1 = read_ingested(spark, out_dir).count()
+    assert admitted1 >= n_contents * 0.9  # near-unique corpus
+
+    # drop 2: half the old docs again (same content, new ids) + 50 new
+    old_again = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    fresh = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("NEW! "), "text").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    old_again.unionByName(fresh).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = next(p for p in (tmp_path / "stage").iterdir() if p.suffix == ".parquet")
+    shutil.copy(part, in_dir / "drop2.parquet")
+
+    run_ingest_dedup(spark, str(in_dir), out_dir, ckpt)
+    out = read_ingested(spark, out_dir)
+    assert out.count() == admitted1 + 50  # only the new content got in
+    assert out.filter(F.col("doc_id") >= 2_000_000).count() == 50
+    assert out.filter(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+    ).count() == 0
+
+    # replay guard: re-running an already-committed epoch is a no-op
+    ingest_dedup_batch(docs, 0, out_dir)
+    assert read_ingested(spark, out_dir).count() == admitted1 + 50
+    # admitted corpus has globally unique content
+    assert (
+        out.select(F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))))
+        .distinct()
+        .count()
+        == admitted1 + 50
+    )
