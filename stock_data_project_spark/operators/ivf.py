@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from stock_data_project_spark.operators.linalg import first_dim, to_matrix, unit_rows
+
 
 # Auto cell count: k ≈ √n, clamped. √n balances the two corpus-sized
 # costs — assign is O(n·k·d) and per-cell all-pairs is O(n·(n/k)·d)
@@ -92,25 +94,22 @@ def _centroids_np(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return cids, mat
 
 
-def _unit_rows(m: np.ndarray) -> np.ndarray:
-    """Row-normalize; all-zero / non-finite rows become zero rows
-    (their sim to every centroid is then 0 — handled by callers with
-    an explicit -2 sentinel to match the relational NULL semantics)."""
-    nrm = np.linalg.norm(m, axis=1, keepdims=True)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        out = np.where(nrm > 0, m / nrm, 0.0)
-    return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+def _unit_batch(batch: pd.Series, d: int) -> tuple[np.ndarray, np.ndarray]:
+    """(normalized (rows, d) matrix, degenerate-row mask) for one
+    Arrow batch. NULL / wrong-length / zero / non-finite vectors
+    normalize to zero rows and are flagged degenerate — the kernel
+    analog of the relational NULL cosine."""
+    mu = unit_rows(to_matrix(batch, d))
+    return mu, ~mu.any(axis=1)
 
 
 def _sims(batch: pd.Series, cent_t: np.ndarray) -> np.ndarray:
     """(rows, k) cosine matrix for one Arrow batch: normalize + GEMM.
-    Degenerate vectors (zero / non-finite norm) score -2 everywhere,
-    so argmax deterministically lands them in the lowest cell —
-    identical to the relational formulation's NULL→coalesce(-2)."""
-    m = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
-    nrm = np.linalg.norm(m, axis=1)
-    bad = ~np.isfinite(nrm) | (nrm == 0)
-    sims = _unit_rows(m) @ cent_t
+    Degenerate vectors score -2 everywhere, so argmax
+    deterministically lands them in the lowest cell — identical to
+    the relational formulation's NULL→coalesce(-2)."""
+    mu, bad = _unit_batch(batch, cent_t.shape[0])
+    sims = mu @ cent_t
     sims[bad] = -2.0
     return sims
 
@@ -164,8 +163,16 @@ def ivf_fit(
         # with the smallest xxhash64(id) (per-partition partial top-n,
         # never a global sort), cids assigned in hash order
         init = vecs.orderBy("_h").limit(n_centroids).toPandas().sort_values("_h")
-        cids = np.arange(len(init), dtype=np.int32)
-        cent = _unit_rows(np.stack([np.asarray(v, dtype=np.float64) for v in init["_v"]]))
+        dim = first_dim(init["_v"])
+        if dim is None:
+            raise ValueError("ivf_fit: no non-NULL vectors in the fit sample")
+        cent = unit_rows(to_matrix(init["_v"], dim))
+        # degenerate init picks (NULL / zero / ragged vectors) would
+        # become zero centroids that win every negative-sim vector;
+        # the relational NULL-centroid never won — drop them instead
+        live = cent.any(axis=1)
+        cids = np.arange(len(init), dtype=np.int32)[live]
+        cent = cent[live]
 
         for _ in range(iters):
             cent_t = cent.T
@@ -177,15 +184,19 @@ def ivf_fit(
                 for pdf in batches:
                     if pdf.empty:
                         continue
-                    sims = _sims(pdf["_v"], cent_t)
+                    mu, bad = _unit_batch(pdf["_v"], d)
+                    sims = mu @ cent_t
+                    sims[bad] = -2.0
                     best = sims.argmax(axis=1)  # ties → lowest cell, like max(sim,-cid)
-                    m = _unit_rows(
-                        np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-                    )
-                    np.add.at(sums, best, m)
+                    np.add.at(sums, best, mu)  # degenerate rows add zero
                     np.add.at(cnts, best, 1)
                 nz = np.flatnonzero(cnts)
-                yield pd.DataFrame({"_c": nz.astype(np.int32), "_sum": list(sums[nz])})
+                if len(nz):  # an empty partition yields nothing — an
+                    # empty float64 "_sum" column can't Arrow-convert
+                    # to list<double>
+                    yield pd.DataFrame(
+                        {"_c": nz.astype(np.int32), "_sum": list(sums[nz])}
+                    )
 
             # reduce the per-partition partials relationally (map-side
             # combine → k×d cells), then pull the k×d result back
@@ -200,7 +211,7 @@ def ivf_fit(
             new[red["_c"].to_numpy(), red["_j"].to_numpy()] = red["_s"].to_numpy()
             norms = np.linalg.norm(new, axis=1)
             keep = norms > 0  # cells that lost every member vanish
-            cids, cent = cids[keep], _unit_rows(new[keep])
+            cids, cent = cids[keep], unit_rows(new[keep])
 
         out = pd.DataFrame({"_cid": cids, "_cv": list(cent)})
         return spark.createDataFrame(
@@ -316,12 +327,14 @@ def ivf_topk(
         .toPandas()
     )
     # per-cell query matrices: cell -> (query ids, normalized matrix^T)
+    dim = first_dim(probed["_qv"])
     cell_queries: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for cid, grp in probed.groupby("centroid_id"):
-        qm = _unit_rows(np.stack([np.asarray(v, dtype=np.float64) for v in grp["_qv"]]))
-        keep = np.linalg.norm(qm, axis=1) > 0  # degenerate queries score nothing
-        if keep.any():
-            cell_queries[int(cid)] = (grp["_qid"].to_numpy()[keep], qm[keep].T)
+    if dim is not None:
+        for cid, grp in probed.groupby("centroid_id"):
+            qm, q_bad = _unit_batch(grp["_qv"], dim)
+            keep = ~q_bad  # degenerate queries score nothing
+            if keep.any():
+                cell_queries[int(cid)] = (grp["_qid"].to_numpy()[keep], qm[keep].T)
 
     id_type = embeddings.schema[id_col].dataType
     out_schema = T.StructType(
@@ -342,10 +355,9 @@ def ivf_topk(
                 if cq is None:
                     continue
                 qids, qt = cq
-                m = np.stack([np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
-                nrm = np.linalg.norm(m, axis=1)
-                ok = np.isfinite(nrm) & (nrm > 0)  # degenerate neighbors excluded
-                sims = np.round(_unit_rows(m) @ qt, 6)
+                mu, bad = _unit_batch(grp[vec_col], qt.shape[0])
+                ok = ~bad  # degenerate neighbors excluded
+                sims = np.round(mu @ qt, 6)
                 nids = grp[id_col].to_numpy()
                 for j, qid in enumerate(qids):
                     mask = ok & (nids != qid)
@@ -393,9 +405,18 @@ def blocked_cosine_pairs(
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_bid").reset_index(drop=True)
-        m = np.stack(pdf["_bv"].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = np.round(m @ m.T, 6)
+        d = first_dim(pdf["_bv"])
+        empty = pd.DataFrame(
+            {"vec_id_a": [], "vec_id_b": [], "block": [], "cosine_sim": []}
+        )
+        if d is None:
+            return empty
+        mu, bad = _unit_batch(pdf["_bv"], d)
+        if bad.any():  # NULL/zero/ragged vectors have no defined cosine
+            pdf, mu = pdf[~bad].reset_index(drop=True), mu[~bad]
+        if len(pdf) < 2:
+            return empty
+        sims = np.round(mu @ mu.T, 6)
         iu, ju = np.triu_indices(len(pdf), k=1)
         keep = sims[iu, ju] >= threshold
         ids = pdf["_bid"].to_numpy()

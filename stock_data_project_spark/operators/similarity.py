@@ -86,13 +86,18 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
+    from stock_data_project_spark.operators.linalg import first_dim, to_matrix, unit_rows
+
     q_pdf = queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")).toPandas()
-    qm = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf["_qv"]])
-    qn = np.linalg.norm(qm, axis=1, keepdims=True)
-    q_ok = np.isfinite(qn[:, 0]) & (qn[:, 0] > 0)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        qm_t = np.where(qn > 0, qm / qn, 0.0)[q_ok].T
-    qids = q_pdf["_qid"].to_numpy()[q_ok]
+    dim = first_dim(q_pdf["_qv"])
+    if dim is None:
+        qids = np.array([])
+        qm_t = np.zeros((0, 0))
+    else:
+        qm = unit_rows(to_matrix(q_pdf["_qv"], dim))
+        q_ok = qm.any(axis=1)  # degenerate queries produce no rows
+        qm_t = qm[q_ok].T
+        qids = q_pdf["_qid"].to_numpy()[q_ok]
 
     from pyspark.sql import types as T
 
@@ -109,11 +114,8 @@ def cosine_topk(
         for pdf in batches:
             if pdf.empty or len(qids) == 0:
                 continue
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            nrm = np.linalg.norm(m, axis=1, keepdims=True)
-            ok = np.isfinite(nrm[:, 0]) & (nrm[:, 0] > 0)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                m = np.where(nrm > 0, m / nrm, 0.0)
+            m = unit_rows(to_matrix(pdf[vec_col], dim))
+            ok = m.any(axis=1)  # NULL/zero/ragged neighbors excluded
             sims = np.round(m @ qm_t, 6)
             nids = pdf[id_col].to_numpy()
             frames = []

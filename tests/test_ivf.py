@@ -221,3 +221,40 @@ def test_topk_partition_invariance(spark):
         ) == rows(ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8))
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_degenerate_vectors_degrade_not_crash(spark):
+    """NULL, zero, and wrong-length embeddings must degrade per-row
+    (no defined cosine -> excluded / lowest-cell sentinel), never
+    crash a kernel batch — across assign, blocked pairs, and both
+    top-k scorers."""
+    from pyspark.sql import functions as F
+
+    from stock_data_project_spark.operators.ivf import (
+        blocked_cosine_pairs,
+        ivf_topk,
+    )
+    from stock_data_project_spark.operators.similarity import cosine_topk
+
+    good = [(i, [float(i + j + 1) for j in range(4)]) for i in range(20)]
+    weird = [(100, None), (101, [0.0, 0.0, 0.0, 0.0]), (102, [1.0, 2.0])]
+    df = spark.createDataFrame(good + weird, "vec_id long, embedding array<double>")
+
+    assigned = ivf_assign(df, n_centroids=4, iters=2, id_col="vec_id")
+    assert assigned.count() == 23  # every row assigned somewhere
+    pairs = blocked_cosine_pairs(assigned, "centroid_id", 0.9)
+    bad_ids = {100, 101, 102}
+    got_ids = {r["vec_id_a"] for r in pairs.collect()} | {
+        r["vec_id_b"] for r in pairs.collect()
+    }
+    assert not (got_ids & bad_ids)  # degenerate rows never pair
+
+    queries = df.filter(F.col("vec_id").isin(0, 100, 101))
+    for fn in (
+        lambda: cosine_topk(df, queries, k=3),
+        lambda: ivf_topk(df, queries, k=3, n_centroids=4, nprobe=4),
+    ):
+        out = fn().collect()
+        qids = {r["query_id"] for r in out}
+        assert qids == {0}  # degenerate queries emit nothing
+        assert not ({r["neighbor_id"] for r in out} & bad_ids)
