@@ -105,3 +105,26 @@ def test_ngram_repetition_zero_shuffles(spark):
 
     plan = _plan(llm.QUERIES["ngram_repetition"](spark, SF_SMOKE))
     assert _n_exchanges(plan) == 0, plan
+
+
+def test_olap_next_q8_q9_dims_broadcast(spark):
+    """The prebuilt Q8/Q9 shapes: every dimension hop rides a
+    broadcast join; the only hash exchanges belong to the
+    fact⋈orders join and the final aggregate."""
+    from stock_data_project_spark.plans.olap_next import QUERIES_NEXT
+
+    for key, min_bc in (("tpch_q8", 3), ("tpch_q9", 2)):
+        plan = _plan(QUERIES_NEXT[key](spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") >= min_bc, key
+        assert "CartesianProduct" not in plan, key
+        assert _n_exchanges(plan) <= 4, (key, plan)
+
+
+def test_olap_next_q20_semi_join_chain(spark):
+    """Q20's nested-IN chain must plan as semi joins (no fact
+    fan-out), with the part filter pushed into its scan."""
+    from stock_data_project_spark.plans.olap_next import QUERIES_NEXT
+
+    plan = _plan(QUERIES_NEXT["tpch_q20"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
