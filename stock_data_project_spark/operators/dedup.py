@@ -494,3 +494,46 @@ def incremental_dedup(
         .drop("_rn")
     )
     return survivors, survivors.select("content_hash")
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document that
+    shares at least one n-token shingle with a benchmark/eval set —
+    the standard leakage gate before training on web-scale text.
+    Returns ``(doc_id, n_matched_grams)`` for contaminated docs only
+    (n_matched_grams = distinct shared shingles).
+
+    Scale shape: the benchmark is metadata-sized by nature (eval sets
+    are KBs-MBs against a TB corpus), so its distinct shingle set
+    broadcasts; the corpus side is explode → broadcast semi-ish inner
+    join → per-doc count, where everything surviving the join (the
+    contaminated gram hits) is tiny — the one real shuffle is the
+    per-doc count over those hits. Matching is on the shingle STRING
+    (no hash false positives); at a benchmark too large to broadcast
+    as strings, switch the join key to a 128-bit hash of the shingle.
+    Documents shorter than n tokens contribute their whole normalized
+    text as one shingle (``word_shingles`` fallback), so short-answer
+    contamination still matches exactly.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(bench_text_col, n)).alias("_gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias("_gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "_gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_gram").alias("n_matched_grams"))
+    )

@@ -94,3 +94,39 @@ def test_bucketed_history_side_has_no_exchange(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS h_dedup")
+
+
+def test_ngram_contamination_flags_only_true_overlap(spark):
+    """Docs sharing an 8-token shingle with the benchmark are flagged
+    with the right distinct-gram count; clean docs are absent; short
+    benchmark rows match via the whole-text fallback."""
+    from pyspark.sql import functions as F
+
+    from stock_data_project_spark.operators.dedup import ngram_contamination
+
+    docs = _docs(spark)
+    # benchmark = verbatim windows lifted from two real docs + noise
+    picked = docs.filter(F.col("doc_id").isin(3, 7)).select("doc_id", "text").collect()
+    snippets = []
+    for r in picked:
+        toks = r["text"].split()
+        assert len(toks) >= 10
+        snippets.append(" ".join(toks[1:9]))  # an interior 8-token window
+    bench = spark.createDataFrame(
+        [(s,) for s in snippets] + [("completely novel benchmark sentence here",)],
+        "text string",
+    )
+    out = {r["doc_id"]: r["n_matched_grams"] for r in
+           ngram_contamination(docs, bench).collect()}
+    assert 3 in out and 7 in out
+    for d in (3, 7):
+        assert out[d] >= 1
+    # docs that never contained the snippets are not flagged: the
+    # flagged set is small relative to the corpus
+    assert len(out) < docs.count() * 0.2
+    # exact short-text contamination via the whole-text fallback
+    short_doc = spark.createDataFrame([(1, "tiny leak"), (2, "safe")],
+                                      "doc_id long, text string")
+    short_bench = spark.createDataFrame([("tiny leak",)], "text string")
+    got = {r["doc_id"] for r in ngram_contamination(short_doc, short_bench).collect()}
+    assert got == {1}
