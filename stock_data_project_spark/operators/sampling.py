@@ -30,8 +30,18 @@ from pyspark.sql import functions as F
 _UNIT = 1.0 / 18446744073709551616.0  # 2^-64
 
 
-def _unit_hash(id_col: str, seed: int) -> F.Column:
-    return F.xxhash64(F.col(id_col), F.lit(seed)).cast("double") * _UNIT + 0.5
+def _unit_hash(id_col: str, seed: int, purpose: str) -> F.Column:
+    """Uniform [0,1) from (id, operator purpose, seed). The purpose
+    tag decorrelates COMPOSED operators: without it, capping keeps
+    exactly the rows with u < rate and a downstream split thresholds
+    the SAME u — the upper split bands are then empty by construction
+    (observed: cap_per_key → hash_split produced zero val/test rows).
+    Each operator draws from its own independent hash stream while
+    staying a pure function of (id, seed)."""
+    return (
+        F.xxhash64(F.col(id_col), F.lit(purpose), F.lit(seed)).cast("double") * _UNIT
+        + 0.5
+    )
 
 
 def hash_split(
@@ -54,7 +64,7 @@ def hash_split(
     if not weights:
         raise ValueError("weights must be non-empty")
     total = float(sum(weights.values()))
-    u = _unit_hash(id_col, seed)
+    u = _unit_hash(id_col, seed, "split")
     expr = None
     acc = 0.0
     names = list(weights)
@@ -104,7 +114,7 @@ def remix_corpus(
     rates = scaled.crossJoin(F.broadcast(s_min)).select(
         "_dom", (F.col("_s") * F.col("_tfrac") / F.col("_n")).alias("_rate")
     )
-    u = _unit_hash(id_col, seed)
+    u = _unit_hash(id_col, seed, "remix")
     return (
         df.join(F.broadcast(rates), df[domain_col] == F.col("_dom"))
         .filter(u < F.col("_rate"))
@@ -148,7 +158,8 @@ def cap_per_key(
         from pyspark.sql import Window
 
         w = Window.partitionBy(*keys).orderBy(
-            F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc()
+            F.xxhash64(F.col(id_col), F.lit("cap"), F.lit(seed)).asc(),
+            F.col(id_col).asc(),
         )
         return (
             df.withColumn("_rn", F.row_number().over(w))
@@ -163,7 +174,7 @@ def cap_per_key(
         F.least(F.lit(1.0), F.lit(float(n)) / F.col("_n")).alias("_rate"),
     )
     cond = [df[k] == F.col(f"_k_{k}") for k in keys]
-    u = _unit_hash(id_col, seed)
+    u = _unit_hash(id_col, seed, "cap")
     return (
         df.join(F.broadcast(rates), cond)
         .filter(u < F.col("_rate"))

@@ -139,3 +139,20 @@ def test_cap_per_key_data_path_is_map_only(spark, docs):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_composed_cap_then_split_stays_uniform(spark, docs):
+    """Composition regression: cap_per_key and hash_split must draw
+    from INDEPENDENT hash streams. With a shared stream, capping
+    keeps exactly the rows with u < rate and the split thresholds the
+    same u — the upper split bands (val/test) come out empty."""
+    from stock_data_project_spark.operators.sampling import cap_per_key, hash_split
+
+    capped = cap_per_key(docs, 15)  # rate < 1 for every 25-doc source
+    routed = hash_split(capped, {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r["split"]: r["count"] for r in routed.groupBy("split").count().collect()}
+    kept = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}, counts
+    # binomial slack around 5% of ~300 kept rows
+    for small in ("val", "test"):
+        assert counts[small] >= max(2, 0.01 * kept), counts
