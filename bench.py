@@ -38,6 +38,7 @@ HEADLINE = (
     "ngram_jaccard",
     "doc_winnow",
     "ann_cosine_topk",
+    "ann_lsh",
     "ann_ivf",
     "embedding_dedup",
     "embedding_dedup_ivf",
