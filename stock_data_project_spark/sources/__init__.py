@@ -11,6 +11,7 @@ object stores (jars permitting; config is inert locally).
 from stock_data_project_spark.sources.readers import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     stocks_csv_schema,
 )
@@ -24,6 +25,7 @@ from stock_data_project_spark.sources.writers import (
 __all__ = [
     "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
     "stocks_csv_schema",
     "compact_parquet",

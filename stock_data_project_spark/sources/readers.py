@@ -56,3 +56,12 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (native vectorized reader). Like parquet, ORC files
+    carry their schema and support predicate pushdown + column
+    pruning; prefer it only when the surrounding ecosystem already
+    speaks ORC (Hive-era warehouses) — the engine's own sinks stay
+    parquet."""
+    return spark.read.orc(path)

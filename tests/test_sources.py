@@ -143,3 +143,24 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert sorted(back.columns) == sorted(docs.columns)
     # pure function: the fragmented source is still there, unchanged
     assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 16
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.sources import read_orc
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    assert dict(back.dtypes) == dict(docs.dtypes)
+    # ORC scans take pushed filters like parquet
+    plan = (
+        back.filter(F.col("doc_id") < 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "doc_id" in plan

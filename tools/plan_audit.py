@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Physical-plan audit of the headline queries: one JSON line per
+query with the scale-critical properties — exchange count (hash /
+range / single-partition), broadcast joins, pushed filters, and any
+cartesian/nested-loop fallback. The per-round eyeball that every
+plan still has the shape SURVEY §4 claims.
+
+Usage: python tools/plan_audit.py [sf_dir]  (default sf0.001 — plan
+shapes don't depend on data volume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from stock_data_project_spark.plans import all_queries  # noqa: E402
+from stock_data_project_spark.session import get_spark  # noqa: E402
+
+
+def audit(plan: str) -> dict:
+    return {
+        "exchanges_hash": len(re.findall(r"Exchange hashpartitioning", plan)),
+        "exchanges_range": len(re.findall(r"Exchange rangepartitioning", plan)),
+        "exchanges_single": len(re.findall(r"Exchange SinglePartition", plan)),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "cartesian": "CartesianProduct" in plan,
+        "bnl_join": "BroadcastNestedLoopJoin" in plan,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan_audit", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    qs = all_queries()
+    out = {}
+    for name in HEADLINE:
+        try:
+            plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            out[name] = audit(plan)
+        except Exception as e:  # noqa: BLE001 - report, don't abort the audit
+            out[name] = {"error": str(e).splitlines()[0][:120]}
+    # SinglePartition exchanges are reported but NOT flagged: a
+    # global scalar aggregate (q6/q17's one-row result) or a
+    # metadata-sized offsets table (distributed_ntile) necessarily
+    # funnels its PARTIAL rows — one per task — through one; that is
+    # every engine's global-agg shape, not a serialization hazard.
+    # The hazards worth failing on are unhinted cross products.
+    expected_bnl = {
+        # distributed_ntile's triangular offsets: a <=-inequality
+        # join against the 32-row per-partition-count table — a
+        # deliberate metadata-sized broadcast (test_rank pins it)
+        "ntile_deciles",
+    }
+    flagged = [
+        k
+        for k, v in out.items()
+        if v.get("cartesian") or (v.get("bnl_join") and k not in expected_bnl)
+    ]
+    print(json.dumps({"sf_dir": sf_dir, "queries": out, "flagged": flagged}))
+
+
+if __name__ == "__main__":
+    main()
