@@ -55,6 +55,15 @@ from stock_data_project_spark.operators.linalg import first_dim, to_matrix, unit
 _MIN_CENTROIDS = 8
 _MAX_CENTROIDS = 1 << 16
 
+# Auto fit sample: k-means needs ~10²-10³ points per centroid to
+# place centroids, not the whole corpus (the FAISS train-on-sample
+# guidance). With target_fit_rows = 256·k and k ≈ √n the auto
+# fraction is min(1, 256/√n) — 1.0 below ~65k vectors (small corpora
+# fit exactly, so sf0.01/sf0.1 results are unchanged), shrinking as
+# the corpus grows so the iters×scan fit cost stays ~256·k rows
+# instead of iters×n (at n=10⁹: fit scans ~0.8% of the corpus).
+_FIT_ROWS_PER_CENTROID = 256
+
 
 def _auto_centroids(n: int) -> int:
     return max(_MIN_CENTROIDS, min(_MAX_CENTROIDS, round(math.sqrt(max(n, 1)))))
@@ -135,8 +144,12 @@ def ivf_fit(
     sample while transform still covers the full corpus — the
     standard FAISS train-on-sample trick (k-means needs ~10²-10³
     points per centroid, not the whole corpus; removes the
-    iters×full-scan fit cost). The auto-k count is taken on the
-    sample and scaled back up by 1/fraction so k still tracks n.
+    iters×full-scan fit cost). ``None`` (the r4 default) sizes the
+    sample automatically at 256·k rows — 1.0 below ~65k vectors, so
+    small-corpus results are unchanged while a 10⁹-row fit scans
+    ~0.8% per iteration. An explicit fraction keeps the r3 behavior:
+    the auto-k count is taken on the sample and scaled back up by
+    1/fraction so k still tracks n.
 
     Per iteration: one map job over the (cached) fit vectors — GEMM
     assign + per-partition per-cell sum accumulation in a single
@@ -150,7 +163,18 @@ def ivf_fit(
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.xxhash64(F.col(id_col)).alias("_h"),
     )
-    if fit_fraction is not None and fit_fraction < 1.0:
+    if fit_fraction is None:
+        # auto: one full map-only count sizes k AND the fit sample,
+        # replacing iters× full-corpus scans with iters× sample scans
+        # once n exceeds 256·k (~65k rows at auto-k); below that the
+        # fraction is 1.0 and behavior is bit-identical to before
+        n_full = vecs.count()
+        if n_centroids is None:
+            n_centroids = _auto_centroids(n_full)
+        fit_fraction = min(
+            1.0, _FIT_ROWS_PER_CENTROID * n_centroids / max(n_full, 1)
+        )
+    if fit_fraction < 1.0:
         vecs = vecs.sample(fraction=fit_fraction, seed=7)
     vecs = vecs.cache()
     try:
@@ -171,6 +195,11 @@ def ivf_fit(
         # become zero centroids that win every negative-sim vector;
         # the relational NULL-centroid never won — drop them instead
         live = cent.any(axis=1)
+        if not live.any():
+            # all-degenerate corpus (zero/ragged but non-NULL vectors)
+            # would otherwise surface as an opaque numpy shape error
+            # deep in an executor; mirror the `dim is None` diagnostic
+            raise ValueError("ivf_fit: no usable vectors to seed centroids")
         cids = np.arange(len(init), dtype=np.int32)[live]
         cent = cent[live]
 
@@ -213,7 +242,15 @@ def ivf_fit(
             keep = norms > 0  # cells that lost every member vanish
             cids, cent = cids[keep], unit_rows(new[keep])
 
-        out = pd.DataFrame({"_cid": cids, "_cv": list(cent)})
+        # Python scalars/lists, NOT numpy values: createDataFrame's
+        # non-Arrow verifier rejects numpy.int32/float64, and the
+        # session config (arrow.pyspark.enabled) is the CALLER's, not
+        # ours — this table must build under either setting (r3
+        # driver regression: ann_ivf/embedding_dedup_ivf ERR'd in an
+        # Arrow-disabled session).
+        out = pd.DataFrame(
+            {"_cid": [int(c) for c in cids], "_cv": cent.tolist()}
+        )
         return spark.createDataFrame(
             out,
             T.StructType(
@@ -321,8 +358,10 @@ def ivf_topk(
     if nprobe is None:
         # the centroid table is literal driver-built data → free count
         nprobe = max(4, round(math.sqrt(centroids.count())))
+    # duplicated query ids would route (and later score) twice,
+    # consuming top-k slots with repeat rows — dedupe like lsh_topk
     probed = (
-        ivf_transform(queries, centroids, nprobe, id_col, vec_col)
+        ivf_transform(queries.dropDuplicates([id_col]), centroids, nprobe, id_col, vec_col)
         .select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"), "centroid_id")
         .toPandas()
     )

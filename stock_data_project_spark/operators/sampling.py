@@ -173,7 +173,11 @@ def cap_per_key(
         *[F.col(f"_k_{k}") for k in keys],
         F.least(F.lit(1.0), F.lit(float(n)) / F.col("_n")).alias("_rate"),
     )
-    cond = [df[k] == F.col(f"_k_{k}") for k in keys]
+    # null-SAFE equality: groupBy puts NULL keys in their own group,
+    # so a plain == join would silently drop every NULL-key row while
+    # the exact=True path (Window.partitionBy) caps them at n — the
+    # two modes must keep the same row sets (ADVICE r3)
+    cond = [df[k].eqNullSafe(F.col(f"_k_{k}")) for k in keys]
     u = _unit_hash(id_col, seed, "cap")
     return (
         df.join(F.broadcast(rates), cond)

@@ -88,7 +88,13 @@ def cosine_topk(
 
     from stock_data_project_spark.operators.linalg import first_dim, to_matrix, unit_rows
 
-    q_pdf = queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")).toPandas()
+    # duplicated query ids would score twice and consume top-k slots
+    # with repeat (query_id, neighbor_id) rows — dedupe like lsh_topk
+    q_pdf = (
+        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+        .toPandas()
+        .drop_duplicates("_qid")
+    )
     dim = first_dim(q_pdf["_qv"])
     if dim is None:
         qids = np.array([])

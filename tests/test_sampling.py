@@ -156,3 +156,25 @@ def test_composed_cap_then_split_stays_uniform(spark, docs):
     # binomial slack around 5% of ~300 kept rows
     for small in ("val", "test"):
         assert counts[small] >= max(2, 0.01 * kept), counts
+
+
+def test_cap_per_key_keeps_null_key_rows(spark):
+    """NULL-key rows form a real group (groupBy semantics) and must
+    be capped like any other — the approximate path's join has to be
+    null-safe or it silently drops them entirely while exact=True
+    keeps them (ADVICE r3: the two modes returned different row
+    sets for the same input)."""
+    from stock_data_project_spark.operators.sampling import cap_per_key
+
+    rows = [(i, None if i < 40 else "a") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    approx = cap_per_key(df, 25, key_cols="source").collect()
+    exact = cap_per_key(df, 25, key_cols="source", exact=True).collect()
+    null_approx = [r for r in approx if r["source"] is None]
+    null_exact = [r for r in exact if r["source"] is None]
+    # exact caps NULL group at 25; approx keeps a hash-rate sample of it
+    assert len(null_exact) == 25
+    assert 0 < len(null_approx) <= 40
+    # approx keeps the SAME rows regardless of partitioning
+    again = cap_per_key(df.repartition(7), 25, key_cols="source").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in approx)
