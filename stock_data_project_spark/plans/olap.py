@@ -1066,3 +1066,16 @@ ORACLE = {
         GROUP BY 1, 2
     """,
 }
+
+
+# r4: the eight remaining TPC-H shapes graduate from their staging
+# module into the graded inventory (they debut at the FRONT of the r4
+# correctness window — plans/__init__._GRADE_ORDER). Implementations
+# and oracles stay in olap_next.py; the keys are first-class here.
+from stock_data_project_spark.plans.olap_next import (  # noqa: E402
+    ORACLE_NEXT,
+    QUERIES_NEXT,
+)
+
+QUERIES.update(QUERIES_NEXT)
+ORACLE.update(ORACLE_NEXT)

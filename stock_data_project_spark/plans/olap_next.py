@@ -5,13 +5,13 @@ testdata can express (no partsupp table and no commit/receipt dates,
 so q2/q9/q11/q16/q20/q21 are SHAPE adaptations — same plan topology,
 surrogate predicates — exactly like the shipped tpch_q12/q17).
 
-They are intentionally NOT in ``plans.__init__._MODULES`` yet: the
-r3 driver correctness window is exactly full (50 keys), and a key
-that debuts outside the window goes ungraded — the defect the r2
-verdict flagged on wilder_rsi. ``tests/test_olap_next.py`` runs the
-SAME value-level DuckDB comparison the driver does, so they are
-parity-proven now and flip into ``olap.QUERIES``/``ORACLE`` at the
-FRONT of r4's rotated window (SURVEY §7 r4 plan).
+Graded since r4: ``plans/olap.py`` merges ``QUERIES_NEXT``/
+``ORACLE_NEXT`` into its dicts and the keys sit at the front of the
+r4 correctness window (``plans.__init__._GRADE_ORDER``). They were
+staged here through r3 because that round's window was exactly full
+— a key that debuts outside the window goes ungraded, the defect
+the r2 verdict flagged on wilder_rsi. ``tests/test_olap_next.py``
+runs the same value-level DuckDB comparison the driver does.
 
 Scale rules as in plans/olap.py: dimension sides broadcast, partial
 aggregation preserved, filters on the scans, scalar thresholds via

@@ -11,6 +11,7 @@ from __future__ import annotations
 from stock_data_project_spark.streaming.pipeline import (
     stream_dedup_counts,
     stream_enrich_counts,
+    stream_ingest_dedup_counts,
     stream_interval_join,
     stream_running_stats,
     stream_sessionize,
@@ -25,6 +26,7 @@ QUERIES = {
     "stream_dedup": stream_dedup_counts,
     "stream_enrich": stream_enrich_counts,
     "stream_interval_join": stream_interval_join,
+    "stream_ingest_dedup": stream_ingest_dedup_counts,
 }
 
 ORACLE = {
@@ -87,3 +89,20 @@ ORACLE = {
         FROM sess GROUP BY user_id, session_seq
     """,
 }
+
+# The streaming ingest gate's pure observable: epoch e admits exactly
+# the content fingerprints whose FIRST drop (doc_id % 3, processed in
+# order) is e — within-batch collapse + anti join vs committed history
+# reduce to min(epoch) per fingerprint. NULL text is excluded like
+# every exact-dedup path (absent content is not duplicate content).
+ORACLE["stream_ingest_dedup"] = r"""
+    WITH fp AS (
+        SELECT CAST(doc_id % 3 AS INT) AS epoch,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        FROM documents WHERE text IS NOT NULL
+    ),
+    firsts AS (
+        SELECT h, min(epoch) AS epoch FROM fp GROUP BY h
+    )
+    SELECT epoch, count(*) AS n_admitted FROM firsts GROUP BY epoch
+"""

@@ -551,3 +551,52 @@ def read_ingested(spark: SparkSession, out_dir: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no committed ingest epochs under {out_dir}")
     return spark.read.parquet(*dirs)
+
+
+def stream_ingest_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded wrapper for the streaming ingest gate (r4): split the
+    documents table into three deterministic drops (``doc_id % 3``),
+    stream each through ``run_ingest_dedup`` in order, and return the
+    committed per-epoch admitted counts — the pure observable of the
+    side-effecting pipeline (epoch dirs + pointer live in a temp dir
+    that is deleted before returning, so the result is literal data
+    with no lineage into the sink).
+
+    Epoch e's admitted count = distinct content fingerprints whose
+    FIRST drop is e (within-batch collapsed, cross-batch anti-joined
+    against the committed history) — exactly expressible in SQL, so
+    unlike the library entry points this wrapper is fully oracled.
+    """
+    import shutil
+    import tempfile
+
+    from stock_data_project_spark.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="ingest_gate_")
+    try:
+        in_dir = os.path.join(root, "drops")
+        out_dir = os.path.join(root, "ingested")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(in_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        for k in range(3):
+            stage = os.path.join(root, f"stage_{k}")
+            docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            shutil.copy(
+                os.path.join(stage, part), os.path.join(in_dir, f"drop_{k}.parquet")
+            )
+            run_ingest_dedup(spark, in_dir, out_dir, ckpt)
+        counts = [
+            (
+                int(d.rsplit("_", 1)[1]),
+                spark.read.parquet(os.path.join(out_dir, d)).count(),
+            )
+            for d in sorted(os.listdir(out_dir))
+            if d.startswith("docs_epoch_")
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(counts, "epoch int, n_admitted bigint")
