@@ -537,3 +537,178 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count_distinct("_gram").alias("n_matched_grams"))
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    max_docs_per_line: int = 1,
+    min_line_chars: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus repeated-line removal (the CCNet/RefinedWeb
+    boilerplate gate): drop every line whose normalized form appears
+    in more than ``max_docs_per_line`` DISTINCT documents — headers,
+    nav bars, cookie banners repeat across a crawl; prose doesn't.
+    Returns the input columns with ``text`` rebuilt from the
+    surviving lines (original line text and order preserved,
+    single-newline separated) plus ``n_lines_kept`` /
+    ``n_lines_dropped``; docs whose lines all drop keep an empty
+    text rather than vanishing (downstream quality gates decide).
+
+    Scale shape: explode lines → one groupBy on md5(normalized line)
+    counting distinct docs (uniform 128-bit key, skew-free: the
+    count is capped reading, not list-building) → broadcast-or-
+    shuffle join of the (tiny) banned-line set back → per-doc
+    reassembly via sort-free ``array_agg`` over (doc, pos) struct
+    sort. Two shuffles total, both on uniform keys; no per-doc
+    Python. Documents without newlines are single-line docs — the
+    gate then reduces to exact-dup line removal, which is the
+    correct degenerate semantics.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_ld_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
+    ).withColumn("_lh", F.md5(F.regexp_replace(F.lower(F.trim("_line")), r"\s+", " ")))
+    # lines below the length floor (incl. empty) are never "boilerplate"
+    sized = lines.withColumn(
+        "_tiny", F.length(F.trim("_line")) < min_line_chars
+    )
+    banned = (
+        sized.filter(~F.col("_tiny"))
+        .groupBy("_lh")
+        .agg(F.count_distinct("_ld_id").alias("_ndocs"))
+        .filter(F.col("_ndocs") > max_docs_per_line)
+        .select("_lh", F.lit(True).alias("_banned"))
+    )
+    kept = (
+        sized.join(banned, "_lh", "left")
+        .withColumn("_drop", F.coalesce("_banned", F.lit(False)) & ~F.col("_tiny"))
+    )
+    rebuilt = kept.groupBy("_ld_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_drop"), F.struct("_pos", "_line"))
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias("_new_text"),
+        F.sum(F.when(~F.col("_drop"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("n_lines_dropped"),
+    )
+    out = df.join(rebuilt, df[id_col] == rebuilt["_ld_id"], "left")
+    return out.select(
+        *[c for c in df.columns if c != text_col],
+        F.coalesce("_new_text", F.lit("")).alias(text_col),
+        F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        F.coalesce("n_lines_dropped", F.lit(0)).cast("long").alias("n_lines_dropped"),
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: the
+    step production dedup needs AFTER minhash/simhash/embedding
+    candidates — transitive closure groups A~B, B~C into one cluster
+    so exactly one representative survives (pairwise keeps would
+    keep both A and C). Returns ``(member_id, cluster_id)`` for
+    every node in ``pairs``, cluster_id = min member id.
+
+    Algorithm: alternating large-star / small-star label propagation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    expressed as DataFrame ops — each round is one groupBy per star
+    step on the edge list, converging in O(log n) rounds on real
+    graphs (duplicate clusters are overwhelmingly tiny: diameter 1-2,
+    so 2-3 rounds in practice). No driver-side graph, no
+    collect: the edge list IS the state, checked for fixpoint by an
+    edge-count aggregate per round. ``max_iters`` bounds adversarial
+    path graphs; convergence raises if exceeded (never silently
+    wrong). Tested against a Python union-find oracle
+    (tests/test_dedup_clusters.py); the driver-gate oracle is a
+    WITH RECURSIVE label-propagation CTE (plans/llm_next.py) — the
+    SQL recursion DuckDB can run that Spark deliberately replaces
+    with the O(log n)-round star algorithm (per-round shuffles over
+    the shrinking edge list instead of a frontier recursion).
+    """
+    # undirected edge list, self-loops dropped, canonical direction
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    def _canon(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    sig_prev: tuple[int, int] | None = None
+    for _ in range(max_iters):
+        # large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star(u): m = min of the smaller neighborhood; emit
+        # (v, m) for every v < u AND (u, m) — u itself must re-link
+        # to the min or chains disconnect
+        small_nbrs = nbrs.filter(F.col("v") < F.col("u"))
+        smins = small_nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        small = small_nbrs.join(smins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).union(smins.select("u", F.col("m").alias("v")))
+        # TRUNCATE LINEAGE each round: each step references e four
+        # times, so the logical plan grows ~4^round — Catalyst
+        # re-analysis, not execution, becomes the cost (persist cuts
+        # recompute but not plan size; measured minutes by round ~6).
+        # localCheckpoint materializes the round and replaces the
+        # plan with the stored blocks — the GraphFrames iteration
+        # idiom. On a cluster use reliable checkpoint() (HDFS/S3 dir)
+        # instead if executor loss during the loop must be survivable.
+        new_e = _canon(large.union(small)).localCheckpoint(eager=True)
+        # fixpoint when the canonical edge SET is unchanged: one
+        # aggregate job per round — (count, order-independent hash
+        # sum); both steps are deterministic so equal signatures on
+        # consecutive DISTINCT canonical edge lists mean equal sets
+        # (hash-sum collision odds ~2^-32; exact set compare costs 2
+        # more jobs per round)
+        row = new_e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # 32-bit mask before summing: ANSI mode overflows on a
+            # sum of raw 64-bit hashes (repo-wide hash-arithmetic rule)
+            F.sum(
+                F.xxhash64("u", "v").bitwiseAND(F.lit(0xFFFFFFFF))
+            ).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        e = new_e
+        if sig == sig_prev:
+            break
+        sig_prev = sig
+    else:
+        raise RuntimeError(
+            f"dedup_clusters: no fixpoint in {max_iters} rounds "
+            "(adversarial chain graph? raise max_iters)"
+        )
+    members = e.select(F.col("v").alias("member_id"), F.col("u").alias("cluster_id"))
+    roots = e.select(F.col("u").alias("member_id")).distinct().withColumn(
+        "cluster_id", F.col("member_id")
+    )
+    return members.union(roots)

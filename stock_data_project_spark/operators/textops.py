@@ -143,3 +143,46 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (the reference's MD5 surrogate-key idiom, fetch_stocks.py:190,
     applied to content identity)."""
     return df.withColumn("fingerprint", F.md5(normalized(text_col)))
+
+
+# PII patterns: deliberately conservative, ASCII-explicit classes so
+# the same regex runs identically in Spark (Java regex) and DuckDB
+# (RE2) — no \w/\b shorthand whose unicode semantics differ between
+# engines. Order matters: emails before phones (an email's digits
+# must not be half-eaten by the phone pattern).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    # +country and separator-tolerant 10+ digit sequences
+    ("phone", r"\+?[0-9][0-9 ().-]{8,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(text_col: str = "text") -> Column:
+    """Mask emails / IPv4s / phone-like digit runs with typed
+    placeholder tokens — the redaction gate of a training-data
+    pipeline. A chain of codegen'd ``regexp_replace`` calls: zero
+    shuffles, zero Python, linear scan cost at any corpus size.
+    Patterns are a demonstration floor (swap in a maintained PII
+    ruleset at deployment); the seam — pure Column in, pure Column
+    out — is the production shape."""
+    out = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text_col: str = "text") -> dict[str, Column]:
+    """Per-category redaction counts (how much PII a doc carried) —
+    the audit metric next to the scrub. Each category counts on the
+    text AFTER the earlier categories are masked, mirroring the
+    scrub's sequential replace (an IPv4 is digits-and-dots, which the
+    phone pattern would otherwise double-count)."""
+    out: dict[str, Column] = {}
+    scrubbed = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out[name] = F.size(
+            F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out

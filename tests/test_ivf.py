@@ -182,12 +182,16 @@ def test_ivf_fit_unpersists_corpus_cache(spark):
     from stock_data_project_spark.operators.ivf import ivf_fit
 
     spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    # localCheckpoint blocks from other tests in the shared session
+    # (dedup_clusters) are freed by the ContextCleaner on GC, not by
+    # clearCache — assert the DELTA, which is this test's real claim:
+    # ivf_fit adds no corpus-sized cache of its own
+    before = jsc.getPersistentRDDs().size()
     emb = load_table(spark, SF_SMOKE, "embeddings")
     centroids = ivf_fit(emb, iters=2)
-    jsc = spark.sparkContext._jsc
-    persistent = jsc.getPersistentRDDs()
     # the final centroid frame is the only cache left behind
-    assert persistent.size() <= 1
+    assert jsc.getPersistentRDDs().size() <= before + 1
     assert centroids.count() == 22
 
 

@@ -1,0 +1,22 @@
+"""Staged r5 LLM-pipeline keys: the SAME value-level DuckDB
+comparison the driver runs, applied before the keys debut
+(plans/llm_next.py explains the window timing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_data_project_spark.plans.llm_next import ORACLE_NEXT, QUERIES_NEXT
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import compare, duckdb_run
+
+
+def test_every_staged_key_has_an_oracle():
+    assert set(QUERIES_NEXT) == set(ORACLE_NEXT)
+
+
+@pytest.mark.parametrize("key", sorted(QUERIES_NEXT))
+def test_llm_next_parity(spark, key):
+    df = QUERIES_NEXT[key](spark, SF_ORACLE)
+    assert df.count() > 0, f"{key}: empty result"
+    compare(df, duckdb_run(ORACLE_NEXT[key], SF_ORACLE))
