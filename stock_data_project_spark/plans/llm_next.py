@@ -8,7 +8,7 @@ parity-proven NOW by tests/test_llm_next.py (the driver-identical
 value comparison) and flip into ``plans/llm.py`` + the r5
 ``_GRADE_ORDER`` head next round.
 
-The three close the remaining training-data-pipeline surface:
+The five close the remaining training-data-pipeline surface:
 - ``pii_scrub`` — redaction gate (codegen regexp chain, zero shuffle);
 - ``line_dedup`` — CCNet/RefinedWeb cross-corpus boilerplate-line
   removal (two uniform-key shuffles);
@@ -18,11 +18,18 @@ The three close the remaining training-data-pipeline surface:
   RECURSIVE label-propagation CTE — fine for DuckDB at sf0.01, while
   the Spark side uses the bounded-round star algorithm that survives
   100 TB edge lists.
+- ``unigram_logprob`` — CCNet-style LM quality signal without a
+  model: per-doc mean log-probability under the corpus's own unigram
+  distribution (the stand-in for "wikipedia perplexity" filtering);
+- ``near_dup_removal`` — the dedup pipeline closed end-to-end:
+  jaccard pairs → connected components → min-id keeper per cluster →
+  surviving corpus with cluster sizes.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
 from stock_data_project_spark.operators.dedup import (
@@ -30,7 +37,7 @@ from stock_data_project_spark.operators.dedup import (
     dedup_clusters,
     line_dedup,
 )
-from stock_data_project_spark.operators.textops import pii_counts, pii_scrub
+from stock_data_project_spark.operators.textops import pii_counts, pii_scrub, words
 
 _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
@@ -71,10 +78,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(blocked_jaccard_pairs(docs))
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean log-prob under the corpus unigram LM — the
+    model-free stand-in for CCNet's perplexity bucketing (docs whose
+    tokens are globally rare score low and get routed to the tail
+    bucket).
+
+    Plan shape: one explode → token groupBy (partial-agg, uniform-ish
+    keys; stopword skew stays map-side-combined), then the exploded
+    stream joins the vocabulary on the token. The vocab is broadcast
+    here (tiny); at web scale the vocab is ~10⁸ rows, so the join
+    falls back to a hash join on the token key — AQE handles the
+    stopword skew, and the per-doc aggregation is the only other
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", F.explode(words("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.avg(F.log(F.col("c").cast("double") / F.col("t").cast("double"))), 6
+        ).alias("avg_logprob"),
+    )
+
+
+def q_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pipeline end-to-end: blocked jaccard pairs →
+    connected components → keeper = min doc_id per cluster → the
+    surviving corpus with its duplicate multiplicity. Singleton docs
+    (no near-dup) survive with cluster_size 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(blocked_jaccard_pairs(docs))
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    kept_clustered = sizes.select(
+        F.col("cluster_id").alias("doc_id"), "cluster_size"
+    )
+    singletons = docs.join(
+        clusters, docs.doc_id == clusters.member_id, "left_anti"
+    ).select("doc_id", F.lit(1).cast("bigint").alias("cluster_size"))
+    return kept_clustered.unionByName(singletons)
+
+
 QUERIES_NEXT = {
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
     "dedup_clusters": q_dedup_clusters,
+    "unigram_logprob": q_unigram_logprob,
+    "near_dup_removal": q_near_dup_removal,
 }
 
 # the scrub is sequential (emails masked before the phone pattern
@@ -156,5 +210,61 @@ ORACLE_NEXT = {
         )
         SELECT node AS member_id, min(label) AS cluster_id
         FROM reach GROUP BY node
+    """,
+    "unigram_logprob": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '
+                   )) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), freq AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               round(avg(ln(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
+        FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    # same recursive-CTE component labeling as dedup_clusters, then
+    # keeper = min doc_id (== cluster_id) and singleton passthrough
+    "near_dup_removal": r"""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id, lang,
+                   CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+                   list_distinct(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '
+                   )) AS wordset
+            FROM documents
+        ), edges0 AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM docs a JOIN docs b
+              ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+             AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.wordset, b.wordset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.wordset, b.wordset))),
+                        6) >= 0.4
+        ), edges AS (
+            SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0
+        ), reach(node, label) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+        ), comp AS (
+            SELECT node AS member_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        ), sizes AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY cluster_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.member_id
+        LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+        WHERE c.member_id IS NULL OR c.member_id = c.cluster_id
     """,
 }
