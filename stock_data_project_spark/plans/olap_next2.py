@@ -1,0 +1,163 @@
+"""OLAP keys staged for the r5 driver window.
+
+plans/olap_next.py held the eight TPC-H shapes staged in r3b and is
+now LIVE (olap.py imports it since r4), so this second staging module
+carries the r5 OLAP additions — same discipline: parity-proven now by
+tests/test_olap_next2.py, registered as ``queries()`` keys only when
+they can debut inside r5's correctness window.
+
+The three add grouping shapes the inventory lacks:
+- ``grouping_sets_sales`` — explicit GROUPING SETS with grouping()
+  flags (ROLLUP/CUBE are graded; arbitrary set lists were not);
+- ``revenue_share`` — ratio-to-report: each nation's share of its
+  region's revenue via a window over the aggregate;
+- ``monthly_running_revenue`` — running cumulative over a calendar
+  aggregate per segment (the dashboard "revenue to date" curve).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table, register_views
+
+
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at three explicit granularities in one pass:
+    (nation, year), (nation), and grand total. grouping() flags
+    disambiguate NULL-as-rolled-up from a genuinely NULL key (the
+    reason GROUPING SETS output is machine-consumable where
+    coalesce('ALL') strings are not). One shuffle: Spark expands the
+    sets map-side and aggregates once."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               order_year,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               CAST(grouping(order_year) AS INT) AS g_year,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM (
+            SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+                   o_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        GROUP BY GROUPING SETS ((n_name, order_year), (n_name), ())
+        """
+    )
+
+
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's order revenue. The share
+    divides ALREADY-ROUNDED 2dp revenues (double summation order
+    differs between engines; the rounded aggregate is the stable
+    quantity), then rounds once more at 6dp. Dimension chain
+    broadcasts onto orders; the window runs over the ~25-row
+    aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    per_nation = (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+def q_monthly_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment monthly revenue + running cumulative. The running
+    sum adds the rounded monthly aggregates in calendar order —
+    order-deterministic on both engines, so no further masking is
+    needed beyond the monthly 2dp round."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_mktsegment", F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return monthly.withColumn("cum_revenue", F.round(F.sum("revenue").over(w), 2))
+
+
+QUERIES_NEXT = {
+    "grouping_sets_sales": q_grouping_sets_sales,
+    "revenue_share": q_revenue_share,
+    "monthly_running_revenue": q_monthly_running_revenue,
+}
+
+ORACLE_NEXT = {
+    "grouping_sets_sales": """
+        SELECT n_name,
+               order_year,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               CAST(grouping(order_year) AS INT) AS g_year,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM (
+            SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+                   o_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        GROUP BY GROUPING SETS ((n_name, order_year), (n_name), ())
+    """,
+    "revenue_share": """
+        WITH per_nation AS (
+            SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        )
+        SELECT r_name, n_name, revenue,
+               round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6) AS share
+        FROM per_nation
+    """,
+    "monthly_running_revenue": """
+        WITH monthly AS (
+            SELECT c_mktsegment,
+                   date_trunc('month', o_orderdate) AS month,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment, month, revenue, n_orders,
+               round(sum(revenue) OVER (PARTITION BY c_mktsegment ORDER BY month
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW), 2) AS cum_revenue
+        FROM monthly
+    """,
+}

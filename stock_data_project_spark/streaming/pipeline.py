@@ -600,3 +600,43 @@ def stream_ingest_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(counts, "epoch int, n_admitted bigint")
+
+
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per series through the real streaming engine:
+    file stream → 1-hour watermark → tumbling-window ``min_by``/
+    ``max_by``/min/max/count/sum — the streaming twin of
+    ``operators/series.daily_bars`` at hour granularity (the shape a
+    live ticker ingest maintains continuously).
+
+    Complete mode lets the bounded harness read every window from the
+    memory sink; an unbounded deployment uses append mode, where the
+    watermark closes each hour window and evicts its state. All six
+    aggregates are partial-aggregatable, so streaming state per
+    (window, key) is O(1) — the same property that makes the batch
+    rollup one map-side-combinable shuffle."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(F.sum("value"), 6).alias("turnover"),
+        )
+        .select(
+            F.col("win.start").alias("bar_start"),
+            F.col("event_type").alias("series_key"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "turnover",
+        )
+    )
+    _run_to_memory(agg, "stream_ohlc_bars", "complete")
+    return spark.table("stream_ohlc_bars")

@@ -1,0 +1,55 @@
+"""Staged r5 OLAP + streaming keys: the SAME value-level DuckDB
+comparison the driver runs (see plans/olap_next2.py and
+plans/stream_next.py for the window timing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_data_project_spark.plans import olap_next2, stream_next
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import compare, duckdb_run
+
+ALL_Q = {**olap_next2.QUERIES_NEXT, **stream_next.QUERIES_NEXT}
+ALL_O = {**olap_next2.ORACLE_NEXT, **stream_next.ORACLE_NEXT}
+
+
+def test_every_staged_key_has_an_oracle():
+    assert set(ALL_Q) == set(ALL_O)
+
+
+@pytest.mark.parametrize("key", sorted(ALL_Q))
+def test_staged_parity(spark, key):
+    df = ALL_Q[key](spark, SF_ORACLE)
+    assert df.count() > 0, f"{key}: empty result"
+    compare(df, duckdb_run(ALL_O[key], SF_ORACLE))
+
+
+def test_grouping_sets_granularities(spark):
+    """The three set granularities are all present and the grand
+    total row equals the sum of the per-nation rows."""
+    from pyspark.sql import functions as F
+
+    df = olap_next2.QUERIES_NEXT["grouping_sets_sales"](spark, SF_ORACLE).cache()
+    try:
+        flags = {
+            (r["g_nation"], r["g_year"])
+            for r in df.select("g_nation", "g_year").distinct().collect()
+        }
+        assert flags == {(0, 0), (0, 1), (1, 1)}
+        total = df.filter("g_nation = 1").agg(F.sum("n_orders")).first()[0]
+        per_nation = df.filter("g_nation = 0 AND g_year = 1").agg(
+            F.sum("n_orders")
+        ).first()[0]
+        assert total == per_nation
+    finally:
+        df.unpersist()
+
+
+def test_revenue_shares_sum_to_one(spark):
+    from pyspark.sql import functions as F
+
+    df = olap_next2.QUERIES_NEXT["revenue_share"](spark, SF_ORACLE)
+    sums = df.groupBy("r_name").agg(F.sum("share").alias("s")).collect()
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-4, r
