@@ -123,12 +123,28 @@ def q_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept_clustered.unionByName(singletons)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): fit per-subspace
+    codebooks, encode the corpus to m-byte codes, search by
+    asymmetric distance over the CODES — the 32× scan-volume
+    compression path. Rows-only (approximate by design; recall vs
+    the exact brute force is asserted in tests/test_pq.py)."""
+    from stock_data_project_spark.operators.pq import pq_encode, pq_fit, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    codebook = pq_fit(emb, m=16, nbits=6)
+    codes = pq_encode(emb, codebook)
+    return pq_topk(codes, codebook, queries, k=5, rerank=50, vectors=emb)
+
+
 QUERIES_NEXT = {
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
     "dedup_clusters": q_dedup_clusters,
     "unigram_logprob": q_unigram_logprob,
     "near_dup_removal": q_near_dup_removal,
+    "ann_pq": q_ann_pq,
 }
 
 # the scrub is sequential (emails masked before the phone pattern
