@@ -26,14 +26,16 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each right row, the latest left row with
-    left_time <= right_time (direction='backward') on matching keys.
+    left_time <= right_time (direction='backward'), or the earliest
+    left row with left_time >= right_time (direction='forward'), on
+    matching keys — pandas ``merge_asof`` semantics, both inclusive.
 
     Left must be unique per (key, time) — pre-aggregate if not, or
     the carried value is nondeterministic.
     Output: all right columns + ``asof_<left_time>`` + value_cols.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     lt = F.col(left_time)
     # the whole left state travels as ONE struct so the carried
     # snapshot is atomic: a left row whose value column is NULL still
@@ -57,17 +59,25 @@ def asof_join(
     )
     l_full = l_tagged.withColumn("_r", F.lit(None).cast(r_tagged.schema["_r"].dataType))
     unioned = l_full.unionByName(r_tagged)
-    # left rows sort before right rows at equal time -> <= semantics
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_tag")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.select(
-        "_tag",
-        "_r",
-        F.last("_state", ignorenulls=True).over(w).alias("_state"),
-    )
+    if direction == "backward":
+        # left rows sort before right rows at equal time -> <= semantics
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_tag")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = F.last("_state", ignorenulls=True).over(w)
+    else:
+        # mirror image: right rows sort FIRST at equal time, so a left
+        # row at exactly right_time lands inside the following frame
+        # (>= semantics), and the first state ahead is carried back
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t"), F.desc("_tag"))
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carry = F.first("_state", ignorenulls=True).over(w)
+    carried = unioned.select("_tag", "_r", carry.alias("_state"))
     return carried.filter(F.col("_tag") == 1).select(
         *[F.col(f"_r.{c}").alias(c) for c in right.columns],
         F.col(f"_state.asof_{left_time}").alias(f"asof_{left_time}"),

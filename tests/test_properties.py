@@ -76,3 +76,44 @@ def test_asof_matches_pandas_merge_asof(spark, left_rows, right_rows):
         want.set_index(want["rid"].astype("int64"))["v"],
         check_names=False,
     )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=20),
+)
+def test_asof_forward_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    """direction='forward' (earliest left at/after each right row)
+    must agree with pandas merge_asof on arbitrary inputs — the
+    mirror-image windowing (right-first at ties, first-following
+    state) is easy to get off by one at equal timestamps."""
+    left_rows = sorted(set(left_rows))
+    left = spark.createDataFrame(
+        [(k, t, float(k * 1000 + t)) for k, t in left_rows], "k int, t int, v double"
+    )
+    right = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(right_rows)], "k int, t int, rid int"
+    )
+    got = (
+        asof_join(left, right, "k", "k", "t", "t", ["v"], direction="forward")
+        .orderBy("rid")
+        .toPandas()[["k", "t", "rid", "v"]]
+    )
+    lp = pd.DataFrame(left_rows, columns=["k", "t"]).astype("int64")
+    lp["v"] = lp["k"] * 1000.0 + lp["t"]
+    rp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(right_rows)], columns=["k", "t", "rid"]
+    ).astype("int64")
+    want = pd.merge_asof(
+        rp.sort_values("t", kind="stable"),
+        lp.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="forward",
+    ).sort_values("rid")
+    pd.testing.assert_series_equal(
+        got.set_index(got["rid"].astype("int64"))["v"],
+        want.set_index(want["rid"].astype("int64"))["v"],
+        check_names=False,
+    )
