@@ -109,10 +109,44 @@ def q_monthly_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.withColumn("cum_revenue", F.round(F.sum("revenue").over(w), 2))
 
 
+def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch range join (operators/rangejoin.py): clicks attributed
+    to same-user views ≤30 min prior — the batch twin of the graded
+    ``stream_interval_join`` (identical semantics, so the same oracle
+    shape), executed as a bucketized HASH join + exact refine instead
+    of a nested loop: the (user, 30-min-bucket) key shuffles each
+    side once, no cartesian anywhere in the plan."""
+    from stock_data_project_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return range_join(
+        clicks,
+        views,
+        point_ts="click_ts",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_width_s=1800,
+        extra_keys=[("user_id", "view_user")],
+    ).select("view_id", "click_id", "user_id", "view_ts", "click_ts")
+
+
 QUERIES_NEXT = {
     "grouping_sets_sales": q_grouping_sets_sales,
     "revenue_share": q_revenue_share,
     "monthly_running_revenue": q_monthly_running_revenue,
+    "range_join_clicks": q_range_join_clicks,
 }
 
 ORACLE_NEXT = {
@@ -159,5 +193,16 @@ ORACLE_NEXT = {
                                         ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND CURRENT ROW), 2) AS cum_revenue
         FROM monthly
+    """,
+    # epoch_us on both engines (the repo ts-comparison rule); same
+    # semantics as the stream_interval_join oracle, view->click
+    "range_join_clicks": """
+        SELECT v.event_id AS view_id, c.event_id AS click_id,
+               c.user_id AS user_id, v.ts AS view_ts, c.ts AS click_ts
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND epoch_us(c.ts) >= epoch_us(v.ts)
+         AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800 * 1000000
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
     """,
 }
