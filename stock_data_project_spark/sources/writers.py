@@ -139,3 +139,46 @@ def compact_parquet(
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     spark.read.parquet(src).repartition(n_out).write.mode("error").parquet(dst)
     return {"files_before": files, "files_after": n_out, "bytes": total_bytes}
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: str | list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered, within-file-sorted parquet — the layout that
+    makes parquet min/max row-group statistics actually PRUNE.
+
+    A hash-partitioned write scatters every value range across every
+    file, so each file's min/max on a filter column spans the whole
+    domain and predicate pushdown skips nothing: a point/range query
+    still opens every file. ``repartitionByRange(sort_cols)`` +
+    ``sortWithinPartitions`` gives (near-)disjoint per-file ranges
+    and monotone row groups inside each file, so a ts/key predicate
+    prunes to the handful of files (and row groups within them) that
+    can contain matches — at 100 TB the difference between a full
+    scan and touching a few hundred MB. This is the single-dimension
+    (and honest) version of what table formats call clustering /
+    Z-ORDER; for multi-column pruning, bucket the second key via
+    ``write_bucketed`` instead.
+
+    The range exchange samples boundaries (nondeterministic across
+    plan re-executions — the rank.py hazard), but a write evaluates
+    its plan exactly once, so the layout is consistent within any
+    one output; re-runs may place boundaries slightly differently
+    without affecting correctness.
+
+    tests/test_scale_layout.py verifies the contract on the parquet
+    FOOTERS (pyarrow): per-file min/max ranges non-overlapping
+    (modulo boundary duplicates) where an unsorted write's overlap
+    is near-total.
+    """
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

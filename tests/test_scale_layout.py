@@ -76,3 +76,59 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_sorted_produces_prunable_ranges(spark):
+    """write_sorted's contract, checked on the parquet FOOTERS: the
+    per-file [min, max] ranges of the sort column are non-overlapping
+    (modulo the boundary value), while a plain hash-scattered write
+    of the same data has near-total overlap — i.e. min/max pruning
+    goes from useless to decisive."""
+    import pyarrow.parquet as pq
+
+    from stock_data_project_spark.sources.writers import write_sorted
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+
+    def file_ranges(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            col = md.schema.to_arrow_schema().get_field_index("event_id")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    def overlaps(ranges):
+        n = 0
+        for i, (lo, hi) in enumerate(ranges):
+            for lo2, hi2 in ranges[i + 1 :]:
+                if lo2 < hi:  # strict: touching at one value is fine
+                    n += 1
+        return n
+
+    with tempfile.TemporaryDirectory() as d:
+        sorted_path = os.path.join(d, "sorted")
+        scattered_path = os.path.join(d, "scattered")
+        write_sorted(ev, sorted_path, "event_id", n_files=6)
+        ev.repartition(6).write.parquet(scattered_path)
+        sr, hr = file_ranges(sorted_path), file_ranges(scattered_path)
+        assert len(sr) >= 4  # range exchange actually split the data
+        assert overlaps(sr) == 0, sr
+        assert overlaps(hr) > len(hr), hr  # hash write: near-total overlap
+
+        # and the row groups INSIDE each sorted file are monotone
+        for f in os.listdir(sorted_path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(sorted_path, f))
+            col = md.schema.to_arrow_schema().get_field_index("event_id")
+            stats = [md.row_group(i).column(col).statistics for i in range(md.num_row_groups)]
+            for a, b in zip(stats, stats[1:]):
+                assert a.max <= b.min
