@@ -134,8 +134,21 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     codebook = pq_fit(emb, m=16, nbits=6)
-    codes = pq_encode(emb, codebook)
+    codes = pq_encode(emb, codebook, drop_vec=True)
     return pq_topk(codes, codebook, queries, k=5, rerank=50, vectors=emb)
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (operators/ivfpq.py): cell routing bounds
+    the rows scanned, PQ codes bound the bytes per row, exact re-rank
+    absorbs quantization noise — the full FAISS IndexIVFPQ recipe.
+    Rows-only (approximate; recall floors + the nprobe=n_cells
+    equivalence limit are pinned in tests/test_ivfpq.py)."""
+    from stock_data_project_spark.operators.ivfpq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(emb, queries, k=5, m=16, nbits=6, rerank=50)
 
 
 QUERIES_NEXT = {
@@ -145,6 +158,7 @@ QUERIES_NEXT = {
     "unigram_logprob": q_unigram_logprob,
     "near_dup_removal": q_near_dup_removal,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
 }
 
 # the scrub is sequential (emails masked before the phone pattern

@@ -12,7 +12,7 @@ from stock_data_project_spark.plans.llm_next import ORACLE_NEXT, QUERIES_NEXT
 from tests.conftest import SF_ORACLE
 from tests.oracle_utils import compare, duckdb_run
 
-ROWS_ONLY = {"ann_pq"}
+ROWS_ONLY = {"ann_pq", "ann_ivfpq"}
 
 
 def test_every_staged_key_has_an_oracle():

@@ -191,7 +191,7 @@ def main() -> None:
 
         t0 = time.perf_counter()
         cb = pq_fit(emb_big, m=16, nbits=6)
-        codes = pq_encode(emb_big, cb)
+        codes = pq_encode(emb_big, cb, drop_vec=True)
         pq_topk(
             codes,
             cb,
