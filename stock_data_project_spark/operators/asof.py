@@ -37,6 +37,11 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward or forward, got {direction!r}")
     lt = F.col(left_time)
+    # a NULL-time left row can match nothing in either direction, but
+    # if admitted it would SORT somewhere (nulls-first/last) and its
+    # non-NULL state struct would be carried into real rows' frames —
+    # drop such rows outright
+    left = left.filter(lt.isNotNull())
     # the whole left state travels as ONE struct so the carried
     # snapshot is atomic: a left row whose value column is NULL still
     # advances the as-of time and carries its NULL, instead of
@@ -70,10 +75,13 @@ def asof_join(
     else:
         # mirror image: right rows sort FIRST at equal time, so a left
         # row at exactly right_time lands inside the following frame
-        # (>= semantics), and the first state ahead is carried back
+        # (>= semantics), and the first state ahead is carried back.
+        # NULL-time RIGHT rows sort last so their following frame
+        # holds no left state (no match — the backward path gets the
+        # same for free from NULLS FIRST ordering)
         w = (
             Window.partitionBy("_k")
-            .orderBy(F.col("_t"), F.desc("_tag"))
+            .orderBy(F.col("_t").asc_nulls_last(), F.desc("_tag"))
             .rowsBetween(0, Window.unboundedFollowing)
         )
         carry = F.first("_state", ignorenulls=True).over(w)

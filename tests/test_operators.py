@@ -354,3 +354,29 @@ def test_gopher_signals_planted_cases(spark):
     assert rows[2]["passes_gopher"] is False and rows[2]["n_words"] < 50
     assert rows[3]["passes_gopher"] is False and rows[3]["symbol_ratio"] > 0.1
     assert rows[4]["passes_gopher"] is False and rows[4]["n_distinct_stopwords"] < 2
+
+
+def test_asof_null_times_match_nothing(spark):
+    """NULL-time left rows must not leak state into the carry (they
+    sort somewhere and their struct is non-NULL), and NULL-time right
+    rows match nothing — both directions."""
+    from stock_data_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, 99.0), (1, 5, 10.0)], "k int, t int, v double"
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 0), (1, 6, 1), (1, None, 2)], "k int, t int, rid int"
+    )
+    back = {
+        r["rid"]: r["v"]
+        for r in asof_join(left, right, "k", "k", "t", "t", ["v"]).collect()
+    }
+    assert back == {0: None, 1: 10.0, 2: None}
+    fwd = {
+        r["rid"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", ["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {0: 10.0, 1: None, 2: None}
