@@ -2,11 +2,15 @@
 composed into one deterministic pipeline.
 
     raw documents
+      → PII scrub [opt]                  (map-only regexp chain)
+      → boilerplate-line removal [opt]   (2 uniform-key shuffles)
       → quality + language gate          (map-only, fuses into scan)
       → exact dedup                      (1 shuffle on content_hash)
+      → near-dup removal [opt]           (block shuffle + O(log n) CC rounds)
+      → LM-score gate [opt]              (token shuffle + vocab join)
       → benchmark decontamination        (broadcast shingles, anti join)
       → per-source cap                   (k-row count + map-only keeps)
-      → train/val/test hash split        (map-only)
+      → train/val/test hash split       (map-only)
       → token counts                     (map-only)
       → per-split sequence packing       (per-hash-group FFD)
       → parquet partitioned by split
@@ -51,14 +55,41 @@ def build_training_corpus(
     quality_min: float = 0.5,
     seq_budget: int = 512,
     seed: int = 42,
+    scrub_pii: bool = False,
+    drop_boilerplate_lines: bool = False,
+    near_dups: bool = False,
+    min_logprob: float | None = None,
 ) -> dict[str, int | dict[str, int]]:
     """Run the full gate chain over ``docs`` and write the packed
     corpus to ``out_dir`` partitioned by split. Returns a stats dict
     (counts after each gate + per-split sizes) — each stat is one
     action over the cached survivor frame, so the report costs one
     corpus materialization, not one scan per stage.
+
+    Optional gates (all deterministic, so the bit-for-bit re-run
+    property holds with any combination):
+    - ``scrub_pii`` — redact emails/IPs/phones BEFORE hashing, so the
+      scrubbed text is the canonical content every later stage
+      (dedup, decontamination, token counts) sees;
+    - ``drop_boilerplate_lines`` — CCNet-style cross-corpus repeated
+      line removal;
+    - ``near_dups`` — blocked-jaccard pairs → connected components →
+      min-id keeper (drops every non-representative near-duplicate);
+    - ``min_logprob`` — drop docs whose mean corpus-unigram log-prob
+      is below the threshold (the model-free perplexity tail gate).
     """
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    if scrub_pii:
+        from stock_data_project_spark.operators.textops import pii_scrub
+
+        docs_cols = [c for c in docs.columns if c != "text"]
+        docs = docs.select(*docs_cols, pii_scrub("text").alias("text"))
+    if drop_boilerplate_lines:
+        from stock_data_project_spark.operators.dedup import line_dedup
+
+        keep_cols = docs.columns
+        docs = line_dedup(docs).select(*keep_cols)
 
     gated = (
         with_quality(docs)
@@ -67,6 +98,40 @@ def build_training_corpus(
         .select(*docs.columns)
     )
     deduped, _ = incremental_dedup(gated)
+
+    if near_dups:
+        from stock_data_project_spark.operators.dedup import (
+            blocked_jaccard_pairs,
+            dedup_clusters,
+        )
+
+        clusters = dedup_clusters(blocked_jaccard_pairs(deduped))
+        losers = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
+            F.col("member_id").alias("doc_id")
+        )
+        deduped = deduped.join(losers, "doc_id", "left_anti")
+
+    if min_logprob is not None:
+        from stock_data_project_spark.operators.textops import words
+
+        toks = deduped.select("doc_id", F.explode(words("text")).alias("tok"))
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        total = freq.agg(F.sum("c").alias("t"))
+        scores = (
+            toks.join(F.broadcast(freq), "tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(
+                F.avg(
+                    F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+                ).alias("_lp")
+            )
+        )
+        deduped = (
+            deduped.join(scores, "doc_id", "left")
+            .filter(F.col("_lp") >= min_logprob)
+            .drop("_lp")
+        )
 
     if benchmark is not None:
         flagged = ngram_contamination(deduped, benchmark).select("doc_id")

@@ -82,3 +82,57 @@ def test_pipeline_is_deterministic(spark, tmp_path):
     a = spark.read.parquet(out_a).select("doc_id", "split", "bin_id")
     b = spark.read.parquet(out_b).select("doc_id", "split", "bin_id")
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_optional_gates_compose_and_stay_deterministic(spark, tmp_path):
+    """All four optional gates on at once: the written corpus must be
+    PII-free, near-dup-free (one representative per cluster), above
+    the LM-score floor, and bit-for-bit reproducible — composing
+    gates is what exposed the correlated-hash-stream bug in r3, so
+    the composition itself is the test."""
+    import re
+
+    from stock_data_project_spark.operators.dedup import (
+        blocked_jaccard_pairs,
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # plant PII on a surviving doc to prove the scrub ran
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 0,
+            F.concat(F.col("text"), F.lit(" contact bob@example.com now")),
+        ).otherwise(F.col("text")),
+    )
+    kwargs = dict(
+        splits={"train": 0.8, "val": 0.2},
+        seq_budget=BUDGET,
+        scrub_pii=True,
+        drop_boilerplate_lines=True,
+        near_dups=True,
+        min_logprob=-9.0,
+    )
+    out1 = str(tmp_path / "opt1")
+    stats1 = build_training_corpus(spark, docs, out1, **kwargs)
+    written = spark.read.parquet(out1)
+
+    texts = [r["text"] for r in written.select("text").collect()]
+    assert texts, "corpus emptied out"
+    assert not any(re.search(r"[\w.]+@[\w.]+", t) for t in texts)
+    assert any("<EMAIL>" in t for t in texts if t)
+
+    # no surviving near-dup pair: the written docs' own pair graph
+    # must have no edges between two survivors
+    pairs = blocked_jaccard_pairs(written.select("doc_id", "text", "lang", "n_chars"))
+    assert pairs.count() == 0 or dedup_clusters(pairs).filter(
+        "member_id != cluster_id"
+    ).join(written.select("doc_id"), F.col("member_id") == F.col("doc_id")).count() == 0
+
+    out2 = str(tmp_path / "opt2")
+    stats2 = build_training_corpus(spark, docs, out2, **kwargs)
+    assert stats1 == stats2
+    a = spark.read.parquet(out1).orderBy("doc_id").collect()
+    b = spark.read.parquet(out2).orderBy("doc_id").collect()
+    assert a == b
