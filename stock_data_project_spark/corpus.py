@@ -80,16 +80,26 @@ def build_training_corpus(
     """
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
 
+    text_rewritten = False
     if scrub_pii:
         from stock_data_project_spark.operators.textops import pii_scrub
 
         docs_cols = [c for c in docs.columns if c != "text"]
         docs = docs.select(*docs_cols, pii_scrub("text").alias("text"))
+        text_rewritten = True
     if drop_boilerplate_lines:
         from stock_data_project_spark.operators.dedup import line_dedup
 
         keep_cols = docs.columns
         docs = line_dedup(docs).select(*keep_cols)
+        text_rewritten = True
+    if text_rewritten and "n_chars" in docs.columns:
+        # text-rewriting gates invalidate the ingest-time length: the
+        # near-dup blocker buckets on n_chars (a stale 820 vs a real
+        # 520 puts near-dups in different buckets and the pair is
+        # never generated), and the written corpus must not ship
+        # n_chars != len(text)
+        docs = docs.withColumn("n_chars", F.length("text").cast("long"))
 
     gated = (
         with_quality(docs)
@@ -112,23 +122,18 @@ def build_training_corpus(
         deduped = deduped.join(losers, "doc_id", "left_anti")
 
     if min_logprob is not None:
-        from stock_data_project_spark.operators.textops import words
+        from stock_data_project_spark.operators.textops import unigram_logprob_scores
 
-        toks = deduped.select("doc_id", F.explode(words("text")).alias("tok"))
-        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-        total = freq.agg(F.sum("c").alias("t"))
-        scores = (
-            toks.join(F.broadcast(freq), "tok")
-            .crossJoin(F.broadcast(total))
-            .groupBy("doc_id")
-            .agg(
-                F.avg(
-                    F.log(F.col("c").cast("double") / F.col("t").cast("double"))
-                ).alias("_lp")
-            )
+        # shared scorer (rounded 6dp → threshold decisions are
+        # deterministic across partition layouts). Inner join: every
+        # doc here has non-NULL text (exact dedup already excluded
+        # NULL), so unscored docs cannot exist — and if they ever
+        # could, dropping them is the gate's intent
+        scores = unigram_logprob_scores(deduped).select(
+            "doc_id", F.col("avg_logprob").alias("_lp")
         )
         deduped = (
-            deduped.join(scores, "doc_id", "left")
+            deduped.join(scores, "doc_id")
             .filter(F.col("_lp") >= min_logprob)
             .drop("_lp")
         )

@@ -73,18 +73,25 @@ def asof_join(
         )
         carry = F.last("_state", ignorenulls=True).over(w)
     else:
-        # mirror image: right rows sort FIRST at equal time, so a left
-        # row at exactly right_time lands inside the following frame
-        # (>= semantics), and the first state ahead is carried back.
-        # NULL-time RIGHT rows sort last so their following frame
-        # holds no left state (no match — the backward path gets the
-        # same for free from NULLS FIRST ordering)
+        # mirror image via a TIME-DESCENDING running frame: scanning
+        # from the largest time down, the most recently seen left row
+        # is exactly the earliest left with _t >= right _t. Left rows
+        # sort before right rows at equal time (tag asc), keeping >=
+        # inclusive. A following-frame formulation (first() over
+        # [current, unboundedFollowing]) has identical semantics but
+        # Spark executes unbounded-following frames by rescanning to
+        # the partition end per row — O(n²) on a hot key — while this
+        # running frame is the same O(n) shape as the backward path.
+        # NULL-time right rows sort last and get their carry masked
+        # (no match).
         w = (
             Window.partitionBy("_k")
-            .orderBy(F.col("_t").asc_nulls_last(), F.desc("_tag"))
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col("_t").desc_nulls_last(), F.asc("_tag"))
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carry = F.first("_state", ignorenulls=True).over(w)
+        carry = F.when(
+            F.col("_t").isNotNull(), F.last("_state", ignorenulls=True).over(w)
+        )
     carried = unioned.select("_tag", "_r", carry.alias("_state"))
     return carried.filter(F.col("_tag") == 1).select(
         *[F.col(f"_r.{c}").alias(c) for c in right.columns],

@@ -32,19 +32,17 @@ to plain PQ search — the tested equivalence limit.
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from stock_data_project_spark.operators.ivf import _centroids_np, ivf_fit, ivf_transform
 from stock_data_project_spark.operators.linalg import first_dim, to_matrix, unit_rows
 from stock_data_project_spark.operators.pq import (
     _codebook_np,
+    adc_shortlist,
     exact_rerank,
     pq_encode,
     pq_fit,
@@ -119,62 +117,20 @@ def ivfpq_topk(
         else F.lit(False)
     )
 
-    id_type = codes.schema[id_col].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", id_type),
-            T.StructField("neighbor_id", id_type),
-            T.StructField("approx_sim", T.DoubleType()),
-        ]
-    )
     shortlist_k = max(k, rerank) if rerank else k
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not len(qids):
-            return
-        qs = qm.reshape(len(qm), m_, dsub)
-        lut = ((qs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            keep = pdf["pq_code"].notna().to_numpy()
-            if not keep.any():
-                continue
-            nids = pdf[id_col].to_numpy()[keep]
-            cells = pdf["centroid_id"].to_numpy()[keep].astype(np.int64)
-            cm = np.stack(
-                [np.asarray(c, dtype=np.int64) for c in pdf["pq_code"][keep]]
-            )
-            dist = np.zeros((len(qids), len(nids)))
-            for s in range(m_):
-                dist += lut[:, s, cm[:, s]]
-            sims = np.round(1.0 - dist / 2.0, 6)
-            in_cell = allowed[cells, :].T  # (|Q|, rows)
-            frames = []
-            for j, qid in enumerate(qids):
-                mask = in_cell[j] & (nids != qid)
-                cand_ids, cand_s = nids[mask], sims[j, mask]
-                if not len(cand_ids):
-                    continue
-                order_ = np.lexsort((cand_ids, -cand_s))[:shortlist_k]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": cand_ids[order_],
-                            "approx_sim": cand_s[order_],
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames)
-
-    scored = pruned.mapInPandas(score, schema=out_schema)
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
-    shortlist = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= shortlist_k)
-        .select("query_id", "neighbor_id", "approx_sim", "rank")
+    # ONE shared ADC kernel with pq_topk (rounding/tie-break/
+    # truncation can never drift — the nprobe=n_cells equivalence
+    # depends on it), plus the per-query cell gate
+    shortlist = adc_shortlist(
+        pruned,
+        books,
+        qids,
+        qm,
+        shortlist_k,
+        id_col=id_col,
+        code_col="pq_code",
+        cell_col="centroid_id",
+        allowed=allowed,
     )
     if not rerank:
         return shortlist

@@ -191,6 +191,17 @@ def pq_encode(
                 # ARRAY-typed output: yield NOTHING for empty input —
                 # an empty float64 column can't Arrow-convert to list
                 continue
+            # wrong-dimension vectors fail LOUDLY (unlike the scoring
+            # kernels' per-row degrade): an index build that silently
+            # encodes a mismatched corpus to all-NULL codes yields an
+            # empty search downstream with no error — schema drift
+            # must surface here, like pq_topk's query-dim ValueError.
+            # NULL and zero vectors still degrade to NULL codes.
+            bad_dims = {len(v) for v in pdf[vec_col] if v is not None} - {d}
+            if bad_dims:
+                raise ValueError(
+                    f"pq_encode: vector dims {sorted(bad_dims)} != codebook dim {d}"
+                )
             mu = unit_rows(to_matrix(pdf[vec_col], d))
             ok = mu.any(axis=1)
             xs = mu.reshape(len(mu), m, dsub)
@@ -263,6 +274,36 @@ def pq_topk(
     qm = qm[q_ok]
     qids = q_pdf["_qid"].to_numpy()[q_ok]
 
+    shortlist = adc_shortlist(
+        codes, books, qids, qm, shortlist_k, id_col=id_col, code_col=code_col
+    )
+    if not rerank:
+        return shortlist
+    if vectors is None:
+        raise ValueError("pq_topk: rerank requires the vectors table")
+    return exact_rerank(shortlist, queries, vectors, k, id_col, vec_col)
+
+
+def adc_shortlist(
+    codes: DataFrame,
+    books: np.ndarray,
+    qids: np.ndarray,
+    qm: np.ndarray,
+    shortlist_k: int,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cell_col: str | None = None,
+    allowed: np.ndarray | None = None,
+) -> DataFrame:
+    """The shared ADC scoring stage of ``pq_topk`` and ``ivfpq_topk``
+    — ONE kernel so the rounding (6dp before ranking), tie-break
+    (neighbor id), and local/global shortlist truncation can never
+    drift between the two (their nprobe=n_cells equivalence is
+    tested). ``cell_col``/``allowed`` add IVF's per-query cell gate:
+    ``allowed[cell, j]`` says whether query j probes that cell.
+    Returns the globally ranked shortlist (query_id, neighbor_id,
+    approx_sim, rank ≤ shortlist_k)."""
+    m, ksub, dsub = books.shape
     id_type = codes.schema[id_col].dataType
     out_schema = T.StructType(
         [
@@ -294,9 +335,16 @@ def pq_topk(
             for s in range(m):
                 dist += lut[:, s, cm[:, s]]
             sims = np.round(1.0 - dist / 2.0, 6)
+            if cell_col is not None:
+                cells = pdf[cell_col].to_numpy()[keep].astype(np.int64)
+                in_cell = allowed[cells, :].T  # (|Q|, rows)
+            else:
+                in_cell = None
             frames = []
             for j, qid in enumerate(qids):
                 mask = nids != qid
+                if in_cell is not None:
+                    mask = in_cell[j] & mask
                 cand_ids, cand_s = nids[mask], sims[j, mask]
                 if not len(cand_ids):
                     continue
@@ -313,18 +361,14 @@ def pq_topk(
             if frames:
                 yield pd.concat(frames)
 
-    scored = codes.select(id_col, code_col).mapInPandas(score, schema=out_schema)
+    cols = [id_col, code_col] + ([cell_col] if cell_col else [])
+    scored = codes.select(*cols).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
-    shortlist = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= shortlist_k)
         .select("query_id", "neighbor_id", "approx_sim", "rank")
     )
-    if not rerank:
-        return shortlist
-    if vectors is None:
-        raise ValueError("pq_topk: rerank requires the vectors table")
-    return exact_rerank(shortlist, queries, vectors, k, id_col, vec_col)
 
 
 def exact_rerank(

@@ -46,6 +46,7 @@ def range_join(
     how: str = "inner",
     point_id: str | None = None,
     extra_keys: list[tuple[str, str]] | None = None,
+    max_buckets: int | None = 100_000,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start_col <= point_ts <= end_col`` (inclusive both ends).
@@ -56,17 +57,39 @@ def range_join(
     covering interval keep NULL interval columns).
 
     NULL timestamps/bounds never match (SQL comparison semantics),
-    and a NULL-bounded interval explodes to nothing rather than
-    everywhere.
+    and NULL-bounded or REVERSED (end < start — can contain no point)
+    intervals explode to nothing rather than everywhere.
+
+    ``max_buckets`` guards the explode against pathological interval
+    lengths: an SCD-style 9999-12-31 "forever" sentinel at W=30 min
+    would otherwise materialize ~10⁸ sequence elements in one row.
+    The guard is one tiny aggregate over the interval side; raise
+    ``bucket_width_s`` (or clean the sentinel to NULL and handle
+    open intervals separately) when it trips. ``None`` disables it.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner or left, got {how!r}")
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    reserved = {"_pb", "_ib"} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        raise ValueError(f"columns {sorted(reserved)} are reserved by range_join")
+
+    span = _bucket(F.col(end_col), bucket_width_s) - _bucket(
+        F.col(start_col), bucket_width_s
+    )
+    if max_buckets is not None:
+        worst = intervals.agg(F.max(span).alias("_s")).collect()[0]["_s"]
+        if worst is not None and worst > max_buckets:
+            raise ValueError(
+                f"range_join: an interval spans {worst} buckets at "
+                f"width {bucket_width_s}s (max_buckets={max_buckets}); "
+                "raise bucket_width_s or clean sentinel end dates"
+            )
 
     p = points.withColumn("_pb", _bucket(F.col(point_ts), bucket_width_s))
-    i = intervals.withColumn(
+    i = intervals.filter(span >= 0).withColumn(
         "_ib",
         F.explode(
             F.sequence(

@@ -186,3 +186,41 @@ def pii_counts(text_col: str = "text") -> dict[str, Column]:
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return out
+
+
+def unigram_logprob_scores(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-doc mean log-prob under the corpus's own unigram
+    distribution — the model-free CCNet perplexity stand-in, shared
+    by the ``unigram_logprob`` plan and the corpus builder's
+    ``min_logprob`` gate (one implementation so scoring can't drift
+    between them). Returns (id, n_tokens, avg_logprob) with the
+    score ROUNDED to 6dp — gates that threshold on it stay
+    deterministic across partition layouts (unrounded double
+    summation order could flip a boundary doc).
+
+    Plan shape: one explode → token groupBy (partial-agg), then the
+    exploded stream joins the vocabulary. The vocab is broadcast
+    (fine until ~10⁸ tokens); at web-scale vocab drop the broadcast
+    hint and let AQE run a skew-handled hash join on the token key.
+    NULL-text docs are excluded (no tokens, no score)."""
+    from pyspark.sql import functions as F
+
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(words(text_col)).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("t").cast("double"))),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

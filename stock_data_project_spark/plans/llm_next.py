@@ -84,24 +84,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens are globally rare score low and get routed to the tail
     bucket).
 
-    Plan shape: one explode → token groupBy (partial-agg, uniform-ish
-    keys; stopword skew stays map-side-combined), then the exploded
-    stream joins the vocabulary on the token. The vocab is broadcast
-    here (tiny); at web scale the vocab is ~10⁸ rows, so the join
-    falls back to a hash join on the token key — AQE handles the
-    stopword skew, and the per-doc aggregation is the only other
-    shuffle."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = docs.select("doc_id", F.explode(words("text")).alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = freq.agg(F.sum("c").alias("t"))
-    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(
-            F.avg(F.log(F.col("c").cast("double") / F.col("t").cast("double"))), 6
-        ).alias("avg_logprob"),
-    )
+    Plan shape and the web-scale vocab note live on the shared
+    implementation, ``textops.unigram_logprob_scores`` (one scorer
+    for this plan and the corpus builder's min_logprob gate)."""
+    from stock_data_project_spark.operators.textops import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs)
 
 
 def q_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -100,17 +100,27 @@ def test_degenerate_vectors_excluded(spark, pq_parts):
     rows = [
         (100, [0.0] * 64),  # zero vector: no cosine
         (101, None),  # NULL
-        (102, [1.0] * 3),  # ragged
         (103, [float(i) for i in range(64)]),  # fine
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     codes = pq_encode(df, codebook)
     got = {r["vec_id"]: r["pq_code"] for r in codes.collect()}
-    assert got[100] is None and got[101] is None and got[102] is None
+    assert got[100] is None and got[101] is None
     assert len(got[103]) == 16
     # degenerate codes never surface as neighbors
     out = pq_topk(codes, codebook, df.filter("vec_id = 103"), k=3).toPandas()
     assert set(out["neighbor_id"]) == set()  # only degenerate candidates exist
+
+
+def test_wrong_dim_corpus_raises_in_encode(spark, pq_parts):
+    """Schema drift fails loudly at index build, not as a silent
+    all-NULL code table (empty search with no error downstream)."""
+    codebook, _ = pq_parts
+    df = spark.createDataFrame(
+        [(1, [1.0] * 128)], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="codebook dim"):
+        pq_encode(df, codebook).collect()
 
 
 def test_indivisible_dim_raises(spark, emb):

@@ -123,3 +123,34 @@ def test_extra_keys_restrict(spark):
         ).collect()
     }
     assert got == {(1, 10)}
+
+
+def test_reversed_interval_matches_nothing(spark, sides):
+    points, _ = sides
+    rev = spark.createDataFrame(
+        [(20, _ts(9), _ts(2))], "iid int, s timestamp, e timestamp"
+    )
+    assert range_join(points, rev, "t", "s", "e").count() == 0
+
+
+def test_sentinel_interval_trips_guard(spark, sides):
+    points, _ = sides
+    forever = spark.createDataFrame(
+        [(21, _ts(1), dt.datetime(9999, 12, 31))], "iid int, s timestamp, e timestamp"
+    )
+    with pytest.raises(ValueError, match="buckets"):
+        range_join(points, forever, "t", "s", "e", bucket_width_s=1800)
+    # wide buckets keep the same interval within bounds and correct
+    got = range_join(
+        points, forever, "t", "s", "e",
+        bucket_width_s=86400 * 365 * 30, max_buckets=300,
+    ).collect()
+    assert {r["pid"] for r in got} == {1, 2, 3, 4}
+
+
+def test_reserved_columns_raise(spark, sides):
+    points, intervals = sides
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(points.withColumn("_pb", F.lit(1)), intervals, "t", "s", "e")

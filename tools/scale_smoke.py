@@ -183,50 +183,29 @@ def main() -> None:
         ).write.mode("overwrite").format("noop").save()
         timings["ntile_lineitem"] = round(time.perf_counter() - t0, 2)
 
-        # PQ over the replicated corpus: fit on the bounded sample,
-        # map-only encode (the corpus-scan cost under test), ADC
-        # search + exact rerank over codes. Quadratic-pair operators
-        # excluded for the same reason as above.
-        from stock_data_project_spark.operators.pq import pq_encode, pq_fit, pq_topk
+        # staged keys at scale, invoked THROUGH their registries (an
+        # inline copy of a staged plan body silently drifts when the
+        # plan's parameters change before debut): PQ fit/encode/ADC/
+        # rerank over the replicated corpus, and the bucketized range
+        # join over the replicated event stream. Quadratic-pair
+        # operators stay excluded for the reason above.
+        from stock_data_project_spark.plans.llm_next import (
+            QUERIES_NEXT as LLM_NEXT,
+        )
+        from stock_data_project_spark.plans.olap_next2 import (
+            QUERIES_NEXT as OLAP_NEXT2,
+        )
 
         t0 = time.perf_counter()
-        cb = pq_fit(emb_big, m=16, nbits=6)
-        codes = pq_encode(emb_big, cb, drop_vec=True)
-        pq_topk(
-            codes,
-            cb,
-            emb_big.filter(F.col("vec_id") < 10),
-            k=5,
-            rerank=50,
-            vectors=emb_big,
-        ).write.mode("overwrite").format("noop").save()
+        LLM_NEXT["ann_pq"](spark, out_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
         timings["ann_pq_embeddings"] = round(time.perf_counter() - t0, 2)
 
-        # bucketized range join over the replicated event stream:
-        # clicks ⋈ same-user views ≤30 min prior (the hash-join shape
-        # whose naive form is a nested loop)
-        from stock_data_project_spark.operators.rangejoin import range_join
-
-        ev_big = spark.read.parquet(os.path.join(out_dir, "events.parquet"))
-        views = ev_big.filter(F.col("event_type") == "view").select(
-            F.col("event_id").alias("view_id"),
-            F.col("user_id").alias("view_user"),
-            F.col("ts").alias("win_start"),
-            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
-        )
-        clicks = ev_big.filter(F.col("event_type") == "click").select(
-            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
-        )
         t0 = time.perf_counter()
-        range_join(
-            clicks,
-            views,
-            point_ts="click_ts",
-            start_col="win_start",
-            end_col="win_end",
-            bucket_width_s=1800,
-            extra_keys=[("user_id", "view_user")],
-        ).write.mode("overwrite").format("noop").save()
+        OLAP_NEXT2["range_join_clicks"](spark, out_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
         timings["range_join_events"] = round(time.perf_counter() - t0, 2)
         print(json.dumps({"replication": n, "prep_sec": prep, "rows": counts, "queries_sec": timings}))
     finally:
