@@ -142,11 +142,64 @@ def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("view_id", "click_id", "user_id", "view_ts", "click_ts")
 
 
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse
+    the JSON payload ONCE into a variant, then typed-path extraction
+    (``try_variant_get`` — malformed rows degrade to NULL, never an
+    ANSI error). vs ``props_extract``'s get_json_object: variant
+    parses once per row instead of once per path, and the binary
+    encoding is the shredding-ready columnar form — the modern
+    semi-structured story at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"), v.isNull().alias("bad"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("bad").cast("bigint")).alias("n_malformed"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-type HLL sketches of the user
+    population, re-aggregated to the grand total by sketch UNION —
+    no rescan of the fact table. At 100 TB this is THE distinct-count
+    pattern: materialize sketches at the finest grain once, answer
+    every coarser rollup by merging kilobyte sketches (exact distinct
+    cannot re-aggregate: distinct-per-type does not sum to global
+    distinct). Rows-only (estimates have no DuckDB twin); accuracy
+    (±5%) and union-vs-direct consistency are pinned in
+    tests/test_next_staged.py."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy(F.col("event_type").alias("series_key")).agg(
+        F.hll_sketch_agg("user_id").alias("_sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    typed = per_type.select(
+        "series_key",
+        F.hll_sketch_estimate("_sk").alias("approx_users"),
+        "n_events",
+    )
+    total = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("ALL").alias("series_key"), "approx_users", "n_events")
+    return typed.unionByName(total)
+
+
 QUERIES_NEXT = {
     "grouping_sets_sales": q_grouping_sets_sales,
     "revenue_share": q_revenue_share,
     "monthly_running_revenue": q_monthly_running_revenue,
     "range_join_clicks": q_range_join_clicks,
+    "props_variant": q_props_variant,
+    "hll_rollup": q_hll_rollup,
 }
 
 ORACLE_NEXT = {
@@ -204,5 +257,21 @@ ORACLE_NEXT = {
          AND epoch_us(c.ts) >= epoch_us(v.ts)
          AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800 * 1000000
         WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    # hll_rollup: rows-only (sketch estimates have no DuckDB twin)
+    "props_variant": """
+        SELECT event_type,
+               round(avg(k), 6) AS avg_k,
+               CAST(min(k) AS INT) AS min_k,
+               CAST(max(k) AS INT) AS max_k,
+               CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_malformed,
+               count(*) AS n
+        FROM (
+            SELECT event_type, props,
+                   CAST(json_extract(props, '$.k') AS INT) AS k
+            FROM events
+        )
+        GROUP BY event_type
     """,
 }

@@ -12,17 +12,43 @@ from tests.oracle_utils import compare, duckdb_run
 
 ALL_Q = {**olap_next2.QUERIES_NEXT, **stream_next.QUERIES_NEXT}
 ALL_O = {**olap_next2.ORACLE_NEXT, **stream_next.ORACLE_NEXT}
+ROWS_ONLY = {"hll_rollup"}  # sketch estimates have no DuckDB twin
 
 
 def test_every_staged_key_has_an_oracle():
-    assert set(ALL_Q) == set(ALL_O)
+    assert set(ALL_Q) - ROWS_ONLY == set(ALL_O)
 
 
 @pytest.mark.parametrize("key", sorted(ALL_Q))
 def test_staged_parity(spark, key):
     df = ALL_Q[key](spark, SF_ORACLE)
     assert df.count() > 0, f"{key}: empty result"
-    compare(df, duckdb_run(ALL_O[key], SF_ORACLE))
+    if key not in ROWS_ONLY:
+        compare(df, duckdb_run(ALL_O[key], SF_ORACLE))
+
+
+def test_hll_rollup_accuracy_and_merge_consistency(spark):
+    """The sketch estimates must track exact distincts within ±5%,
+    and the ALL row (union of per-type sketches) must agree with the
+    estimate a direct global sketch would give — the mergeability
+    property the rollup exists for."""
+    from pyspark.sql import functions as F
+
+    from stock_data_project_spark.catalog import load_table
+
+    out = {r["series_key"]: r["approx_users"]
+           for r in olap_next2.QUERIES_NEXT["hll_rollup"](spark, SF_ORACLE).collect()}
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+                        .agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact["ALL"] = ev.agg(F.countDistinct("user_id")).first()[0]
+    for k, e in exact.items():
+        assert abs(out[k] - e) / e < 0.05, (k, out[k], e)
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+    ).first()[0]
+    assert abs(out["ALL"] - direct) / direct < 0.01
 
 
 def test_grouping_sets_granularities(spark):
