@@ -140,6 +140,39 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, queries, k=5, m=16, nbits=6, rerank=50)
 
 
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-span coverage — the shingle
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    doc, the fraction of its distinct 8-word shingles that appear in
+    at least one OTHER document. High coverage = the doc is largely
+    assembled from corpus-repeated spans even when no single whole
+    near-duplicate exists (the case minhash/jaccard doc-level dedup
+    misses). Docs shorter than 8 words contribute their whole text
+    as one shingle (word_shingles' documented fallback).
+
+    Shuffles: shingle count groupBy + the count join + the per-doc
+    agg — all on uniform hash keys (shingle text / doc_id); no
+    all-pairs anywhere, cost linear in total shingle volume."""
+    from stock_data_project_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 8))).alias("sh")
+    )
+    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = (F.col("n_docs") > 1).cast("bigint")
+    return (
+        sh.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(dup).alias("n_dup"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_fraction"),
+        )
+    )
+
+
 QUERIES_NEXT = {
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
@@ -148,6 +181,7 @@ QUERIES_NEXT = {
     "near_dup_removal": q_near_dup_removal,
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
+    "dup_span_coverage": q_dup_span_coverage,
 }
 
 # the scrub is sequential (emails masked before the phone pattern
@@ -285,5 +319,33 @@ ORACLE_NEXT = {
         LEFT JOIN comp c ON d.doc_id = c.member_id
         LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
         WHERE c.member_id IS NULL OR c.member_id = c.cluster_id
+    """,
+    # mirrors word_shingles exactly: space-joined normalized words,
+    # 8-gram windows, whole-text fallback for docs under 8 words
+    "dup_span_coverage": r"""
+        WITH norm AS (
+            SELECT doc_id,
+                   string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '
+                   ) AS w
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, gs.i, gs.i + 7), ' ') AS sh
+            FROM norm, LATERAL unnest(generate_series(1, len(w) - 7)) AS gs(i)
+            WHERE len(w) >= 8
+            UNION
+            SELECT DISTINCT doc_id, array_to_string(w, ' ') AS sh
+            FROM norm WHERE len(w) < 8
+        ), cnt AS (
+            SELECT sh, count(*) AS n_docs FROM sh GROUP BY sh
+        )
+        SELECT doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS dup_fraction
+        FROM sh JOIN cnt USING (sh)
+        GROUP BY doc_id
     """,
 }

@@ -207,6 +207,12 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
         timings["range_join_events"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        LLM_NEXT["ann_ivfpq"](spark, out_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        timings["ann_ivfpq_embeddings"] = round(time.perf_counter() - t0, 2)
         print(json.dumps({"replication": n, "prep_sec": prep, "rows": counts, "queries_sec": timings}))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
