@@ -13,10 +13,14 @@ tumbling windows with min_by/max_by open/close.
 
 from __future__ import annotations
 
-from stock_data_project_spark.streaming.pipeline import stream_ohlc_bars
+from stock_data_project_spark.streaming.pipeline import (
+    stream_ohlc_bars,
+    stream_top_event_types,
+)
 
 QUERIES_NEXT = {
     "stream_ohlc_bars": stream_ohlc_bars,
+    "stream_topk": stream_top_event_types,
 }
 
 # epoch_us-free: time_bucket on DuckDB's TIMESTAMP_NS truncates to the
@@ -33,5 +37,20 @@ ORACLE_NEXT = {
                round(sum(value), 6) AS turnover
         FROM events
         GROUP BY 1, 2
+    """,
+    "stream_topk": """
+        SELECT window_start, event_type, n,
+               CAST(rank AS INT) AS rank
+        FROM (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+                       ORDER BY count(*) DESC, event_type
+                   ) AS rank
+            FROM events
+            GROUP BY 1, 2
+        )
+        WHERE rank <= 3
     """,
 }

@@ -640,3 +640,32 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, "stream_ohlc_bars", "complete")
     return spark.table("stream_ohlc_bars")
+
+
+def stream_top_event_types(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-hour top-k event types by live streaming counts: the
+    watermarked tumbling aggregation runs on the streaming engine
+    (state = one count per (window, type) — partial-aggregatable,
+    O(1) per group); the top-k ranking reads the FINISHED window
+    table from the sink, where ranking belongs — row_number over a
+    still-open streaming window would re-rank on every update, which
+    is why Spark rejects non-time windows in streaming aggs. Complete
+    mode for the bounded harness; append mode + a foreachBatch rank
+    is the unbounded deployment."""
+    from pyspark.sql import Window
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+    _run_to_memory(agg, "stream_top_event_types", "complete")
+    sink = spark.table("stream_top_event_types")
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        sink.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", "n", "rank")
+    )
