@@ -22,6 +22,19 @@ def test_every_staged_key_has_an_oracle():
 @pytest.mark.parametrize("key", sorted(QUERIES_NEXT))
 def test_llm_next_parity(spark, key):
     df = QUERIES_NEXT[key](spark, SF_ORACLE)
+    _assert_gradable_schema(df, key)
     assert df.count() > 0, f"{key}: empty result"
     if key not in ROWS_ONLY:
         compare(df, duckdb_run(ORACLE_NEXT[key], SF_ORACLE))
+
+
+def _assert_gradable_schema(df, key):
+    """Driver-canonicalizer rule: graded outputs must be scalar
+    columns — ARRAY/MAP cells can't be hashed and DATE dtypes
+    normalize differently per engine (CLAUDE.md)."""
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.DateType)
+        ), f"{key}.{f.name}: ungradable type {f.dataType}"

@@ -22,6 +22,7 @@ def test_every_staged_key_has_an_oracle():
 @pytest.mark.parametrize("key", sorted(ALL_Q))
 def test_staged_parity(spark, key):
     df = ALL_Q[key](spark, SF_ORACLE)
+    _assert_gradable_schema(df, key)
     assert df.count() > 0, f"{key}: empty result"
     if key not in ROWS_ONLY:
         compare(df, duckdb_run(ALL_O[key], SF_ORACLE))
@@ -79,3 +80,15 @@ def test_revenue_shares_sum_to_one(spark):
     sums = df.groupBy("r_name").agg(F.sum("share").alias("s")).collect()
     for r in sums:
         assert abs(r["s"] - 1.0) < 1e-4, r
+
+
+def _assert_gradable_schema(df, key):
+    """Driver-canonicalizer rule: graded outputs must be scalar
+    columns — ARRAY/MAP cells can't be hashed and DATE dtypes
+    normalize differently per engine (CLAUDE.md)."""
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.DateType)
+        ), f"{key}.{f.name}: ungradable type {f.dataType}"
