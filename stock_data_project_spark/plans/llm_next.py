@@ -2,13 +2,16 @@
 
 The r4 correctness window is exactly full (50 keys: the two fixed IVF
 keys, the eight TPC-H debuts, stream_ingest_dedup, and the 39 stale
-re-grades), so these three debut in r5 — registered-but-ungraded keys
+re-grades), so these eight debut in r5 — registered-but-ungraded keys
 are the defect the r2 verdict flagged on wilder_rsi. They are
 parity-proven NOW by tests/test_llm_next.py (the driver-identical
-value comparison) and flip into ``plans/llm.py`` + the r5
-``_GRADE_ORDER`` head next round.
+value comparison; ann_pq/ann_ivfpq rows-only, semantics pinned in
+tests/test_pq.py and tests/test_ivfpq.py) and flip into
+``plans/llm.py`` + the r5 ``_GRADE_ORDER`` head next round.
 
-The five close the remaining training-data-pipeline surface:
+The eight close the remaining training-data-pipeline surface
+(dup_span_coverage, ann_pq, ann_ivfpq are documented on their
+builders below):
 - ``pii_scrub`` — redaction gate (codegen regexp chain, zero shuffle);
 - ``line_dedup`` — CCNet/RefinedWeb cross-corpus boilerplate-line
   removal (two uniform-key shuffles);
