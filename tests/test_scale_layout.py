@@ -132,3 +132,33 @@ def test_write_sorted_produces_prunable_ranges(spark):
             stats = [md.row_group(i).column(col).statistics for i in range(md.num_row_groups)]
             for a, b in zip(stats, stats[1:]):
                 assert a.max <= b.min
+
+
+def test_cell_partitioned_codes_prune_at_scan(spark, tmp_path):
+    """The ivfpq claim 'the probed-cell filter is partition pruning
+    when codes are laid out by cell', as evidence: write the PQ code
+    table partitioned by centroid_id, read it back with the probe
+    filter, and the scan must show PartitionFilters with only the
+    probed cells' files touched."""
+    from pyspark.sql import functions as F
+
+    from stock_data_project_spark.operators.ivf import ivf_fit, ivf_transform
+    from stock_data_project_spark.operators.pq import pq_encode, pq_fit
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = ivf_fit(emb, 8)
+    assigned = ivf_transform(emb, centroids, 1)
+    codes = pq_encode(assigned, pq_fit(emb, m=16, nbits=4), drop_vec=True)
+    path = str(tmp_path / "codes_by_cell")
+    codes.write.partitionBy("centroid_id").parquet(path)
+
+    back = spark.read.parquet(path)
+    probed = back.filter(F.col("centroid_id").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan
+    # only the probed cells' rows stream out of the scan
+    got_cells = {r["centroid_id"] for r in probed.select("centroid_id").distinct().collect()}
+    assert got_cells <= {0, 1}
+    n_all = back.count()
+    n_probed = probed.count()
+    assert 0 < n_probed < n_all
