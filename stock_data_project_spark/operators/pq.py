@@ -303,6 +303,10 @@ def adc_shortlist(
     ``allowed[cell, j]`` says whether query j probes that cell.
     Returns the globally ranked shortlist (query_id, neighbor_id,
     approx_sim, rank ≤ shortlist_k)."""
+    if (cell_col is None) != (allowed is None):
+        # an unpaired gate would die executor-side as an opaque
+        # NoneType/IndexError inside the kernel — fail at call time
+        raise ValueError("adc_shortlist: cell_col and allowed must be passed together")
     m, ksub, dsub = books.shape
     id_type = codes.schema[id_col].dataType
     out_schema = T.StructType(

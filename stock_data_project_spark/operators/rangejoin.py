@@ -63,7 +63,9 @@ def range_join(
     ``max_buckets`` guards the explode against pathological interval
     lengths: an SCD-style 9999-12-31 "forever" sentinel at W=30 min
     would otherwise materialize ~10⁸ sequence elements in one row.
-    The guard is one tiny aggregate over the interval side; raise
+    The guard is IN-PLAN (a conditional raise_error fused into the
+    bucket expression — zero extra jobs, laziness preserved) and
+    fires at execution time on the first offending row; raise
     ``bucket_width_s`` (or clean the sentinel to NULL and handle
     open intervals separately) when it trips. ``None`` disables it.
     """
@@ -79,23 +81,30 @@ def range_join(
     span = _bucket(F.col(end_col), bucket_width_s) - _bucket(
         F.col(start_col), bucket_width_s
     )
+    start_b = _bucket(F.col(start_col), bucket_width_s)
     if max_buckets is not None:
-        worst = intervals.agg(F.max(span).alias("_s")).collect()[0]["_s"]
-        if worst is not None and worst > max_buckets:
-            raise ValueError(
-                f"range_join: an interval spans {worst} buckets at "
-                f"width {bucket_width_s}s (max_buckets={max_buckets}); "
-                "raise bucket_width_s or clean sentinel end dates"
-            )
+        # fused into the sequence's START argument so column pruning
+        # can never drop the check (an eager aggregate here would
+        # cost a full interval-side scan per call and break lazy
+        # construction — the bench-drift class)
+        msg = F.concat(
+            F.lit("range_join: interval spans "),
+            span.cast("string"),
+            F.lit(
+                f" buckets at width {bucket_width_s}s "
+                f"(max_buckets={max_buckets}); raise bucket_width_s "
+                "or clean sentinel end dates"
+            ),
+        )
+        start_b = F.when(
+            span > F.lit(max_buckets), F.raise_error(msg).cast("long")
+        ).otherwise(start_b)
 
     p = points.withColumn("_pb", _bucket(F.col(point_ts), bucket_width_s))
     i = intervals.filter(span >= 0).withColumn(
         "_ib",
         F.explode(
-            F.sequence(
-                _bucket(F.col(start_col), bucket_width_s),
-                _bucket(F.col(end_col), bucket_width_s),
-            )
+            F.sequence(start_b, _bucket(F.col(end_col), bucket_width_s))
         ),
     )
     exact = (F.col(point_ts) >= F.col(start_col)) & (

@@ -189,8 +189,8 @@ def pii_counts(text_col: str = "text") -> dict[str, Column]:
 
 
 def unigram_logprob_scores(
-    docs, id_col: str = "doc_id", text_col: str = "text"
-):
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     """Per-doc mean log-prob under the corpus's own unigram
     distribution — the model-free CCNet perplexity stand-in, shared
     by the ``unigram_logprob`` plan and the corpus builder's
@@ -205,8 +205,6 @@ def unigram_logprob_scores(
     (fine until ~10⁸ tokens); at web-scale vocab drop the broadcast
     hint and let AQE run a skew-handled hash join on the token key.
     NULL-text docs are excluded (no tokens, no score)."""
-    from pyspark.sql import functions as F
-
     toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(words(text_col)).alias("tok")
     )

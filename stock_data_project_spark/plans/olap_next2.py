@@ -183,13 +183,22 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     typed = per_type.select(
         "series_key",
+        F.lit(False).alias("is_total"),
         F.hll_sketch_estimate("_sk").alias("approx_users"),
         "n_events",
     )
+    # the grand-total marker is a dedicated flag, not a sentinel key
+    # value — an event_type literally named "ALL" must stay
+    # distinguishable from the rollup row
     total = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("approx_users"),
         F.sum("n_events").alias("n_events"),
-    ).select(F.lit("ALL").alias("series_key"), "approx_users", "n_events")
+    ).select(
+        F.lit(None).cast("string").alias("series_key"),
+        F.lit(True).alias("is_total"),
+        "approx_users",
+        "n_events",
+    )
     return typed.unionByName(total)
 
 

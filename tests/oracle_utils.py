@@ -59,3 +59,16 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> None:
             f"value mismatch in column {c}:\n"
             f"spark head: {g.head(10).tolist()}\noracle head: {w.head(10).tolist()}"
         )
+
+
+def assert_gradable_schema(df, key: str) -> None:
+    """Driver-canonicalizer rule: graded outputs must be scalar
+    columns — ARRAY/MAP cells can't be hashed and DATE dtypes
+    normalize differently per engine (CLAUDE.md). One copy here so
+    the rule can't diverge across the staged-key test families."""
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.DateType)
+        ), f"{key}.{f.name}: ungradable type {f.dataType}"

@@ -10,7 +10,7 @@ import pytest
 
 from stock_data_project_spark.plans.llm_next import ORACLE_NEXT, QUERIES_NEXT
 from tests.conftest import SF_ORACLE
-from tests.oracle_utils import compare, duckdb_run
+from tests.oracle_utils import assert_gradable_schema, compare, duckdb_run
 
 ROWS_ONLY = {"ann_pq", "ann_ivfpq"}
 
@@ -22,19 +22,8 @@ def test_every_staged_key_has_an_oracle():
 @pytest.mark.parametrize("key", sorted(QUERIES_NEXT))
 def test_llm_next_parity(spark, key):
     df = QUERIES_NEXT[key](spark, SF_ORACLE)
-    _assert_gradable_schema(df, key)
+    assert_gradable_schema(df, key)
     assert df.count() > 0, f"{key}: empty result"
     if key not in ROWS_ONLY:
         compare(df, duckdb_run(ORACLE_NEXT[key], SF_ORACLE))
 
-
-def _assert_gradable_schema(df, key):
-    """Driver-canonicalizer rule: graded outputs must be scalar
-    columns — ARRAY/MAP cells can't be hashed and DATE dtypes
-    normalize differently per engine (CLAUDE.md)."""
-    from pyspark.sql import types as T
-
-    for f in df.schema.fields:
-        assert not isinstance(
-            f.dataType, (T.ArrayType, T.MapType, T.DateType)
-        ), f"{key}.{f.name}: ungradable type {f.dataType}"

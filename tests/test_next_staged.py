@@ -8,7 +8,7 @@ import pytest
 
 from stock_data_project_spark.plans import olap_next2, stream_next
 from tests.conftest import SF_ORACLE
-from tests.oracle_utils import compare, duckdb_run
+from tests.oracle_utils import assert_gradable_schema, compare, duckdb_run
 
 ALL_Q = {**olap_next2.QUERIES_NEXT, **stream_next.QUERIES_NEXT}
 ALL_O = {**olap_next2.ORACLE_NEXT, **stream_next.ORACLE_NEXT}
@@ -22,7 +22,7 @@ def test_every_staged_key_has_an_oracle():
 @pytest.mark.parametrize("key", sorted(ALL_Q))
 def test_staged_parity(spark, key):
     df = ALL_Q[key](spark, SF_ORACLE)
-    _assert_gradable_schema(df, key)
+    assert_gradable_schema(df, key)
     assert df.count() > 0, f"{key}: empty result"
     if key not in ROWS_ONLY:
         compare(df, duckdb_run(ALL_O[key], SF_ORACLE))
@@ -37,19 +37,23 @@ def test_hll_rollup_accuracy_and_merge_consistency(spark):
 
     from stock_data_project_spark.catalog import load_table
 
-    out = {r["series_key"]: r["approx_users"]
-           for r in olap_next2.QUERIES_NEXT["hll_rollup"](spark, SF_ORACLE).collect()}
+    rows = olap_next2.QUERIES_NEXT["hll_rollup"](spark, SF_ORACLE).collect()
+    out = {
+        (r["series_key"] if not r["is_total"] else None): r["approx_users"]
+        for r in rows
+    }
+    assert sum(r["is_total"] for r in rows) == 1
     ev = load_table(spark, SF_ORACLE, "events")
     exact = {r["event_type"]: r["n"]
              for r in ev.groupBy("event_type")
                         .agg(F.countDistinct("user_id").alias("n")).collect()}
-    exact["ALL"] = ev.agg(F.countDistinct("user_id")).first()[0]
+    exact[None] = ev.agg(F.countDistinct("user_id")).first()[0]
     for k, e in exact.items():
         assert abs(out[k] - e) / e < 0.05, (k, out[k], e)
     direct = ev.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
     ).first()[0]
-    assert abs(out["ALL"] - direct) / direct < 0.01
+    assert abs(out[None] - direct) / direct < 0.01
 
 
 def test_grouping_sets_granularities(spark):
@@ -81,14 +85,3 @@ def test_revenue_shares_sum_to_one(spark):
     for r in sums:
         assert abs(r["s"] - 1.0) < 1e-4, r
 
-
-def _assert_gradable_schema(df, key):
-    """Driver-canonicalizer rule: graded outputs must be scalar
-    columns — ARRAY/MAP cells can't be hashed and DATE dtypes
-    normalize differently per engine (CLAUDE.md)."""
-    from pyspark.sql import types as T
-
-    for f in df.schema.fields:
-        assert not isinstance(
-            f.dataType, (T.ArrayType, T.MapType, T.DateType)
-        ), f"{key}.{f.name}: ungradable type {f.dataType}"

@@ -138,8 +138,9 @@ def test_sentinel_interval_trips_guard(spark, sides):
     forever = spark.createDataFrame(
         [(21, _ts(1), dt.datetime(9999, 12, 31))], "iid int, s timestamp, e timestamp"
     )
-    with pytest.raises(ValueError, match="buckets"):
-        range_join(points, forever, "t", "s", "e", bucket_width_s=1800)
+    # the guard is in-plan (lazy): it fires at execution time
+    with pytest.raises(Exception, match="buckets"):
+        range_join(points, forever, "t", "s", "e", bucket_width_s=1800).count()
     # wide buckets keep the same interval within bounds and correct
     got = range_join(
         points, forever, "t", "s", "e",
@@ -150,7 +151,5 @@ def test_sentinel_interval_trips_guard(spark, sides):
 
 def test_reserved_columns_raise(spark, sides):
     points, intervals = sides
-    from pyspark.sql import functions as F
-
     with pytest.raises(ValueError, match="reserved"):
         range_join(points.withColumn("_pb", F.lit(1)), intervals, "t", "s", "e")

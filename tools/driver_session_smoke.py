@@ -51,7 +51,10 @@ def main() -> int:
         try:
             fn(spark, sf_dir).count()
         except Exception as e:  # noqa: BLE001 — report every key
-            errs.append((k, str(e).splitlines()[0][:160]))
+            # empty-message exceptions (bare AssertionError()) must
+            # not crash the reporter itself
+            msg = (str(e).splitlines() or [repr(e)])[0][:160]
+            errs.append((k, msg))
     for k, err in errs:
         print(f"FAIL {k}: {err}")
     print(f"driver-session smoke: {len(todo) - len(errs)}/{len(todo)} OK")
