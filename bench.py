@@ -52,6 +52,12 @@ HEADLINE = (
     "tpch_q17",
     "tpch_q9",
     "tpch_q21",
+    # r5 debut families (SURVEY §7): PQ ANN, bucketized range join,
+    # mergeable-sketch rollup, connected-components dedup
+    "ann_pq",
+    "range_join_clicks",
+    "hll_rollup",
+    "dedup_clusters",
 )
 
 

@@ -6,7 +6,7 @@ Scale shape (the FAISS IVF recipe on Spark, the MLlib KMeans
 lifecycle):
 
 - init: the ``n_centroids`` vectors with the smallest
-  ``xxhash64(id)`` — a deterministic pseudo-random sample picked via
+  ``xxhash64(id, "ivf_fit")`` — a deterministic pseudo-random sample picked via
   ``orderBy(hash).limit(n)`` (TakeOrderedAndProject: per-partition
   partial top-n, never a global sort).
 - assign: one BLAS GEMM per Arrow batch inside ``mapInPandas``, with
@@ -161,7 +161,10 @@ def ivf_fit(
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-        F.xxhash64(F.col(id_col)).alias("_h"),
+        # purpose-salted (CLAUDE.md invariant): keeps the fit-sample /
+        # init stream independent of pq_fit's and of any raw-hash
+        # keep/split decision made on the same ids
+        F.xxhash64(F.col(id_col), F.lit("ivf_fit")).alias("_h"),
     )
     if fit_fraction is None:
         # auto: one full map-only count sizes k AND the fit sample,

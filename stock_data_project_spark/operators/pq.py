@@ -63,7 +63,7 @@ def pq_fit(
     split).
 
     Fit sample: the ``fit_rows`` vectors with the smallest
-    ``xxhash64(id)`` (default 256·2^nbits — bounded by contract;
+    ``xxhash64(id, "pq_fit")`` (default 256·2^nbits — bounded by contract;
     ``orderBy(hash).limit(n)`` is a per-partition partial top-n,
     never a global sort). Cells that lose every member keep their
     previous centroid (codes must stay dense in [0, 2^nbits)).
@@ -76,7 +76,11 @@ def pq_fit(
         df.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).cast("array<double>").alias("_v"),
-            F.xxhash64(F.col(id_col)).alias("_h"),
+            # purpose-salted (CLAUDE.md invariant): an unsalted
+            # xxhash64(id) would share its stream with ivf_fit and any
+            # raw-hash keep/split downstream — ivfpq's two fits would
+            # draw perfectly correlated samples
+            F.xxhash64(F.col(id_col), F.lit("pq_fit")).alias("_h"),
         )
         .orderBy("_h")
         .limit(fit_rows)

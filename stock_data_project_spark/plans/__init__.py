@@ -26,72 +26,73 @@ from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 # set is reviewable as one diff. Keys beyond the list follow in module
 # order. New keys MUST debut inside the list in their round.
 #
-# r4 window (50): the two r3-ERR IVF keys (Arrow-less createDataFrame
-# fix) first, then the eight TPC-H shapes graduating from olap_next,
-# then the new stream_ingest_dedup key, then every key whose latest
-# driver row predates the r3 testdata regeneration (olap tail, sql_api,
-# stream). That is 52 candidates for 50 slots: `customers_with_orders`
-# and `distinct_parts_per_supplier` are DEFERRED to r5 (named in
-# SURVEY §5) — both r2-green, TPC-H-tables-only (no events.ts layout
-# exposure), and covered by the in-repo sf0.01 parity tests + sf0.1
-# sweep each round.
+# r5 window (50): the 25 debut slots SURVEY §5 committed to — the two
+# r2-stale deferrals first, then every key graduating from the four
+# *_next staging modules (llm_next 8, stock_next 7, olap_next2 6,
+# stream_next 2) — followed by 25 re-grades oldest-evidence-first: the
+# stock family's r3 rows are the oldest remaining. Stock has 27 such
+# keys for 25 slots: `dim_country` (a constant dim with zero testdata
+# exposure) and `macd` (rows-only; pandas-parity-tested in-repo and
+# driver-smoke-checked each round) are DEFERRED to r6, named in
+# SURVEY §5. The r3 llm/olap rows (tpch_q12/q13/q17, approx_stats,
+# dedup/ann/text family) re-grade in r6 after them.
 _GRADE_ORDER = [
-    # r3 regression fixes — must re-grade first
-    "ann_ivf",
-    "embedding_dedup_ivf",
-    # TPC-H shapes debuting from plans/olap_next.py
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    # new r4 key: the streaming ingest gate's pure observable
-    "stream_ingest_dedup",
-    # stale evidence: olap tail (last graded r1/r2, pre-regeneration)
-    "rollup_sales",
-    "customers_no_orders",
-    "sessionize",
-    "tumbling_window_agg",
-    "tpch_q19",
-    "tpch_q22",
-    "funnel",
-    "weekly_retention",
-    "active_customer_overlap",
-    "unpivot_ohlc",
-    "value_histogram",
-    "word_frequency",
-    "cube_sales",
-    "big_orders",
-    "balance_distribution",
-    "nation_segments",
-    "ntile_deciles",
-    "asof_join",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "props_extract",
-    "price_quantiles",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "top_customers_per_nation",
-    "pivot_returnflag",
-    # stale evidence: sql_api
-    "sql_segment_revenue",
-    "sql_star_query",
-    "sql_above_avg_orders",
-    # stale evidence: streaming
-    "stream_window_counts",
-    "stream_sessionize",
-    "stream_running_stats",
-    "stream_dedup",
-    "stream_enrich",
-    "stream_interval_join",
+    # r2-stale deferrals — re-grade first (SURVEY §5 commitment)
+    "customers_with_orders",
+    "distinct_parts_per_supplier",
+    # llm_next debuts
+    "pii_scrub",
+    "line_dedup",
+    "dedup_clusters",
+    "unigram_logprob",
+    "near_dup_removal",
+    "dup_span_coverage",
+    "ann_pq",
+    "ann_ivfpq",
+    # stock_next debuts
+    "atr",
+    "stochastic",
+    "obv",
+    "donchian",
+    "zscore_anomaly",
+    "pivot_points",
+    "vwap",
+    # olap_next2 debuts
+    "grouping_sets_sales",
+    "revenue_share",
+    "monthly_running_revenue",
+    "range_join_clicks",
+    "props_variant",
+    "hll_rollup",
+    # stream_next debuts
+    "stream_ohlc_bars",
+    "stream_topk",
+    # re-grades: stock family, r3 evidence (module order)
+    "top_movers",
+    "hourly_profile",
+    "weekly_bars",
+    "return_correlation",
+    "rolling_correlation",
+    "gap_fill",
+    "range_window_avg",
+    "market_beta",
+    "wilder_rsi",
+    "adj_close_returns",
+    "dim_date",
+    "dim_entity",
+    "fact_build",
+    "daily_return",
+    "log_return",
+    "rolling_volatility",
+    "filter_range",
+    "annual_join",
+    "ohlc_daily",
+    "sma_cross",
+    "cumulative_return",
+    "drawdown",
+    "bollinger",
+    "rsi",
+    "incremental_watermark",
 ]
 
 _MODULES = (stock, llm, olap, sql_api, stream)

@@ -550,3 +550,15 @@ ORACLE = {
         FROM minima GROUP BY doc_id
     """,
 }
+
+# r5 graduation: the eight staged LLM-pipeline keys (pii_scrub,
+# line_dedup, dedup_clusters, unigram_logprob, near_dup_removal,
+# dup_span_coverage, ann_pq, ann_ivfpq — the last two rows-only).
+# Implementations and oracles stay in llm_next.py.
+from stock_data_project_spark.plans.llm_next import (  # noqa: E402
+    ORACLE_NEXT,
+    QUERIES_NEXT,
+)
+
+QUERIES.update(QUERIES_NEXT)
+ORACLE.update(ORACLE_NEXT)

@@ -1079,3 +1079,14 @@ from stock_data_project_spark.plans.olap_next import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT)
 ORACLE.update(ORACLE_NEXT)
+
+# r5 graduation: the six olap_next2 keys (grouping_sets_sales,
+# revenue_share, monthly_running_revenue, range_join_clicks,
+# props_variant, hll_rollup — the last rows-only).
+from stock_data_project_spark.plans.olap_next2 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT2,
+    QUERIES_NEXT as QUERIES_NEXT2,
+)
+
+QUERIES.update(QUERIES_NEXT2)
+ORACLE.update(ORACLE_NEXT2)

@@ -251,32 +251,35 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     NATION_3 suppliers, count orders with ≥2 suppliers where this
     supplier's best line strictly out-prices every other supplier's
     (commit/receipt dates are absent, so price order plays the
-    lateness predicate). Per-order top-2 via one struct max — no
-    window, one (order) shuffle + one (order, supplier) shuffle."""
+    lateness predicate). Per-order top-2 via a window ``lead`` over
+    the per-supplier maxima, ordered (price desc, supplier desc):
+    the r4 shape collected ALL supplier structs per order to take the
+    second max — bounded by suppliers-per-order in TPC-H (≤7) but a
+    group-sized materialization at a pathological fan-in key; the
+    window's running state is O(1) per row and the per_os⋈per_o
+    self-join disappears with it (r4 verdict watch-item 1)."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_extendedprice").alias("s_max")
     )
-    per_o = per_os.groupBy(F.col("l_orderkey").alias("o_key")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.max(F.struct(F.col("s_max").alias("p"), F.col("l_suppkey").alias("k"))).alias("top1"),
-        F.get(  # get(): NULL past the end (ANSI [] raises on 1-supplier orders)
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("s_max").alias("p"), F.col("l_suppkey").alias("k"))
-                ),
-                asc=False,
-            ),
-            1,
-        )["p"].alias("second_max"),
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("s_max").desc(), F.col("l_suppkey").desc()
     )
+    w_all = Window.partitionBy("l_orderkey")
     waiting = (
-        per_os.join(per_o, per_os.l_orderkey == per_o.o_key)
+        per_os.select(
+            "l_orderkey",
+            "l_suppkey",
+            "s_max",
+            F.row_number().over(w_rank).alias("rn"),
+            F.lead("s_max").over(w_rank).alias("second_max"),
+            F.count(F.lit(1)).over(w_all).alias("n_supp"),
+        )
         .filter(
-            (F.col("n_supp") >= 2)
-            & (F.col("l_suppkey") == F.col("top1.k"))
+            (F.col("rn") == 1)
+            & (F.col("n_supp") >= 2)
             & (F.col("s_max") > F.col("second_max"))
         )
         .groupBy("l_suppkey")

@@ -277,8 +277,19 @@ ORACLE_NEXT = {
                    AS n_malformed,
                count(*) AS n
         FROM (
+            -- guard the hard-error paths (r5 ADVICE): DuckDB's
+            -- json_extract ERRORs on malformed JSON and a plain CAST
+            -- errors on non-integer values, while the Spark side
+            -- degrades to NULL via try_parse_json/try_variant_get.
+            -- json_valid + try_cast is the oracle's graceful twin —
+            -- current testdata has 0 malformed rows, but testdata
+            -- regenerates every round and one bad row must not ERR
+            -- the key for a whole round.
             SELECT event_type, props,
-                   CAST(json_extract(props, '$.k') AS INT) AS k
+                   CASE WHEN json_valid(props)
+                        THEN try_cast(json_extract_string(props, '$.k')
+                                      AS INTEGER)
+                   END AS k
             FROM events
         )
         GROUP BY event_type

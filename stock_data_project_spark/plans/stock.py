@@ -736,3 +736,15 @@ ORACLE = {
         FROM r
     """,
 }
+
+# r5 graduation: the seven staged indicator keys (atr, stochastic, obv,
+# donchian, zscore_anomaly, pivot_points, vwap) join the graded
+# inventory. Implementations and oracles stay in stock_next.py; the
+# keys are first-class here.
+from stock_data_project_spark.plans.stock_next import (  # noqa: E402
+    ORACLE_NEXT,
+    QUERIES_NEXT,
+)
+
+QUERIES.update(QUERIES_NEXT)
+ORACLE.update(ORACLE_NEXT)

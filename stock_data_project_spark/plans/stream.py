@@ -106,3 +106,13 @@ ORACLE["stream_ingest_dedup"] = r"""
     )
     SELECT epoch, count(*) AS n_admitted FROM firsts GROUP BY epoch
 """
+
+# r5 graduation: stream_ohlc_bars + stream_topk join the graded
+# inventory. Implementations and oracles stay in stream_next.py.
+from stock_data_project_spark.plans.stream_next import (  # noqa: E402
+    ORACLE_NEXT,
+    QUERIES_NEXT,
+)
+
+QUERIES.update(QUERIES_NEXT)
+ORACLE.update(ORACLE_NEXT)

@@ -291,13 +291,17 @@ def test_ann_keys_run_with_arrow_disabled(spark):
 
 
 def test_all_degenerate_corpus_raises_clear_error(spark):
-    """A corpus whose vectors are all zero/ragged (non-NULL but
-    degenerate) must fail with a clear diagnostic, not an opaque
-    numpy shape error deep in an executor (ADVICE r3)."""
+    """A corpus whose vectors are all degenerate (zero or NULL) must
+    fail with a clear diagnostic, not an opaque numpy shape error
+    deep in an executor (ADVICE r3). All-zero + NULL rather than
+    zero + ragged: a ragged short vector can become the first_dim
+    seed (which vector sorts first depends on the purpose-salted fit
+    hash) and is then a LEGITIMATE vector at its own dim — the
+    diagnostic, not the hash order, is what this test pins."""
     import pytest
 
     df = spark.createDataFrame(
-        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0])],
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, None)],
         "vec_id long, embedding array<double>",
     )
     with pytest.raises(ValueError, match="no usable vectors"):
