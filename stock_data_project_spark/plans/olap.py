@@ -1090,3 +1090,13 @@ from stock_data_project_spark.plans.olap_next2 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT2)
 ORACLE.update(ORACLE_NEXT2)
+
+# r5 build, r6 debut: scd2_dim / scd2_asof / session_concurrency /
+# data_quality_audit / expectation_gate
+from stock_data_project_spark.plans.olap_next3 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT3,
+    QUERIES_NEXT as QUERIES_NEXT3,
+)
+
+QUERIES.update(QUERIES_NEXT3)
+ORACLE.update(ORACLE_NEXT3)

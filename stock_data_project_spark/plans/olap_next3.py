@@ -1,0 +1,431 @@
+"""OLAP keys built in r5 for the r6 driver window: the warehouse-
+maintenance surface a star-schema shop grows after the query layer —
+slowly-changing dimensions, interval analytics, and data-quality
+gates (Deequ-style audits as first-class queries).
+
+All registered in ``queries()`` immediately (r5 rule: staging is
+POSITION in the grade window, never absence); parity-proven by
+tests/test_next2_staged.py.
+
+- ``scd2_dim`` — type-2 slowly-changing dimension build: collapse
+  each user's consecutive same-tier events into validity intervals
+  via gaps-and-islands (lag → change flag → running island id), all
+  inside ONE hash partition by user (the two-row_number island idiom
+  would force a second (user, tier) exchange). valid_to chains to
+  the next version's valid_from; the current version is NULL-open.
+- ``scd2_asof`` — the point-in-time join that makes SCD2 useful:
+  facts (purchases) joined to the dimension version valid AT their
+  timestamp. Because SCD2 intervals are contiguous per key by
+  construction, "valid_from <= ts < valid_to" reduces to a backward
+  as-of join on valid_from — operators/asof.py, one union+window
+  pass, no range explosion, no unboundedFollowing frames.
+- ``session_concurrency`` — interval-overlap aggregation: how many
+  30-min-gap sessions overlap each hour. The sweep-line global
+  running sum would need a single-partition prefix; bucketizing
+  instead (each session explodes to its covered hours, count per
+  hour) keeps it one uniform-key shuffle — the same
+  bucket-decomposition as operators/rangejoin.py, with explode
+  factor bounded by session duration.
+- ``data_quality_audit`` — one-scan column profile of lineitem:
+  per-column nulls, exact distincts, min/max (numerics as doubles,
+  timestamps as epoch-micros, strings lexicographic). Exact
+  count_distinct here for oracle parity (Spark expands the
+  multi-distinct agg internally — still one scan); at 100 TB swap
+  approx_count_distinct per the approx_stats key.
+- ``expectation_gate`` — rule-based constraint check (range rules in
+  one conditional-agg scan + a referential anti-join), reporting
+  violations per rule: the admission gate of a 100 TB ingest, where
+  quarantining runs on the same predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.asof import asof_join
+
+_GAP_S = 1800
+_TIER_WIDTH = 50.0
+
+
+def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    tier = F.floor(F.col("value") / _TIER_WIDTH).cast("int")
+    df = ev.withColumn("tier", tier)
+    change = F.when(
+        F.lag("tier").over(w).isNull()
+        | (F.col("tier") != F.lag("tier").over(w)),
+        1,
+    ).otherwise(0)
+    runs = df.withColumn("island", F.sum(change).over(wr))
+    dim = runs.groupBy("user_id", "island", "tier").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return dim.select(
+        "user_id",
+        "tier",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+        F.row_number().over(wv).alias("version"),
+    )
+
+
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scd2(spark, sf_dir)
+
+
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each purchase fact joined to the tier
+    version valid at its timestamp (see module doc for why this is an
+    as-of join, not a range join)."""
+    dim = _scd2(spark, sf_dir).select("user_id", "valid_from", "tier", "version")
+    facts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    joined = asof_join(
+        dim,
+        facts,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="valid_from",
+        right_time="ts",
+        value_cols=["tier", "version"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("asof_valid_from").alias("valid_from"),
+        "tier",
+        "version",
+    )
+
+
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions overlapping each hour: sessionize (the graded 30-min
+    gap convention), explode each session onto its covered hour
+    buckets, count sessions + distinct users per hour."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = F.when(us - F.lag(us).over(w) > _GAP_S * 1_000_000, 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_session", gap)
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    hour = F.explode(
+        F.sequence(
+            F.date_trunc("hour", "s_start"),
+            F.date_trunc("hour", "s_end"),
+            F.expr("interval 1 hour"),
+        )
+    ).alias("hour_start")
+    return (
+        sess.select("user_id", hour)
+        .groupBy("hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_STR_COLS = ("l_returnflag", "l_linestatus")
+_TS_COLS = ("l_shipdate",)
+
+
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs, structs = [], []
+    for c in _NUM_COLS + _STR_COLS + _TS_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+        ]
+        if c in _NUM_COLS:
+            aggs += [
+                F.min(c).cast("double").alias(f"{c}__mn"),
+                F.max(c).cast("double").alias(f"{c}__mx"),
+            ]
+        elif c in _TS_COLS:
+            # l_shipdate is TIMESTAMP_NTZ in this testdata generation;
+            # NTZ→LTZ cast is the identity under the pinned UTC session
+            # zone and unix_micros requires LTZ
+            aggs += [
+                F.unix_micros(F.min(c).cast("timestamp")).cast("double").alias(
+                    f"{c}__mn"
+                ),
+                F.unix_micros(F.max(c).cast("timestamp")).cast("double").alias(
+                    f"{c}__mx"
+                ),
+            ]
+        else:
+            aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx")]
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    wide = li.agg(*aggs)
+    for c in _NUM_COLS + _STR_COLS + _TS_COLS:
+        is_str = c in _STR_COLS
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (F.lit(None).cast("double") if is_str else F.col(f"{c}__mn")).alias(
+                    "min_num"
+                ),
+                (F.lit(None).cast("double") if is_str else F.col(f"{c}__mx")).alias(
+                    "max_num"
+                ),
+                (F.col(f"{c}__mn") if is_str else F.lit(None).cast("string")).alias(
+                    "min_str"
+                ),
+                (F.col(f"{c}__mx") if is_str else F.lit(None).cast("string")).alias(
+                    "max_str"
+                ),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def q_expectation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rules = {
+        "quantity_in_1_50": ~F.col("l_quantity").between(1, 50)
+        | F.col("l_quantity").isNull(),
+        "price_positive": (F.col("l_extendedprice") <= 0)
+        | F.col("l_extendedprice").isNull(),
+        "discount_in_0_1": ~F.col("l_discount").between(0, 1)
+        | F.col("l_discount").isNull(),
+        "shipdate_not_null": F.col("l_shipdate").isNull(),
+    }
+    aggs = [
+        F.sum(cond.cast("bigint")).alias(name) for name, cond in rules.items()
+    ] + [F.count(F.lit(1)).alias("__n")]
+    wide = li.agg(*aggs)
+    scan_rows = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(name).alias("n_violations"),
+                        F.col("__n").alias("n_rows"),
+                    )
+                    for name in rules
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    orphans = (
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n_rows"))))
+        .select(
+            F.lit("orderkey_in_orders").alias("rule"), "n_violations", "n_rows"
+        )
+    )
+    return scan_rows.unionByName(orphans)
+
+
+QUERIES_NEXT = {
+    "scd2_dim": q_scd2_dim,
+    "scd2_asof": q_scd2_asof,
+    "session_concurrency": q_session_concurrency,
+    "data_quality_audit": q_data_quality_audit,
+    "expectation_gate": q_expectation_gate,
+}
+
+_SCD2_SQL = """
+base AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(value / 50.0) AS INT) AS tier
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id, tier,
+           CASE WHEN lag(tier) OVER w IS NULL
+                     OR tier <> lag(tier) OVER w
+                THEN 1 ELSE 0 END AS change
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id, ts, tier,
+           sum(change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM flagged
+),
+dim AS (
+    SELECT user_id, island, tier,
+           min(ts) AS valid_from,
+           count(*) AS n_events
+    FROM runs GROUP BY 1, 2, 3
+),
+versions AS (
+    SELECT user_id, tier, valid_from,
+           lead(valid_from) OVER wv AS valid_to,
+           n_events,
+           CAST(row_number() OVER wv AS INT) AS version
+    FROM dim
+    WINDOW wv AS (PARTITION BY user_id ORDER BY valid_from)
+)"""
+
+ORACLE_NEXT = {
+    "scd2_dim": f"""
+        WITH {_SCD2_SQL}
+        SELECT user_id, tier, valid_from, valid_to, n_events, version
+        FROM versions
+    """,
+    "scd2_asof": f"""
+        WITH {_SCD2_SQL}
+        SELECT f.event_id, f.user_id, f.ts, f.value,
+               v.valid_from, v.tier, v.version
+        FROM events f
+        JOIN versions v
+          ON f.user_id = v.user_id
+         AND v.valid_from <= f.ts
+         AND (f.ts < v.valid_to OR v.valid_to IS NULL)
+        WHERE f.event_type = 'purchase'
+    """,
+    "session_concurrency": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > {_GAP_S} * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq,
+                   ts
+            FROM flagged
+        ),
+        ivals AS (
+            SELECT user_id, session_seq,
+                   min(ts) AS s_start, max(ts) AS s_end
+            FROM sess GROUP BY 1, 2
+        ),
+        hours AS (
+            SELECT user_id,
+                   unnest(generate_series(date_trunc('hour', s_start),
+                                          date_trunc('hour', s_end),
+                                          INTERVAL 1 HOUR)) AS hour_start
+            FROM ivals
+        )
+        SELECT hour_start,
+               count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users
+        FROM hours GROUP BY hour_start
+    """,
+    "data_quality_audit": """
+        WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+        SELECT 'l_quantity' AS col_name, n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS n_null,
+               (SELECT count(DISTINCT l_quantity) FROM lineitem) AS n_distinct,
+               (SELECT CAST(min(l_quantity) AS DOUBLE) FROM lineitem) AS min_num,
+               (SELECT CAST(max(l_quantity) AS DOUBLE) FROM lineitem) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM n
+        UNION ALL
+        SELECT 'l_extendedprice', n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_extendedprice IS NULL),
+               (SELECT count(DISTINCT l_extendedprice) FROM lineitem),
+               (SELECT CAST(min(l_extendedprice) AS DOUBLE) FROM lineitem),
+               (SELECT CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem),
+               NULL, NULL
+        FROM n
+        UNION ALL
+        SELECT 'l_discount', n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_discount IS NULL),
+               (SELECT count(DISTINCT l_discount) FROM lineitem),
+               (SELECT CAST(min(l_discount) AS DOUBLE) FROM lineitem),
+               (SELECT CAST(max(l_discount) AS DOUBLE) FROM lineitem),
+               NULL, NULL
+        FROM n
+        UNION ALL
+        SELECT 'l_returnflag', n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL),
+               (SELECT count(DISTINCT l_returnflag) FROM lineitem),
+               NULL, NULL,
+               (SELECT min(l_returnflag) FROM lineitem),
+               (SELECT max(l_returnflag) FROM lineitem)
+        FROM n
+        UNION ALL
+        SELECT 'l_linestatus', n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_linestatus IS NULL),
+               (SELECT count(DISTINCT l_linestatus) FROM lineitem),
+               NULL, NULL,
+               (SELECT min(l_linestatus) FROM lineitem),
+               (SELECT max(l_linestatus) FROM lineitem)
+        FROM n
+        UNION ALL
+        SELECT 'l_shipdate', n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL),
+               (SELECT count(DISTINCT l_shipdate) FROM lineitem),
+               (SELECT CAST(epoch_us(min(l_shipdate)) AS DOUBLE) FROM lineitem),
+               (SELECT CAST(epoch_us(max(l_shipdate)) AS DOUBLE) FROM lineitem),
+               NULL, NULL
+        FROM n
+    """,
+    "expectation_gate": """
+        WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+        SELECT 'quantity_in_1_50' AS rule,
+               (SELECT count(*) FROM lineitem
+                WHERE NOT (l_quantity BETWEEN 1 AND 50)
+                   OR l_quantity IS NULL) AS n_violations,
+               n_rows
+        FROM n
+        UNION ALL
+        SELECT 'price_positive',
+               (SELECT count(*) FROM lineitem
+                WHERE l_extendedprice <= 0 OR l_extendedprice IS NULL),
+               n_rows
+        FROM n
+        UNION ALL
+        SELECT 'discount_in_0_1',
+               (SELECT count(*) FROM lineitem
+                WHERE NOT (l_discount BETWEEN 0 AND 1)
+                   OR l_discount IS NULL),
+               n_rows
+        FROM n
+        UNION ALL
+        SELECT 'shipdate_not_null',
+               (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL),
+               n_rows
+        FROM n
+        UNION ALL
+        SELECT 'orderkey_in_orders',
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+               n_rows
+        FROM n
+    """,
+}

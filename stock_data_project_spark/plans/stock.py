@@ -748,3 +748,13 @@ from stock_data_project_spark.plans.stock_next import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT)
 ORACLE.update(ORACLE_NEXT)
+
+# r5 build, r6 debut: williams_r / mfi / ulcer_index / linear_interp
+# (registered immediately — staging is window position, not absence)
+from stock_data_project_spark.plans.stock_next2 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT2,
+    QUERIES_NEXT as QUERIES_NEXT2,
+)
+
+QUERIES.update(QUERIES_NEXT2)
+ORACLE.update(ORACLE_NEXT2)

@@ -116,3 +116,12 @@ from stock_data_project_spark.plans.stream_next import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT)
 ORACLE.update(ORACLE_NEXT)
+
+# r5 build, r6 debut: stream_anomaly
+from stock_data_project_spark.plans.stream_next2 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT2,
+    QUERIES_NEXT as QUERIES_NEXT2,
+)
+
+QUERIES.update(QUERIES_NEXT2)
+ORACLE.update(ORACLE_NEXT2)

@@ -669,3 +669,54 @@ def stream_top_event_types(spark: SparkSession, sf_dir: str, k: int = 3) -> Data
         .filter(F.col("rank") <= k)
         .select("window_start", "event_type", "n", "rank")
     )
+
+
+def stream_anomaly_counts(
+    spark: SparkSession, sf_dir: str, threshold: float = 3.0
+) -> DataFrame:
+    """Streaming anomaly gate: each event z-scored against a STATIC
+    per-type profile (mean/std over the history table — at deployment
+    the previous day's profile materialization), rolled up to hourly
+    anomaly counts per type.
+
+    Stream-static broadcast join (the profile is k rows) + a
+    watermarked tumbling aggregation — both sides of the pattern the
+    monitoring tier of a 100 TB ingest runs continuously: the profile
+    refreshes per micro-batch without a restart (static side is
+    re-resolved each batch, like stream_enrich), and state per
+    (window, type) is two counters. The z-score reads the ROUNDED
+    profile columns so the anomaly verdict is engine-stable (the
+    oracle rounds identically)."""
+    from stock_data_project_spark.catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("p_mean"),
+            F.round(F.stddev_samp("value"), 6).alias("p_std"),
+        )
+    )
+    z = F.round(
+        (F.col("value") - F.col("p_mean")) / F.nullif(F.col("p_std"), F.lit(0.0)),
+        6,
+    )
+    agg = (
+        ev.join(F.broadcast(profile), "event_type")
+        .withColumn("is_anomaly", F.abs(z) > threshold)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("is_anomaly").cast("bigint")).alias("n_anomalies"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_anomalies",
+        )
+    )
+    _run_to_memory(agg, "stream_anomaly_counts", "complete")
+    return spark.table("stream_anomaly_counts")

@@ -1,0 +1,121 @@
+"""r5-built keys for the r6 window (stock_next2 / llm_next2 /
+olap_next3 / stream_next2): the SAME value-level DuckDB comparison the
+driver runs, plus the semantic pins the rows-only key needs."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_data_project_spark.plans import (
+    llm_next2,
+    olap_next3,
+    stock_next2,
+    stream_next2,
+)
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import assert_gradable_schema, compare, duckdb_run
+
+ALL_Q = {
+    **stock_next2.QUERIES_NEXT,
+    **llm_next2.QUERIES_NEXT,
+    **olap_next3.QUERIES_NEXT,
+    **stream_next2.QUERIES_NEXT,
+}
+ALL_O = {
+    **stock_next2.ORACLE_NEXT,
+    **llm_next2.ORACLE_NEXT,
+    **olap_next3.ORACLE_NEXT,
+    **stream_next2.ORACLE_NEXT,
+}
+ROWS_ONLY = {"split_counts"}  # xxhash64 membership has no DuckDB twin
+
+
+def test_every_new_key_has_an_oracle():
+    assert set(ALL_Q) - ROWS_ONLY == set(ALL_O)
+
+
+@pytest.mark.parametrize("key", sorted(ALL_Q))
+def test_new_key_parity(spark, key):
+    df = ALL_Q[key](spark, SF_ORACLE)
+    assert_gradable_schema(df, key)
+    assert df.count() > 0, f"{key}: empty result"
+    if key not in ROWS_ONLY:
+        compare(df, duckdb_run(ALL_O[key], SF_ORACLE))
+
+
+def test_split_counts_concentration(spark):
+    """Multinomial concentration: each split's count within ±4·√n of
+    its weight (loose CLT bound, deterministic data so no flake), and
+    the counts partition the corpus exactly."""
+    rows = llm_next2.QUERIES_NEXT["split_counts"](spark, SF_ORACLE).collect()
+    counts = {r["split"]: r["n_docs"] for r in rows}
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    for split, w in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
+        assert abs(counts[split] - w * n) <= 4 * (n**0.5) + 1, (split, counts)
+
+
+def test_contamination_flags_catch_planted_partner(spark):
+    """Every flagged doc shares ≥1 8-token shingle with the eval set
+    by construction; cross-check one flagged doc against a direct
+    DuckDB shingle intersection."""
+    import duckdb
+
+    flagged = (
+        llm_next2.QUERIES_NEXT["contamination_flags"](spark, SF_ORACLE)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert flagged, "expected ≥1 contaminated doc at sf0.01"
+    doc = flagged[0]["doc_id"]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    n = con.sql(
+        rf"""
+        WITH norm AS (
+            SELECT doc_id, string_split(
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') w
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, gs.i, gs.i + 7), ' ') sh
+            FROM norm, LATERAL unnest(generate_series(1, len(w) - 7)) gs(i)
+            WHERE len(w) >= 8
+        )
+        SELECT count(*) FROM sh a JOIN sh b USING (sh)
+        WHERE a.doc_id = {doc} AND b.doc_id % 29 = 0
+        """
+    ).fetchone()[0]
+    assert n >= 1
+
+
+def test_scd2_versions_are_contiguous(spark):
+    """SCD2 invariants: per user, valid_to chains to the next
+    version's valid_from, exactly one NULL-open current version, and
+    versions are dense from 1."""
+    rows = olap_next3.QUERIES_NEXT["scd2_dim"](spark, SF_ORACLE).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [v["version"] for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(v["valid_to"] is None for v in vs) == 1
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"], user
+        assert vs[-1]["valid_to"] is None
+
+
+def test_expectation_gate_clean_data_passes(spark):
+    """The generated TPC-H data satisfies every rule — the gate's
+    zero-violation report is itself the assertion (a rule regression
+    would show up as a nonzero count here before the driver sees
+    it)."""
+    rows = olap_next3.QUERIES_NEXT["expectation_gate"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_violations"] == 0, (r["rule"], r["n_violations"])
+        assert r["n_rows"] > 0
