@@ -1,0 +1,79 @@
+"""Iterative graph analytics on DataFrames: weighted PageRank.
+
+Second member of the iterative-algorithm family (after
+operators/dedup.dedup_clusters' connected components), and subject to
+the same two disciplines:
+
+- ``localCheckpoint(eager=True)`` EVERY iteration: a rank frame that
+  references its predecessor through a join grows the logical plan
+  multiplicatively per round, and Catalyst RE-ANALYSIS (not
+  execution) becomes the cost — checkpointing truncates lineage.
+  (Cluster note: reliable ``checkpoint()`` if executor loss
+  mid-loop must be survivable.)
+- per-iteration 6dp rounding: the in-neighbor contribution sum is a
+  float reduction whose summation order differs between engines;
+  rounding each iteration's output makes every iteration — and
+  therefore the fixpoint trajectory — engine-deterministic, which is
+  what lets the DuckDB oracle replay the exact trajectory with a
+  recursive CTE (same trick as the repo-wide rounding parity rule,
+  applied per step instead of once at the end).
+
+Scale shape per iteration: one hash join of the node-sized rank
+table against the edge list + one groupBy(dst) — both shuffles on
+uniform keys, cost proportional to |E|, no corpus-sized driver
+materialization (the only driver value is the node COUNT). 10
+iterations of a 100 TB edge list are 10 bounded shuffle rounds —
+the same budget the connected-components loop already pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list; returns
+    ``(node, rank)`` for every node that appears as a source.
+
+    Callers must ensure every node has out-degree ≥ 1 (e.g. by
+    symmetrizing the graph) — dangling nodes would otherwise leak
+    rank mass. rank'(v) = round((1−d)/N + d·Σ_u rank(u)·w(u,v)/W(u) with W = out-weight,
+    6dp), iterated ``iters`` times from the uniform vector.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("w_out"))
+    e = e.join(outw, "src").persist()
+    try:
+        nodes = e.select(F.col("src").alias("node")).distinct()
+        n = nodes.count()
+        if n == 0:
+            raise ValueError("pagerank: empty edge list")
+        base = (1.0 - damping) / n
+        ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), 6))
+        ranks = ranks.localCheckpoint(eager=True)
+        for _ in range(iters):
+            contrib = (
+                ranks.join(e, ranks.node == e.src)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w") / F.col("w_out")).alias("s"))
+            )
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                F.round(F.lit(base) + damping * F.col("s"), 6).alias("rank"),
+            )
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        e.unpersist()

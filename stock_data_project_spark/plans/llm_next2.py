@@ -211,3 +211,32 @@ ORACLE_NEXT = {
         GROUP BY source
     """,
 }
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE token accounting: train merge rules on the (bounded,
+    hash-ordered) corpus sample, encode the corpus map-only, report
+    per-doc whitespace vs BPE token counts and the compression ratio.
+    Rows-only: the merge loop is sequential per word, not
+    SQL-expressible; reference-implementation parity + determinism
+    pinned in tests/test_bpe.py."""
+    from stock_data_project_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=200, sample_docs=2000)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.round(
+            F.try_divide(
+                F.col("n_bpe_tokens").cast("double"),
+                F.col("n_ws_tokens").cast("double"),
+            ),
+            6,
+        ).alias("tokens_per_word"),
+    )
+
+
+QUERIES_NEXT["bpe_token_count"] = q_bpe_token_count

@@ -249,12 +249,42 @@ def q_expectation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_rows.unionByName(orphans)
 
 
+def q_user_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the user co-activity graph: an edge
+    joins the users of CONSECUTIVE events in each event_type stream
+    (linear in events — never within-group all-pairs), symmetrized so
+    every node has out-degree >= 1 (operators/graph.pagerank's
+    no-dangling contract), edge weight = co-occurrence count.
+
+    Fully oracled: per-iteration 6dp rounding makes the trajectory
+    engine-deterministic, so the DuckDB twin replays all 10 iterations
+    with a recurring-aggregate recursive CTE (see operators/graph.py
+    for why the Spark loop localCheckpoints each round)."""
+    from stock_data_project_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select("user_id", F.lag("user_id").over(w).alias("prev_user"))
+    p0 = seq.filter(
+        F.col("prev_user").isNotNull() & (F.col("prev_user") != F.col("user_id"))
+    ).select(F.col("prev_user").alias("src"), F.col("user_id").alias("dst"))
+    edges = (
+        p0.unionByName(p0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, damping=0.85, iters=10).select(
+        F.col("node").alias("user_id"), "rank"
+    )
+
+
 QUERIES_NEXT = {
     "scd2_dim": q_scd2_dim,
     "scd2_asof": q_scd2_asof,
     "session_concurrency": q_session_concurrency,
     "data_quality_audit": q_data_quality_audit,
     "expectation_gate": q_expectation_gate,
+    "user_influence": q_user_influence,
 }
 
 _SCD2_SQL = """
@@ -427,5 +457,44 @@ ORACLE_NEXT = {
                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
                n_rows
         FROM n
+    """,
+    # (1.0 - 0.85) spelled as the SUBTRACTION on both engines: the
+    # IEEE result differs from a 0.15 literal in the last bit, and the
+    # per-iteration rounding would amplify that into visible drift
+    "user_influence": """
+        WITH RECURSIVE seq AS (
+            SELECT user_id,
+                   lag(user_id) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS prev_user
+            FROM events
+        ), p0 AS (
+            SELECT prev_user AS src, user_id AS dst FROM seq
+            WHERE prev_user IS NOT NULL AND prev_user <> user_id
+        ), edges AS (
+            SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+            FROM (
+                SELECT src, dst FROM p0
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM p0
+            ) GROUP BY 1, 2
+        ), outw AS (
+            SELECT src, sum(w) AS W FROM edges GROUP BY src
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), nn AS (
+            SELECT count(*) AS n FROM nodes
+        ), pr(iter, node, rank) AS (
+            SELECT 0, node, round(1.0 / (SELECT n FROM nn), 6) FROM nodes
+            UNION ALL
+            SELECT pr.iter + 1, e.dst,
+                   round((1.0 - 0.85) / (SELECT n FROM nn)
+                         + 0.85 * sum(pr.rank * e.w / o.W), 6)
+            FROM pr
+            JOIN edges e ON pr.node = e.src
+            JOIN outw o ON e.src = o.src
+            WHERE pr.iter < 10
+            GROUP BY pr.iter, e.dst
+        )
+        SELECT node AS user_id, rank FROM pr WHERE iter = 10
     """,
 }

@@ -27,7 +27,10 @@ ALL_O = {
     **olap_next3.ORACLE_NEXT,
     **stream_next2.ORACLE_NEXT,
 }
-ROWS_ONLY = {"split_counts"}  # xxhash64 membership has no DuckDB twin
+ROWS_ONLY = {
+    "split_counts",  # xxhash64 membership has no DuckDB twin
+    "bpe_token_count",  # sequential merge loop is not SQL-expressible
+}
 
 
 def test_every_new_key_has_an_oracle():
@@ -107,6 +110,17 @@ def test_scd2_versions_are_contiguous(spark):
         for a, b in zip(vs, vs[1:]):
             assert a["valid_to"] == b["valid_from"], user
         assert vs[-1]["valid_to"] is None
+
+
+def test_user_influence_is_a_distribution(spark):
+    """Rank mass ≈ 1 over the node set (6dp-rounding drift bounded by
+    n·5e-7), every rank positive, and the most-active users outrank
+    the median — the property PageRank exists to measure."""
+    rows = olap_next3.QUERIES_NEXT["user_influence"](spark, SF_ORACLE).collect()
+    ranks = [r["rank"] for r in rows]
+    assert all(r > 0 for r in ranks)
+    assert abs(sum(ranks) - 1.0) < len(ranks) * 5e-7 + 1e-3
+    assert max(ranks) > sorted(ranks)[len(ranks) // 2]
 
 
 def test_expectation_gate_clean_data_passes(spark):
