@@ -39,8 +39,29 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan_audit", extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs = all_queries()
+    # the r5-built r6-window keys (batch only: stream_* keys RUN their
+    # query when invoked — the streaming plans are pinned by
+    # tests/test_streaming.py instead)
+    extra = (
+        "williams_r",
+        "mfi",
+        "ulcer_index",
+        "linear_interp",
+        "frequent_tokens",
+        "contamination_flags",
+        "bigram_logprob",
+        "capped_counts",
+        "split_counts",
+        "scd2_dim",
+        "scd2_asof",
+        "session_concurrency",
+        "data_quality_audit",
+        "expectation_gate",
+        "user_influence",
+        "bpe_token_count",
+    )
     out = {}
-    for name in HEADLINE:
+    for name in tuple(HEADLINE) + extra:
         try:
             plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
             out[name] = audit(plan)
@@ -57,6 +78,14 @@ def main() -> None:
         # join against the 32-row per-partition-count table — a
         # deliberate metadata-sized broadcast (test_rank pins it)
         "ntile_deciles",
+        # 1-row scalar-aggregate crossJoins (the documented class —
+        # same shape as olap.py's threshold scalars): heavy_hitters'
+        # total-token count, the audit's per-column distinct scalars,
+        # the gate's n_rows scalar. A BNL against one broadcast row
+        # is a constant-cost bind, not a cross-product hazard.
+        "frequent_tokens",
+        "data_quality_audit",
+        "expectation_gate",
     }
     flagged = [
         k
