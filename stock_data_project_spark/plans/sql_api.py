@@ -94,3 +94,49 @@ ORACLE = {
         ORDER BY date
     """,
 }
+
+
+_DECAYED_SQL = """
+    WITH RECURSIVE m AS (
+        SELECT event_type,
+               date_trunc('day', ts) AS day_start,
+               CAST(round(sum(value), 6) AS DECIMAL(18,6)) AS revenue
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, day_start, revenue,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY day_start) AS INT) AS rn
+        FROM m
+    ), rec(event_type, day_start, rn, decayed) AS (
+        SELECT event_type, day_start, rn, revenue FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.day_start, s.rn,
+               CAST(round(r.decayed * CAST(0.9 AS DECIMAL(2,1))
+                          + s.revenue, 6) AS DECIMAL(18,6))
+        FROM rec r JOIN seq s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, day_start, rn,
+           CAST(decayed AS DOUBLE) AS decayed
+    FROM rec
+"""
+
+
+def q_sql_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed daily revenue via WITH RECURSIVE
+    (Spark 4's recursive CTE surface): carry' = round(0.9·carry +
+    day_revenue, 6) — an EMA-class recurrence that plain window
+    frames cannot express (the reason macd/wilder_rsi are
+    applyInPandas rows-only keys), made SQL-expressible and therefore
+    FULLY oracled: the oracle is the IDENTICAL query text, and the
+    per-step rounding makes the recursion trajectory
+    engine-deterministic (the user_influence trick applied to a
+    linear recursion). Linear recursion — one row per (type, day)
+    per step, no path explosion; Spark supports UNION ALL recursion
+    only, which this is."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DECAYED_SQL)
+
+
+QUERIES["sql_decayed_revenue"] = q_sql_decayed_revenue
+ORACLE["sql_decayed_revenue"] = _DECAYED_SQL
