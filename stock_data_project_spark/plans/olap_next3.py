@@ -295,6 +295,26 @@ def q_user_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff, graded: "yesterday's" daily-bars rollup
+    (events with event_id % 50 != 0 — a 2% late-arriving-data
+    simulation) diffed against today's full rollup via
+    operators/cdc.snapshot_diff. Days that received late events
+    surface as updates; days whose every event was late surface as
+    inserts; deletes are structurally impossible here (the old event
+    set is a subset) and the oracle proves that by construction.
+    The oracle compares value columns DIRECTLY (no hash), so a
+     2^-64 row-hash collision on the Spark side would fail parity —
+    the check doubles as the collision audit."""
+    from stock_data_project_spark.operators.cdc import snapshot_diff
+    from stock_data_project_spark.operators.series import daily_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    old = daily_bars(ev.filter(F.col("event_id") % 50 != 0))
+    new = daily_bars(ev)
+    return snapshot_diff(old, new, ["series_key", "date"])
+
+
 QUERIES_NEXT = {
     "scd2_dim": q_scd2_dim,
     "scd2_asof": q_scd2_asof,
@@ -302,6 +322,7 @@ QUERIES_NEXT = {
     "data_quality_audit": q_data_quality_audit,
     "expectation_gate": q_expectation_gate,
     "user_influence": q_user_influence,
+    "snapshot_delta": q_snapshot_delta,
 }
 
 _SCD2_SQL = """
@@ -513,5 +534,58 @@ ORACLE_NEXT = {
             GROUP BY pr.iter, e.dst
         )
         SELECT node AS user_id, rank FROM pr WHERE iter = 10
+    """,
+    # direct column comparison (no hash) — see q_snapshot_delta doc
+    "snapshot_delta": """
+        WITH 
+bars_old AS (
+    SELECT event_type AS series_key,
+           date_trunc('day', ts) AS date,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           count(*) AS volume,
+           round(sum(value), 6) AS turnover
+    FROM events WHERE event_id % 50 <> 0
+    GROUP BY 1, 2
+),
+bars_new AS (
+    SELECT event_type AS series_key,
+           date_trunc('day', ts) AS date,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           count(*) AS volume,
+           round(sum(value), 6) AS turnover
+    FROM events 
+    GROUP BY 1, 2
+),
+        j AS (
+            SELECT coalesce(n.series_key, o.series_key) AS series_key,
+                   coalesce(n.date, o.date) AS date,
+                   CASE WHEN o.series_key IS NULL THEN 'insert'
+                        WHEN n.series_key IS NULL THEN 'delete'
+                        WHEN (o.open IS DISTINCT FROM n.open)
+                          OR (o.high IS DISTINCT FROM n.high)
+                          OR (o.low IS DISTINCT FROM n.low)
+                          OR (o.close IS DISTINCT FROM n.close)
+                          OR (o.volume IS DISTINCT FROM n.volume)
+                          OR (o.turnover IS DISTINCT FROM n.turnover)
+                        THEN 'update' END AS change_kind,
+                   CASE WHEN n.series_key IS NULL THEN o.open ELSE n.open END AS open,
+                   CASE WHEN n.series_key IS NULL THEN o.high ELSE n.high END AS high,
+                   CASE WHEN n.series_key IS NULL THEN o.low ELSE n.low END AS low,
+                   CASE WHEN n.series_key IS NULL THEN o.close ELSE n.close END AS close,
+                   CASE WHEN n.series_key IS NULL THEN o.volume ELSE n.volume END AS volume,
+                   CASE WHEN n.series_key IS NULL THEN o.turnover ELSE n.turnover END AS turnover
+            FROM bars_old o
+            FULL OUTER JOIN bars_new n
+              ON o.series_key = n.series_key AND o.date = n.date
+        )
+        SELECT series_key, date, open, high, low, close, volume,
+               turnover, change_kind
+        FROM j WHERE change_kind IS NOT NULL
     """,
 }
