@@ -59,6 +59,8 @@ def main() -> None:
         "expectation_gate",
         "user_influence",
         "bpe_token_count",
+        "snapshot_delta",
+        "sql_decayed_revenue",
     )
     out = {}
     for name in tuple(HEADLINE) + extra:
