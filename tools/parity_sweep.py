@@ -35,19 +35,11 @@ def main() -> int:
     qs, oq = all_queries(), all_oracles()
     # staged *_next keys sweep too — they are one round from debut,
     # and this sweep (not sf0.01) is what catches the
-    # sampling-dependent class (distributed_ntile, r3)
-    from stock_data_project_spark.plans import (  # noqa: E402
-        llm_next,
-        olap_next2,
-        stock_next,
-        stream_next,
-    )
-
-    for m in (llm_next, olap_next2, stock_next, stream_next):
-        for k, fn in m.QUERIES_NEXT.items():
-            assert k not in qs, f"staged key {k} already live"
-            qs[k] = fn
-        oq.update(m.ORACLE_NEXT)
+    # sampling-dependent class (distributed_ntile, r3).
+    # Since r5 every implemented key is registered in all_queries()
+    # (staging is window position, not absence), so there is no
+    # separate staged set to merge — the sweep covers everything by
+    # construction.
     ok, fails = 0, []
     for key in sorted(oq):
         try:
