@@ -18,7 +18,10 @@ Scale split (the same train/apply asymmetry as pq_fit / ivf_fit):
   merge ranks ship in the kernel closure (like the IVF centroid
   matrix), each Arrow batch tokenizes with a per-worker word→tokens
   memo (natural-language word distributions are Zipfian, so the memo
-  hit rate approaches 1). Every input column is carried through.
+  hit rate approaches 1). Output is ``(id_col, text_col,
+  n_ws_tokens, n_bpe_tokens)`` — join back on ``id_col`` to attach
+  other columns (keeping the Arrow transfer to the two columns the
+  kernel reads is the point of the narrow output).
 
 Determinism: the sample is hash-ordered, merge ties break
 lexicographically, and encoding is a pure function of (text, merges)
@@ -112,8 +115,11 @@ def bpe_train(
         .orderBy("_h")
         .limit(sample_docs)
         .toPandas()
-        .sort_values("_h")
     )
+    # no driver-side re-sort needed: word-frequency accumulation is
+    # commutative and merge ties break by rule, so training is
+    # row-order-independent (unlike pq_fit, whose init reads rows
+    # positionally)
     merges = _train_merges(_word_freqs(list(sample["_t"])), n_merges)
     if not merges:
         raise ValueError("bpe_train: empty sample or no mergeable pairs")

@@ -69,9 +69,17 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("w") / F.col("w_out")).alias("s"))
             )
-            ranks = contrib.select(
-                F.col("dst").alias("node"),
-                F.round(F.lit(base) + damping * F.col("s"), 6).alias("rank"),
+            # left join from the node set: a zero-IN-degree node (legal
+            # under the out-degree contract on an asymmetric graph)
+            # keeps its base rank instead of silently vanishing from
+            # the output after iteration 1 (r5 review finding)
+            ranks = nodes.join(
+                contrib, nodes.node == contrib.dst, "left"
+            ).select(
+                nodes.node,
+                F.round(
+                    F.lit(base) + damping * F.coalesce(F.col("s"), F.lit(0.0)), 6
+                ).alias("rank"),
             )
             ranks = ranks.localCheckpoint(eager=True)
         return ranks

@@ -66,7 +66,12 @@ def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    # island as tie-break: two islands of one user can share a
+    # valid_from when consecutive events carry identical timestamps;
+    # islands are ts-ordered by construction, so (valid_from, island)
+    # is deterministic on both engines and keeps the asof left side
+    # unique per (key, time) (r5 review finding)
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "island")
     return dim.select(
         "user_id",
         "tier",
@@ -165,8 +170,13 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_cols = _NUM_COLS + _STR_COLS + _TS_COLS
     nd = None
     for c in all_cols:
+        # NULL excluded to match count(DISTINCT col) semantics — the
+        # oracle's and SQL's; a bare groupBy would count the NULL
+        # group as a distinct value and diverge the first time a
+        # regenerated dataset contains one (r5 review finding)
         d = (
             li.select(c)
+            .filter(F.col(c).isNotNull())
             .groupBy(c)
             .agg(F.lit(1))
             .agg(F.count(F.lit(1)).alias(f"{c}__nd"))
@@ -258,7 +268,9 @@ def q_expectation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .agg(F.count(F.lit(1)).alias("n_violations"))
-        .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n_rows"))))
+        # reuse the conditional-agg scan's count — no third lineitem
+        # pass just to recount rows (r5 review finding)
+        .crossJoin(F.broadcast(wide.select(F.col("__n").alias("n_rows"))))
         .select(
             F.lit("orderkey_in_orders").alias("rule"), "n_violations", "n_rows"
         )
@@ -358,7 +370,7 @@ versions AS (
            n_events,
            CAST(row_number() OVER wv AS INT) AS version
     FROM dim
-    WINDOW wv AS (PARTITION BY user_id ORDER BY valid_from)
+    WINDOW wv AS (PARTITION BY user_id ORDER BY valid_from, island)
 )"""
 
 ORACLE_NEXT = {

@@ -709,7 +709,13 @@ def stream_anomaly_counts(
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("is_anomaly").cast("bigint")).alias("n_anomalies"),
+            # coalesce: a group whose every z is NULL (single-row or
+            # constant-valued type profile → p_std NULL/0) must report
+            # 0 like the oracle's CASE...ELSE 0, not NULL (sum over
+            # all-NULLs; r5 review finding)
+            F.coalesce(
+                F.sum(F.col("is_anomaly").cast("bigint")), F.lit(0)
+            ).alias("n_anomalies"),
         )
         .select(
             F.col("win.start").alias("window_start"),

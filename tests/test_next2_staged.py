@@ -133,3 +133,18 @@ def test_expectation_gate_clean_data_passes(spark):
     for r in rows:
         assert r["n_violations"] == 0, (r["rule"], r["n_violations"])
         assert r["n_rows"] > 0
+
+
+def test_pagerank_keeps_zero_indegree_nodes(spark):
+    """Asymmetric graph satisfying the out-degree contract: a node
+    nothing points at must converge to the base rank, not vanish
+    after iteration 1 (r5 review finding)."""
+    from stock_data_project_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 2, 1)], "src long, dst long, w long"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert abs(out[1] - (1 - 0.85) / 3) < 1e-6  # base rank, no in-edges
+    assert out[2] > out[1] and out[3] > out[1]
