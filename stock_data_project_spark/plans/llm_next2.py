@@ -240,3 +240,48 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_NEXT["bpe_token_count"] = q_bpe_token_count
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing graded on its rollup observable: pack the
+    corpus into 2048-token bins (operators/packing.pack_sequences —
+    per-hash-group FFD, one exchange, deterministic bins) and report
+    bin count / fill. Rows-only: FFD is inherently sequential per
+    group, not SQL-expressible; determinism + budget invariants are
+    pinned in tests/test_packing.py."""
+    from stock_data_project_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=2048)
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("has_oversize").cast("bigint").alias("n_oversize_bins"),
+        F.round(F.avg(F.col("fill") / 2048.0), 6).alias("avg_fill_ratio"),
+        F.max("fill").alias("max_fill"),
+    )
+
+
+def q_remix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain re-mixing graded on per-domain admitted counts: remix to
+    a 50/30/20 three-source target (operators/sampling.remix_corpus —
+    map-only purpose-salted keeps, no up-sampling, the k-row domain
+    count is the only shuffle). Rows-only: membership is an xxhash64
+    function DuckDB cannot replay; mixture convergence is pinned in
+    tests/test_sampling.py."""
+    from stock_data_project_spark.operators.sampling import remix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = remix_corpus(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+QUERIES_NEXT["pack_stats"] = q_pack_stats
+QUERIES_NEXT["remix_counts"] = q_remix_counts

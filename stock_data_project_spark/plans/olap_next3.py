@@ -327,6 +327,29 @@ def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["series_key", "date"])
 
 
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key salting machinery graded on result invariance:
+    orders ⋈ customer via operators/skew.salted_join (8-way key
+    split — build side replicated, probe side hash-salted), rolled up
+    to revenue per (segment, priority). The oracle is the PLAIN join:
+    salting must be invisible in the result, which is exactly the
+    property worth a driver row (at 100 TB the salt spreads one hot
+    customer across 8 tasks instead of one straggler)."""
+    from stock_data_project_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    j = salted_join(orders, cust.select("custkey", "c_mktsegment"), "custkey")
+    return j.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 QUERIES_NEXT = {
     "scd2_dim": q_scd2_dim,
     "scd2_asof": q_scd2_asof,
@@ -335,6 +358,7 @@ QUERIES_NEXT = {
     "expectation_gate": q_expectation_gate,
     "user_influence": q_user_influence,
     "snapshot_delta": q_snapshot_delta,
+    "salted_join_revenue": q_salted_join_revenue,
 }
 
 _SCD2_SQL = """
@@ -599,5 +623,13 @@ bars_new AS (
         SELECT series_key, date, open, high, low, close, volume,
                turnover, change_kind
         FROM j WHERE change_kind IS NOT NULL
+    """,
+    # the plain join IS the oracle: salting must not change results
+    "salted_join_revenue": """
+        SELECT c_mktsegment, o_orderpriority,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
     """,
 }

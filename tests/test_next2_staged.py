@@ -30,6 +30,8 @@ ALL_O = {
 ROWS_ONLY = {
     "split_counts",  # xxhash64 membership has no DuckDB twin
     "bpe_token_count",  # sequential merge loop is not SQL-expressible
+    "pack_stats",  # per-group FFD is sequential, not SQL-expressible
+    "remix_counts",  # xxhash64 membership has no DuckDB twin
 }
 
 
