@@ -11,6 +11,7 @@ keep using file paths.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def configure_s3a(
@@ -179,6 +180,78 @@ def write_sorted(
     (
         df.repartitionByRange(n_files, *cols)
         .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    z_cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column clustered parquet via a Morton (Z-order) curve —
+    the k-dimensional completion of ``write_sorted``.
+
+    ``write_sorted`` makes ONE column's per-file ranges disjoint; a
+    second filter column still spans the whole domain in every file.
+    Interleaving the bits of each column's bucket index into one
+    z-value and range-writing on THAT gives every z_col a per-file
+    range of roughly domain/files^(1/k): a predicate on ANY of the
+    k columns prunes files (the table-format Z-ORDER recipe, e.g.
+    the Delta/Iceberg OPTIMIZE ZORDER BY semantics, expressed with
+    plain codegen bit arithmetic — shiftleft/shiftright/bitwiseAND —
+    and one range exchange).
+
+    Bucketing is UNIFORM over each column's [min, max] (one tiny
+    min/max agg job; the bucket transform itself is codegen
+    width-bucket arithmetic). Heavily skewed columns therefore
+    cluster less evenly than an equi-depth bucketing would — the
+    documented trade for keeping the map side expression-only;
+    pre-transform a skewed column (log, rank) if pruning on it
+    matters. NULLs bucket to 0 (the first file range).
+
+    tests/test_scale_layout.py verifies on parquet FOOTERS that each
+    z column's mean per-file fractional range is well under 1, while
+    a 1-D sorted write leaves the OTHER column's ranges near-total.
+    """
+    if not 1 <= len(z_cols) <= 4:
+        raise ValueError("write_zordered: 1-4 z_cols supported")
+    if bits * len(z_cols) > 62:
+        raise ValueError("write_zordered: bits * len(z_cols) must be <= 62")
+    k = len(z_cols)
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in z_cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in z_cols],
+    ).collect()[0]
+    n_buckets = 1 << bits
+    bucket_cols = []
+    for c in z_cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            b = F.lit(0).cast("long")
+        else:
+            scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+            b = F.least(
+                F.floor(scaled * n_buckets).cast("long"), F.lit(n_buckets - 1)
+            )
+        bucket_cols.append(F.coalesce(b, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, b in enumerate(bucket_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * k + i
+                )
+            )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode(mode)
         .parquet(path)
     )

@@ -162,3 +162,73 @@ def test_cell_partitioned_codes_prune_at_scan(spark, tmp_path):
     n_all = back.count()
     n_probed = probed.count()
     assert 0 < n_probed < n_all
+
+
+def test_write_zordered_prunes_both_dimensions(spark):
+    """Z-order contract on the parquet FOOTERS: with two z columns,
+    EACH column's mean per-file fractional range is well below 1,
+    while a 1-D sorted write leaves the other column's ranges
+    near-total. (16 files so the curve has room to localize both
+    dimensions.)"""
+    import pyarrow.parquet as pq
+
+    from stock_data_project_spark.sources.writers import write_sorted, write_zordered
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def mean_frac_range(path, col_name):
+        fracs, los, his = [], [], []
+        metas = []
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                metas.append(pq.read_metadata(os.path.join(path, f)))
+        col = metas[0].schema.to_arrow_schema().get_field_index(col_name)
+        per_file = []
+        for md in metas:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            per_file.append((min(mins), max(maxs)))
+        glo = min(lo for lo, _ in per_file)
+        ghi = max(hi for _, hi in per_file)
+        span = (ghi - glo) or 1
+        return sum((hi - lo) / span for lo, hi in per_file) / len(per_file)
+
+    with tempfile.TemporaryDirectory() as d:
+        z_path = os.path.join(d, "z")
+        s_path = os.path.join(d, "s")
+        write_zordered(ev, z_path, ["event_id", "user_id"], n_files=16)
+        write_sorted(ev, s_path, "event_id", n_files=16)
+        # 1-D sort: first column tightly clustered, second near-total
+        assert mean_frac_range(s_path, "event_id") < 0.15
+        assert mean_frac_range(s_path, "user_id") > 0.8
+        # z-order: BOTH columns localized (≈ 1/sqrt(16) ideal = 0.25;
+        # allow curve-boundary slack)
+        assert mean_frac_range(z_path, "event_id") < 0.6
+        assert mean_frac_range(z_path, "user_id") < 0.6
+        # and both strictly better than the 1-D write's weak axis
+        assert mean_frac_range(z_path, "user_id") < mean_frac_range(
+            s_path, "user_id"
+        )
+
+
+def test_write_zordered_roundtrip_and_guards(spark):
+    from stock_data_project_spark.sources.writers import write_zordered
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "z")
+        write_zordered(ev, p, ["event_id", "user_id"], n_files=4)
+        back = spark.read.parquet(p)
+        assert back.count() == ev.count()
+        assert set(back.columns) == {"event_id", "user_id"}  # _z dropped
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        write_zordered(ev, "/tmp/never", ["event_id", "user_id"], bits=32)
+    with pytest.raises(ValueError, match="z_cols"):
+        write_zordered(ev, "/tmp/never", [])
