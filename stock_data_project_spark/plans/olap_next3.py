@@ -26,11 +26,11 @@ tests/test_next2_staged.py.
   hour) keeps it one uniform-key shuffle — the same
   bucket-decomposition as operators/rangejoin.py, with explode
   factor bounded by session duration.
-- ``data_quality_audit`` — one-scan column profile of lineitem:
-  per-column nulls, exact distincts, min/max (numerics as doubles,
-  timestamps as epoch-micros, strings lexicographic). Exact
-  count_distinct here for oracle parity (Spark expands the
-  multi-distinct agg internally — still one scan); at 100 TB swap
+- ``data_quality_audit`` — column profile of lineitem: per-column
+  nulls, exact distincts, min/max (numerics as doubles, timestamps
+  as epoch-micros, strings lexicographic). Exact distincts run as
+  one column-PRUNED scan each (see the function doc for the
+  measured 8× win over the multi-distinct EXPAND); at 100 TB swap
   approx_count_distinct per the approx_stats key.
 - ``expectation_gate`` — rule-based constraint check (range rules in
   one conditional-agg scan + a referential anti-join), reporting
