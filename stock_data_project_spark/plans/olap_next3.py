@@ -51,35 +51,12 @@ _TIER_WIDTH = 50.0
 
 
 def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wr = w.rowsBetween(Window.unboundedPreceding, 0)
-    tier = F.floor(F.col("value") / _TIER_WIDTH).cast("int")
-    df = ev.withColumn("tier", tier)
-    change = F.when(
-        F.lag("tier").over(w).isNull()
-        | (F.col("tier") != F.lag("tier").over(w)),
-        1,
-    ).otherwise(0)
-    runs = df.withColumn("island", F.sum(change).over(wr))
-    dim = runs.groupBy("user_id", "island", "tier").agg(
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    # island as tie-break: two islands of one user can share a
-    # valid_from when consecutive events carry identical timestamps;
-    # islands are ts-ordered by construction, so (valid_from, island)
-    # is deterministic on both engines and keeps the asof left side
-    # unique per (key, time) (r5 review finding)
-    wv = Window.partitionBy("user_id").orderBy("valid_from", "island")
-    return dim.select(
-        "user_id",
-        "tier",
-        "valid_from",
-        F.lead("valid_from").over(wv).alias("valid_to"),
-        "n_events",
-        F.row_number().over(wv).alias("version"),
-    )
+    """Shared implementation: operators/scd2.scd2_build (the same
+    runs+merge decomposition the streaming incremental maintainer
+    replays — one island implementation, per the repo rule)."""
+    from stock_data_project_spark.operators.scd2 import scd2_build
+
+    return scd2_build(load_table(spark, sf_dir, "events"))
 
 
 def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:

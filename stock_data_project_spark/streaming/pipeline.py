@@ -726,3 +726,121 @@ def stream_anomaly_counts(
     )
     _run_to_memory(agg, "stream_anomaly_counts", "complete")
     return spark.table("stream_anomaly_counts")
+
+
+# --- incremental SCD2 maintenance: the dimension stays current -----
+
+_SCD2_POINTER = "_scd2_last_epoch"
+
+
+def _scd2_committed(out_dir: str) -> tuple[int, str | None]:
+    """(epoch, data_dir) of the last committed SCD2 snapshot — same
+    loud-failure contract as ``_committed`` (an unreadable pointer is
+    corruption, never 'no data')."""
+    ptr = os.path.join(out_dir, _SCD2_POINTER)
+    if not os.path.exists(ptr):
+        return -1, None
+    with open(ptr) as fh:
+        raw = fh.read().strip()
+    try:
+        epoch_s, dirname = raw.split("\t")
+        epoch = int(epoch_s)
+    except ValueError:
+        raise RuntimeError(
+            f"unparseable scd2 pointer {ptr} ({raw!r}); reset "
+            "pointer+checkpoint+data dirs together or none"
+        ) from None
+    data_dir = os.path.join(out_dir, dirname)
+    if not os.path.isdir(data_dir):
+        raise RuntimeError(
+            f"scd2 pointer names missing data dir {data_dir}; out_dir "
+            "is corrupt — reset pointer+checkpoint+data dirs together"
+        )
+    return epoch, data_dir
+
+
+def scd2_upsert_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """One micro-batch of incremental SCD2 maintenance.
+
+    The mergeable-partial-state trick of ``upsert_bars_batch`` applied
+    to validity intervals (operators/scd2.py module doc): committed
+    VERSIONS of the batch's users convert back to runs, union with the
+    batch's event runs, and ``merge_runs`` re-coalesces — a batch
+    boundary that split a same-tier run in half heals, versions and
+    valid_to re-chain. Untouched users' rows are carried over via
+    anti join (at scale: partition the state by a user bucket and
+    rewrite only affected buckets). Same crash-safe pointer commit as
+    the star upsert; replayed epochs are no-ops.
+
+    Requires per-user event time non-decreasing across batches (an
+    append-only log split on time); late data needs a per-user
+    rebuild — the caveat every SCD2 MERGE pipeline carries.
+    """
+    from stock_data_project_spark.operators.scd2 import merge_runs, scd2_runs
+
+    committed_epoch, committed_dir = _scd2_committed(out_dir)
+    if epoch_id <= committed_epoch:
+        return
+    sp = batch.sparkSession
+    new_runs = scd2_runs(batch)
+    if committed_dir:
+        state = sp.read.parquet(committed_dir)
+        affected = new_runs.select("user_id").distinct()
+        old_runs = (
+            state.join(affected, "user_id", "left_semi")
+            .select(
+                "user_id",
+                "tier",
+                "valid_from",
+                "n_events",
+                # versions are time-ordered; reuse as the island
+                # tie-break for equal valid_from
+                F.col("version").alias("island"),
+            )
+        )
+        untouched = state.join(affected, "user_id", "left_anti")
+        merged = merge_runs(old_runs.unionByName(new_runs.select(
+            "user_id", "tier", "valid_from", "n_events", "island"
+        )))
+        out = untouched.unionByName(merged)
+    else:
+        out = merge_runs(new_runs)
+    data_dir = os.path.join(out_dir, f"scd2_{epoch_id}")
+    out.write.mode("overwrite").parquet(data_dir)
+    ptr_tmp = os.path.join(out_dir, f".{_SCD2_POINTER}.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(f"{epoch_id}\t{os.path.basename(data_dir)}")
+    os.rename(ptr_tmp, os.path.join(out_dir, _SCD2_POINTER))  # THE commit
+    import shutil
+
+    keep = {os.path.basename(data_dir)}
+    if committed_dir:
+        keep.add(os.path.basename(committed_dir))  # readers' grace window
+    for name in os.listdir(out_dir):
+        if name.startswith("scd2_") and name not in keep:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+
+def run_incremental_scd2(
+    spark: SparkSession, in_dir: str, out_dir: str, checkpoint: str
+) -> None:
+    """Incremental SCD2 over an event drop directory: each new
+    parquet file becomes a micro-batch merged into the committed
+    dimension. Drive with ``processAllAvailable`` + ``stop`` per drop
+    (the test pattern) or leave running against a live directory."""
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: scd2_upsert_batch(b, e, out_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,70 @@
+"""Incremental SCD2 maintenance: N time-split drops streamed through
+run_incremental_scd2 must equal the batch scd2_build over all events
+— including run-split-across-batch healing — and a replayed run must
+be a no-op."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.scd2 import scd2_build
+from stock_data_project_spark.streaming.pipeline import (
+    _scd2_committed,
+    run_incremental_scd2,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _sorted_rows(df):
+    return sorted(
+        map(tuple, df.select(
+            "user_id", "tier", "valid_from", "valid_to", "n_events", "version"
+        ).collect())
+    )
+
+
+def test_incremental_scd2_equals_batch(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    # three drops split on GLOBAL time — the append-only-per-user
+    # contract; boundaries fall mid-run for many users, exercising
+    # the merge_runs healing path
+    qs = ev.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    with tempfile.TemporaryDirectory() as d:
+        drops = os.path.join(d, "drops")
+        out = os.path.join(d, "state")
+        ck = os.path.join(d, "ck")
+        os.makedirs(drops)
+        os.makedirs(out)
+        splits = [
+            ev.filter(F.col("event_id") <= qs[0]),
+            ev.filter((F.col("event_id") > qs[0]) & (F.col("event_id") <= qs[1])),
+            ev.filter(F.col("event_id") > qs[1]),
+        ]
+        # event_id is assigned in ts order by the generator, so the
+        # id-thirds are time-thirds; assert the contract anyway
+        for a, b in zip(splits, splits[1:]):
+            amax = a.agg(F.max("ts")).collect()[0][0]
+            bmin = b.agg(F.min("ts")).collect()[0][0]
+            assert amax <= bmin
+        for i, part in enumerate(splits):
+            # one file per drop; write to a tmp subdir then move the
+            # parquet in so the stream sees whole files only
+            tmp = os.path.join(d, f"w{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.rename(os.path.join(tmp, src), os.path.join(drops, f"drop_{i}.parquet"))
+            run_incremental_scd2(spark, drops, out, ck)
+
+        epoch, data_dir = _scd2_committed(out)
+        assert epoch >= 2 and data_dir
+        final = spark.read.parquet(data_dir)
+        expected = scd2_build(ev)
+        assert _sorted_rows(final) == _sorted_rows(expected)
+
+        # replay: re-running with nothing new must not move the pointer
+        run_incremental_scd2(spark, drops, out, ck)
+        assert _scd2_committed(out)[0] == epoch
