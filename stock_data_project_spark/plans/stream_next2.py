@@ -10,10 +10,14 @@ stream_anomaly_counts has the scale notes). Registered immediately
 
 from __future__ import annotations
 
-from stock_data_project_spark.streaming.pipeline import stream_anomaly_counts
+from stock_data_project_spark.streaming.pipeline import (
+    stream_anomaly_counts,
+    stream_scd2_dim,
+)
 
 QUERIES_NEXT = {
     "stream_anomaly": stream_anomaly_counts,
+    "stream_scd2": stream_scd2_dim,
 }
 
 # profile mean/std rounded 6dp on both sides; z reads the rounded
@@ -36,3 +40,11 @@ ORACLE_NEXT = {
         GROUP BY 1, 2
     """,
 }
+
+# the incremental maintainer's contract IS equality with the batch
+# build, so its oracle is scd2_dim's own oracle verbatim
+from stock_data_project_spark.plans.olap_next3 import (  # noqa: E402
+    ORACLE_NEXT as _OLAP3_ORACLE,
+)
+
+ORACLE_NEXT["stream_scd2"] = _OLAP3_ORACLE["scd2_dim"]
