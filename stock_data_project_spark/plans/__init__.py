@@ -26,73 +26,74 @@ from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 # set is reviewable as one diff. Keys beyond the list follow in module
 # order. New keys MUST debut inside the list in their round.
 #
-# r5 window (50): the 25 debut slots SURVEY §5 committed to — the two
-# r2-stale deferrals first, then every key graduating from the four
-# *_next staging modules (llm_next 8, stock_next 7, olap_next2 6,
-# stream_next 2) — followed by 25 re-grades oldest-evidence-first: the
-# stock family's r3 rows are the oldest remaining. Stock has 27 such
-# keys for 25 slots: `dim_country` (a constant dim with zero testdata
-# exposure) and `macd` (rows-only; pandas-parity-tested in-repo and
-# driver-smoke-checked each round) are DEFERRED to r6, named in
-# SURVEY §5. The r3 llm/olap rows (tpch_q12/q13/q17, approx_stats,
-# dedup/ann/text family) re-grade in r6 after them.
+# r6 window (50): the 23 prebuilt-r5 debuts first (stock_next2 4,
+# llm_next2 8, olap_next3 8, sql_api 1, stream_next2 2), then the two
+# named r5 deferrals (dim_country, macd), then re-grades
+# oldest-evidence-first: the llm family's 17 r3 rows and olap's
+# tpch_q12/q13/q17 + approx_stats (r3). The two r4 rows-only keys
+# (embedding_dedup_ivf, ann_ivf) overflow — DEFERRED to r7, named in
+# SURVEY §5, along with the remaining r4 olap/stream re-grades.
 _GRADE_ORDER = [
-    # r2-stale deferrals — re-grade first (SURVEY §5 commitment)
-    "customers_with_orders",
-    "distinct_parts_per_supplier",
-    # llm_next debuts
-    "pii_scrub",
-    "line_dedup",
-    "dedup_clusters",
-    "unigram_logprob",
-    "near_dup_removal",
-    "dup_span_coverage",
-    "ann_pq",
-    "ann_ivfpq",
-    # stock_next debuts
-    "atr",
-    "stochastic",
-    "obv",
-    "donchian",
-    "zscore_anomaly",
-    "pivot_points",
-    "vwap",
-    # olap_next2 debuts
-    "grouping_sets_sales",
-    "revenue_share",
-    "monthly_running_revenue",
-    "range_join_clicks",
-    "props_variant",
-    "hll_rollup",
-    # stream_next debuts
-    "stream_ohlc_bars",
-    "stream_topk",
-    # re-grades: stock family, r3 evidence (module order)
-    "top_movers",
-    "hourly_profile",
-    "weekly_bars",
-    "return_correlation",
-    "rolling_correlation",
-    "gap_fill",
-    "range_window_avg",
-    "market_beta",
-    "wilder_rsi",
-    "adj_close_returns",
-    "dim_date",
-    "dim_entity",
-    "fact_build",
-    "daily_return",
-    "log_return",
-    "rolling_volatility",
-    "filter_range",
-    "annual_join",
-    "ohlc_daily",
-    "sma_cross",
-    "cumulative_return",
-    "drawdown",
-    "bollinger",
-    "rsi",
-    "incremental_watermark",
+    # olap_next3 debuts (SCD2 + warehouse audit family)
+    "scd2_dim",
+    "scd2_asof",
+    "session_concurrency",
+    "data_quality_audit",
+    "expectation_gate",
+    "user_influence",
+    "snapshot_delta",
+    "salted_join_revenue",
+    # sql_api debut (recursive-CTE EMA)
+    "sql_decayed_revenue",
+    # stock_next2 debuts
+    "williams_r",
+    "mfi",
+    "ulcer_index",
+    "linear_interp",
+    # llm_next2 debuts
+    "frequent_tokens",
+    "contamination_flags",
+    "bigram_logprob",
+    "capped_counts",
+    "split_counts",
+    "bpe_token_count",
+    "pack_stats",
+    "remix_counts",
+    # stream_next2 debuts
+    "stream_anomaly",
+    "stream_scd2",
+    # r5 named deferrals
+    "dim_country",
+    "macd",
+    # re-grades: llm family, r3 evidence (module order)
+    "tfidf_top_terms",
+    "clean_corpus",
+    "embedding_dedup",
+    "media_pipeline",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh",
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "doc_winnow",
+    "gopher_quality",
+    "ngram_repetition",
+    # re-grades: olap, r3 evidence
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q17",
+    "approx_stats",
+    # re-grades: r4 rows-only llm keys (next-oldest evidence)
+    "embedding_dedup_ivf",
+    "ann_ivf",
+    # slots 49-50: the two r6 debuts built this round
+    # (quantile_rollup, scd2_late_gate) are appended here once
+    # implemented, bringing the explicit window to exactly 50
 ]
 
 _MODULES = (stock, llm, olap, sql_api, stream)
