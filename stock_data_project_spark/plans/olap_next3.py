@@ -67,7 +67,16 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup: each purchase fact joined to the tier
     version valid at its timestamp (see module doc for why this is an
     as-of join, not a range join)."""
-    dim = _scd2(spark, sf_dir).select("user_id", "valid_from", "tier", "version")
+    # Drop zero-width versions (two same-ts events in different tiers
+    # make a version with valid_from == valid_to). They share valid_from
+    # with their successor, breaking asof_join's (key, time) uniqueness
+    # contract — the carried version would be tie-order-dependent — and
+    # the interval semantics (ts < valid_to) can never select them.
+    dim = (
+        _scd2(spark, sf_dir)
+        .filter(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+        .select("user_id", "valid_from", "tier", "version")
+    )
     facts = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")

@@ -798,10 +798,26 @@ def scd2_upsert_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
                 F.col("version").alias("island"),
             )
         )
+        # Offset batch-local island ids past the old state's max
+        # version per user: old islands (1..k) and new islands (1..m)
+        # come from incomparable domains, and when an old open run and
+        # a new run share valid_from (boundary event at the exact same
+        # ts — legal under the non-decreasing contract) the tie-break
+        # must still put committed runs first (r5 advisor finding).
+        old_max = (
+            state.join(affected, "user_id", "left_semi")
+            .groupBy("user_id")
+            .agg(F.max("version").alias("_vmax"))
+        )
+        new_shifted = (
+            new_runs.join(old_max, "user_id", "left")
+            .withColumn(
+                "island", F.col("island") + F.coalesce(F.col("_vmax"), F.lit(0))
+            )
+            .select("user_id", "tier", "valid_from", "n_events", "island")
+        )
         untouched = state.join(affected, "user_id", "left_anti")
-        merged = merge_runs(old_runs.unionByName(new_runs.select(
-            "user_id", "tier", "valid_from", "n_events", "island"
-        )))
+        merged = merge_runs(old_runs.unionByName(new_shifted))
         out = untouched.unionByName(merged)
     else:
         out = merge_runs(new_runs)
@@ -877,6 +893,32 @@ def stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
         n = ev.agg(F.max("event_id")).collect()[0][0] + 1
         bounds = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+        # The id-thirds split satisfies the maintainer's append-only-
+        # per-user-time contract only while the generator assigns
+        # event_ids in global ts order. Verify it on THIS data (one
+        # small aggregate) rather than trusting the correlation: a
+        # regenerated testdata layout that breaks it would otherwise
+        # fail parity with no diagnostic (r5 advisor finding).
+        drop_of = (
+            F.when(F.col("event_id") < bounds[0][1], 0)
+            .when(F.col("event_id") < bounds[1][1], 1)
+            .otherwise(2)
+        )
+        spans = {
+            r["_drop"]: (r["lo"], r["hi"])
+            for r in ev.groupBy(drop_of.alias("_drop"))
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .collect()
+        }
+        for k in range(len(bounds) - 1):
+            if k in spans and k + 1 in spans and spans[k][1] > spans[k + 1][0]:
+                raise RuntimeError(
+                    "event_id order no longer tracks ts order: drop "
+                    f"{k} ends {spans[k][1]} after drop {k + 1} starts "
+                    f"{spans[k + 1][0]}; the id-thirds split violates "
+                    "the SCD2 maintainer's append-only-per-user-time "
+                    "contract — re-split drops on ts, not event_id"
+                )
         for k, (lo, hi) in enumerate(bounds):
             stage = os.path.join(root, f"stage_{k}")
             ev.filter(

@@ -150,3 +150,53 @@ def test_pagerank_keeps_zero_indegree_nodes(spark):
     assert set(out) == {1, 2, 3}
     assert abs(out[1] - (1 - 0.85) / 3) < 1e-6  # base rank, no in-edges
     assert out[2] > out[1] and out[3] > out[1]
+
+
+def test_scd2_asof_drops_zero_width_versions(spark):
+    """Two same-ts events in different tiers create a zero-width
+    version sharing valid_from with its successor — it must be
+    filtered before the as-of join (asof_join requires left unique
+    per (key, time); the oracle's ts < valid_to can never pick it).
+    r5 advisor finding."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from stock_data_project_spark.operators.asof import asof_join
+    from stock_data_project_spark.operators.scd2 import scd2_build
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (1, 100, t(10), 10.0),   # tier 0
+            (2, 100, t(11), 60.0),   # tier 1 — same ts as next, flips
+            (3, 100, t(11), 10.0),   # tier 0 → tier-1 version is zero-width
+            (4, 100, t(12), 10.0),   # tier 0 (coalesces into v3's run)
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    dim = scd2_build(events)
+    versions = sorted(dim.collect(), key=lambda r: r["version"])
+    assert [v["tier"] for v in versions] == [0, 1, 0]
+    assert versions[1]["valid_from"] == versions[1]["valid_to"] == t(11)
+
+    live = dim.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).select("user_id", "valid_from", "tier", "version")
+    # uniqueness per (key, time) restored
+    assert live.groupBy("user_id", "valid_from").count().agg(
+        F.max("count")
+    ).collect()[0][0] == 1
+    facts = spark.createDataFrame(
+        [(10, 100, t(11)), (11, 100, t(11, 30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = asof_join(
+        live, facts,
+        left_key="user_id", right_key="user_id",
+        left_time="valid_from", right_time="ts",
+        value_cols=["tier", "version"],
+    ).collect()
+    # interval semantics: both facts fall in v3 (tier 0), never the
+    # zero-width tier-1 version
+    assert {(r["tier"], r["version"]) for r in out} == {(0, 3)}

@@ -68,3 +68,34 @@ def test_incremental_scd2_equals_batch(spark):
         # replay: re-running with nothing new must not move the pointer
         run_incremental_scd2(spark, drops, out, ck)
         assert _scd2_committed(out)[0] == epoch
+
+
+def test_incremental_scd2_same_ts_boundary(spark):
+    """An old OPEN run and a new batch run sharing valid_from (the
+    boundary event lands at the exact same ts — legal under the
+    non-decreasing contract): the island tie-break must still order
+    committed runs first, so incremental == batch (r5 advisor
+    finding; new-run islands are offset past the old max version)."""
+    from datetime import datetime
+
+    from stock_data_project_spark.streaming.pipeline import scd2_upsert_batch
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    batch1 = spark.createDataFrame(
+        [(1, 7, t(10), 10.0), (2, 7, t(11), 60.0)], schema  # tiers 0, 1
+    )
+    batch2 = spark.createDataFrame(
+        [(3, 7, t(11), 110.0)], schema  # tier 2 at the SAME ts as tier 1
+    )
+    with tempfile.TemporaryDirectory() as out:
+        scd2_upsert_batch(batch1, 0, out)
+        scd2_upsert_batch(batch2, 1, out)
+        _, data_dir = _scd2_committed(out)
+        final = spark.read.parquet(data_dir)
+        expected = scd2_build(batch1.unionByName(batch2))
+        assert _sorted_rows(final) == _sorted_rows(expected)
+        # and the chain is the batch order: tier 1 zero-width, tier 2 open
+        rows = sorted(final.collect(), key=lambda r: r["version"])
+        assert [r["tier"] for r in rows] == [0, 1, 2]
+        assert rows[2]["valid_to"] is None
