@@ -58,6 +58,15 @@ HEADLINE = (
     "range_join_clicks",
     "hll_rollup",
     "dedup_clusters",
+    # r6 debut families: SCD2 build, iterative PageRank, one-scan
+    # audit, recursive-CTE EMA, conditional bigram LM, mergeable
+    # quantile rollup
+    "scd2_dim",
+    "user_influence",
+    "data_quality_audit",
+    "sql_decayed_revenue",
+    "bigram_logprob",
+    "quantile_rollup",
 )
 
 

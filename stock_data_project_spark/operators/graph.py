@@ -48,15 +48,32 @@ def pagerank(
     rank mass. rank'(v) = round((1−d)/N + d·Σ_u rank(u)·w(u,v)/W(u) with W = out-weight,
     6dp), iterated ``iters`` times from the uniform vector.
     """
-    e = edges.select(
+    e0 = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
-    outw = e.groupBy("src").agg(F.sum("w").alias("w_out"))
-    e = e.join(outw, "src").persist()
+    nodes = e0.select(F.col("src").alias("node")).distinct()
+    # Zero-weight SELF-LOOP per node: contributes exactly 0 rank mass
+    # and 0 out-weight, but guarantees every node appears as a dst —
+    # so the per-iteration "left join from the node set to keep
+    # zero-IN-degree nodes at base rank" (the r5 review finding)
+    # collapses into the contribution groupBy itself. Measured 2.5×
+    # at sf0.1 (13.8s → 5.5s over 10 iterations), same trajectory;
+    # at scale it removes a node-table shuffle per iteration.
+    # NOTE: the contribution stays rank*w/w_out (left-assoc), NOT a
+    # precomputed rank*(w/W) ratio — the oracle's recursive CTE
+    # evaluates `pr.rank * e.w / o.W`, and the two associations can
+    # differ in the last bit exactly at a 6dp rounding boundary (the
+    # q9/EMA class).
+    loops = nodes.select(
+        F.col("node").alias("src"),
+        F.col("node").alias("dst"),
+        F.lit(0.0).alias("w"),
+    )
+    outw = e0.groupBy("src").agg(F.sum("w").alias("w_out"))
+    e = e0.unionByName(loops).join(outw, "src").persist()
     try:
-        nodes = e.select(F.col("src").alias("node")).distinct()
         n = nodes.count()
         if n == 0:
             raise ValueError("pagerank: empty edge list")
@@ -64,22 +81,14 @@ def pagerank(
         ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), 6))
         ranks = ranks.localCheckpoint(eager=True)
         for _ in range(iters):
-            contrib = (
+            ranks = (
                 ranks.join(e, ranks.node == e.src)
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("w") / F.col("w_out")).alias("s"))
-            )
-            # left join from the node set: a zero-IN-degree node (legal
-            # under the out-degree contract on an asymmetric graph)
-            # keeps its base rank instead of silently vanishing from
-            # the output after iteration 1 (r5 review finding)
-            ranks = nodes.join(
-                contrib, nodes.node == contrib.dst, "left"
-            ).select(
-                nodes.node,
-                F.round(
-                    F.lit(base) + damping * F.coalesce(F.col("s"), F.lit(0.0)), 6
-                ).alias("rank"),
+                .select(
+                    F.col("dst").alias("node"),
+                    F.round(F.lit(base) + damping * F.col("s"), 6).alias("rank"),
+                )
             )
             ranks = ranks.localCheckpoint(eager=True)
         return ranks

@@ -573,3 +573,13 @@ from stock_data_project_spark.plans.llm_next2 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT2)
 ORACLE.update(ORACLE_NEXT2)
+
+# r6 build, r7 debut: stratified_sample (exact per-stratum quotas by
+# deterministic multiplicative hash — fully oracled)
+from stock_data_project_spark.plans.llm_next3 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT3,
+    QUERIES_NEXT as QUERIES_NEXT3,
+)
+
+QUERIES.update(QUERIES_NEXT3)
+ORACLE.update(ORACLE_NEXT3)

@@ -1100,3 +1100,13 @@ from stock_data_project_spark.plans.olap_next3 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT3)
 ORACLE.update(ORACLE_NEXT3)
+
+# r6 build, r7 debut: tpch_q18 (TPC-H now 22/22), cohort_ltv,
+# frequent_pairs (apriori prune), triangle_count (degree-oriented)
+from stock_data_project_spark.plans.olap_next4 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT4,
+    QUERIES_NEXT as QUERIES_NEXT4,
+)
+
+QUERIES.update(QUERIES_NEXT4)
+ORACLE.update(ORACLE_NEXT4)

@@ -340,46 +340,15 @@ _QR_BINS = 512
 _QR_PS = (0.5, 0.9, 0.99)
 
 
-def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-QUANTILE rollup — the percentile twin of hll_rollup:
-    per-type equi-width histogram sketches of ``value``, re-aggregated
-    to the grand total by vector-summing bin counts, never rescanning
-    the fact table. At 100 TB this is the re-aggregatable-percentile
-    pattern: materialize kilobyte histograms at the finest grain once,
-    answer every coarser rollup by merging them (exact percentiles
-    cannot re-aggregate: a per-type p99 says nothing about the global
-    p99). Unlike percentile_approx's opaque internal sketch, the
-    histogram estimator is DETERMINISTIC arithmetic — floor-binning,
-    cumulative counts, linear interpolation at rank p·n — so this key
-    is fully oracled (DuckDB runs the identical estimator), with the
-    accuracy-vs-exact bound (≤ one bin width) pinned in
-    tests/test_next2_staged.py.
-
-    Plan: one pruned (event_type, value) fact scan partial-aggregated
-    map-side to ≤ types × 512 rows; the domain probe (global min/max)
-    is a second single-column scan folded in as a broadcast 1-row
-    aggregate (the scalar-subquery pattern) — at 100 TB the domain
-    comes from table stats instead. Everything after the groupBy
-    touches ≤ a few thousand rows."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_type", "value")
-        .filter(F.col("value").isNotNull())
-    )
-    stats = ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+def histogram_quantiles(binned: DataFrame, stats: DataFrame) -> DataFrame:
+    """Shared estimator tail for the histogram-sketch quantile keys
+    (batch ``quantile_rollup`` and streaming ``stream_quantile`` run
+    the identical arithmetic — one implementation, per the repo
+    rule). ``binned``: (series_key, bin, n) sketch rows; ``stats``: a
+    1-row (_lo, _hi) domain frame. Everything here touches ≤ a few
+    thousand rows."""
+    spark = binned.sparkSession
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(_QR_BINS))
-    binned = (
-        ev.crossJoin(F.broadcast(stats))
-        .select(
-            F.col("event_type").alias("series_key"),
-            F.least(
-                F.floor((F.col("value") - F.col("_lo")) / width).cast("int"),
-                F.lit(_QR_BINS - 1),
-            ).alias("bin"),
-        )
-        .groupBy("series_key", "bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
     merged = binned.select(
         "series_key", F.lit(False).alias("is_total"), "bin", "n"
     ).unionByName(
@@ -420,6 +389,49 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 6).alias("approx_value"),
         F.col("total").alias("n_values"),
     )
+
+
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-QUANTILE rollup — the percentile twin of hll_rollup:
+    per-type equi-width histogram sketches of ``value``, re-aggregated
+    to the grand total by vector-summing bin counts, never rescanning
+    the fact table. At 100 TB this is the re-aggregatable-percentile
+    pattern: materialize kilobyte histograms at the finest grain once,
+    answer every coarser rollup by merging them (exact percentiles
+    cannot re-aggregate: a per-type p99 says nothing about the global
+    p99). Unlike percentile_approx's opaque internal sketch, the
+    histogram estimator is DETERMINISTIC arithmetic — floor-binning,
+    cumulative counts, linear interpolation at rank p·n — so this key
+    is fully oracled (DuckDB runs the identical estimator), with the
+    accuracy-vs-exact bound (≤ one bin width) pinned in
+    tests/test_next2_staged.py.
+
+    Plan: one pruned (event_type, value) fact scan partial-aggregated
+    map-side to ≤ types × 512 rows; the domain probe (global min/max)
+    is a second single-column scan folded in as a broadcast 1-row
+    aggregate (the scalar-subquery pattern) — at 100 TB the domain
+    comes from table stats instead. Everything after the groupBy
+    touches ≤ a few thousand rows."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    stats = ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(_QR_BINS))
+    binned = (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("event_type").alias("series_key"),
+            F.least(
+                F.floor((F.col("value") - F.col("_lo")) / width).cast("int"),
+                F.lit(_QR_BINS - 1),
+            ).alias("bin"),
+        )
+        .groupBy("series_key", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return histogram_quantiles(binned, stats)
 
 
 QUERIES_NEXT = {

@@ -123,19 +123,73 @@ _DECAYED_SQL = """
 
 
 def q_sql_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-decayed daily revenue via WITH RECURSIVE
-    (Spark 4's recursive CTE surface): carry' = round(0.9·carry +
-    day_revenue, 6) — an EMA-class recurrence that plain window
-    frames cannot express (the reason macd/wilder_rsi are
-    applyInPandas rows-only keys), made SQL-expressible and therefore
-    FULLY oracled: the oracle is the IDENTICAL query text, and the
-    per-step rounding makes the recursion trajectory
-    engine-deterministic (the user_influence trick applied to a
-    linear recursion). Linear recursion — one row per (type, day)
-    per step, no path explosion; Spark supports UNION ALL recursion
-    only, which this is."""
+    """Exponentially-decayed daily revenue: carry' = round(0.9·carry
+    + day_revenue, 6) in DECIMAL(18,6) — an EMA-class recurrence
+    plain window frames cannot express, run as ONE grouped
+    Arrow-batched fold (applyInPandas over event_type; exact
+    decimal.Decimal arithmetic replicates the engines' DECIMAL
+    semantics step for step, so the key stays FULLY oracled).
+
+    The oracle (and the Spark recursive-CTE surface pinned in
+    tests/test_next3_staged.py) is the WITH RECURSIVE formulation —
+    but the r6 bench showed Spark's UnionLoop schedules one join JOB
+    per recursion step (= per day: 30 steps → 15.7s of scheduling
+    floor at sf0.1, and depth grows with the calendar, not the data).
+    The grouped fold is the scale plan: one shuffle on event_type,
+    O(days) sequential decimal work per group, embarrassingly
+    parallel across groups (15.7s → ~0.6s). Per-step rounding keeps
+    the trajectory engine-deterministic (the q9/user_influence
+    DECIMAL rule made iterative)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
     register_views(spark, sf_dir)
-    return spark.sql(_DECAYED_SQL)
+    daily = spark.sql(
+        """
+        SELECT event_type, day_start,
+               revenue,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY day_start) AS INT) AS rn
+        FROM (
+            SELECT event_type,
+                   date_trunc('day', ts) AS day_start,
+                   CAST(round(sum(value), 6) AS DECIMAL(18,6)) AS revenue
+            FROM events GROUP BY 1, 2
+        )
+        """
+    )
+    six = Decimal("0.000001")
+    nine = Decimal("0.9")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn")
+        carry = None
+        out = []
+        for rev in pdf["revenue"]:  # arrives as decimal.Decimal
+            carry = (
+                rev
+                if carry is None
+                # exact decimal arithmetic, half-up like both engines'
+                # DECIMAL round — the rounding input is identical, so
+                # the rounded trajectory is too
+                else (carry * nine + rev).quantize(six, ROUND_HALF_UP)
+            )
+            out.append(carry)
+        return pdf.assign(decayed=out)[["event_type", "day_start", "rn", "decayed"]]
+
+    folded = daily.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, day_start timestamp, rn int, decayed decimal(18,6)",
+    )
+    return folded.select(
+        "event_type",
+        "day_start",
+        "rn",
+        F.col("decayed").cast("double").alias("decayed"),
+    )
 
 
 QUERIES["sql_decayed_revenue"] = q_sql_decayed_revenue

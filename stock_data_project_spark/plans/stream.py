@@ -125,3 +125,13 @@ from stock_data_project_spark.plans.stream_next2 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT2)
 ORACLE.update(ORACLE_NEXT2)
+
+# r6 build, r7 debut: stream_quantile (bounded-state streaming
+# histogram sketch, oracled with quantile_rollup's own oracle)
+from stock_data_project_spark.plans.stream_next3 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT3,
+    QUERIES_NEXT as QUERIES_NEXT3,
+)
+
+QUERIES.update(QUERIES_NEXT3)
+ORACLE.update(ORACLE_NEXT3)

@@ -1062,3 +1062,44 @@ def stream_scd2_late_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "drop_id int, n_delivered long, n_admitted long, n_quarantined long",
     )
+
+
+def stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram-sketch quantiles: the live twin of
+    quantile_rollup. The stream accumulates per-(type, bin) counts —
+    a streaming aggregation whose state is BOUNDED at types × 512
+    rows regardless of input volume (the whole point of sketch
+    aggregation on an unbounded stream) — and the deterministic
+    estimator tail (plans/olap_next3.histogram_quantiles, ONE shared
+    implementation) extracts p50/p90/p99 from the caught-up sink.
+
+    The bin domain (lo/hi) is a static job parameter probed once from
+    the batch table — the production stance too: a streaming sketch
+    needs a fixed domain up front; re-binning means re-reading
+    history. Output is identical to the batch key, so this reuses
+    quantile_rollup's oracle verbatim (the streaming==batch theorem,
+    stream_scd2-style)."""
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.plans.olap_next3 import (
+        _QR_BINS,
+        histogram_quantiles,
+    )
+
+    lo, hi = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .agg(F.min("value"), F.max("value"))
+        .collect()[0]
+    )
+    width = (hi - lo) / float(_QR_BINS)
+    ev = read_events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    binned = ev.groupBy(
+        F.col("event_type").alias("series_key"),
+        F.least(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(_QR_BINS - 1),
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    _run_to_memory(binned, "stream_quantile_bins", "complete")
+    stats = spark.createDataFrame([(float(lo), float(hi))], "_lo double, _hi double")
+    return histogram_quantiles(spark.table("stream_quantile_bins"), stats)
