@@ -106,3 +106,75 @@ def heavy_hitters(
             F.round(F.col("n") / F.col("_total"), 6).alias("fraction"),
         )
     )
+
+
+def heavy_hitters_by_key(
+    df: DataFrame,
+    key_col: str,
+    min_fraction: float = 0.001,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-KEY heavy hitters with exact counts: ``(key, token, n)``
+    for every token whose frequency within its key group is ≥
+    ``min_fraction`` of that group's tokens.
+
+    The grouped twin of ``heavy_hitters``, same two passes: pass 1
+    runs one Misra-Gries summary PER KEY inside each partition
+    (memory = keys-per-task × ⌈1/f⌉ counters — repartition by the key
+    first at scale so keys-per-task ≈ 1), pass 2 exact-counts the
+    (key, token) candidate pairs only. The per-key survivor sets are
+    partition-layout-independent (the exact recount + threshold make
+    them so, same argument as the global operator).
+
+    This is the finest-grain materialization of the mergeable top-k
+    rollup (plans/llm_next3.q_topk_rollup): per-key summaries merge
+    to a GLOBAL lower-bound table by summation — the space-saving
+    merge — with the averaging-argument guarantee that any token
+    globally ≥ f is ≥ f in at least one key group, so the merged
+    candidate set contains every true global heavy hitter.
+    """
+    if not (0.0 < min_fraction <= 1.0):
+        raise ValueError("min_fraction must be in (0, 1]")
+    cap = math.ceil(1.0 / min_fraction)
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        per_key: dict[object, dict[str, int]] = {}
+        for pdf in batches:
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                if text is None or key is None:
+                    continue
+                counters = per_key.setdefault(key, {})
+                for tok in _py_tokens(text):
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < cap:
+                        counters[tok] = 1
+                    else:
+                        for k2 in list(counters):
+                            if counters[k2] == 1:
+                                del counters[k2]
+                            else:
+                                counters[k2] -= 1
+        rows = [(k, t) for k, c in per_key.items() for t in c]
+        if rows:
+            yield pd.DataFrame(rows, columns=[key_col, "token"])
+
+    candidates = (
+        df.select(key_col, text_col)
+        .mapInPandas(mg_partition, schema=f"{key_col} string, token string")
+        .distinct()
+    )
+    tokens = df.select(
+        key_col, F.explode(words(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    totals = tokens.groupBy(key_col).agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        tokens.join(F.broadcast(candidates), [key_col, "token"], "left_semi")
+        .groupBy(key_col, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(totals), key_col)
+        .filter(F.col("n") >= F.col("_total") * min_fraction)
+        .select(key_col, "token", "n")
+    )

@@ -24,7 +24,7 @@ ALL_O = {
 
 
 def test_every_new_key_has_an_oracle():
-    assert set(ALL_Q) == set(ALL_O)  # all six fully oracled
+    assert set(ALL_Q) == set(ALL_O)  # every staged key fully oracled
 
 
 @pytest.mark.parametrize("key", sorted(ALL_Q))
@@ -155,3 +155,51 @@ def test_cohort_ltv_offset_zero_covers_all_customers(spark):
     )["n"][0]
     assert n0 == n_cust
     assert out.filter(F.col("month_offset") < 0).count() == 0
+
+
+def test_topk_rollup_containment_and_bounds(spark):
+    """The space-saving-merge guarantees: every TRUE global heavy
+    hitter appears in the merged rollup, every merged count is a
+    lower bound on the true global count, and the output is
+    partition-layout-independent (the MG candidate set varies with
+    layout; the exact recount + threshold must erase that)."""
+    rows = llm_next3.QUERIES_NEXT["topk_rollup"](spark, SF_ORACLE).collect()
+    merged = {r["token"]: r["n"] for r in rows if r["is_total"]}
+    truth = duckdb_run(
+        r"""
+        WITH toks AS (
+            SELECT unnest(string_split(
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+            FROM documents WHERE text IS NOT NULL
+        ), f AS (
+            SELECT token, count(*) AS n FROM toks
+            WHERE token <> '' GROUP BY token
+        ), t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM f)
+        SELECT token, n FROM f CROSS JOIN t
+        """,
+        SF_ORACLE,
+    ).set_index("token")["n"]
+    global_total = truth.sum()
+    for token, n_true in truth.items():
+        if n_true >= global_total * llm_next3._TK_FRACTION:
+            assert token in merged, f"global heavy hitter {token!r} missing"
+    for token, bound in merged.items():
+        assert bound <= truth[token], (token, bound, truth[token])
+
+    # layout independence: same result from a 3-partition salted shuffle
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.operators.sketches import heavy_hitters_by_key
+
+    docs = load_table(spark, SF_ORACLE, "documents").filter(F.col("text").isNotNull())
+    a = sorted(
+        map(tuple, heavy_hitters_by_key(docs, "source", llm_next3._TK_FRACTION).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            heavy_hitters_by_key(
+                docs.repartition(3, F.col("doc_id") % 7), "source", llm_next3._TK_FRACTION
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -61,6 +61,15 @@ def main() -> None:
         "bpe_token_count",
         "snapshot_delta",
         "sql_decayed_revenue",
+        # r6-built keys (batch; scd2_late_gate/stream_quantile are
+        # streaming-driven and pinned by their own tests).
+        # triangle_count collects scalars when invoked, so its plan is
+        # audited via the wedge-close shape inside the key's own test.
+        "quantile_rollup",
+        "tpch_q18",
+        "cohort_ltv",
+        "frequent_pairs",
+        "stratified_sample",
     )
     out = {}
     for name in tuple(HEADLINE) + extra:

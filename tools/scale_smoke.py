@@ -62,6 +62,16 @@ QUERIES = (
     "data_quality_audit",
     "contamination_flags",
     "salted_join_revenue",
+    # r6 families: mergeable quantile sketch, decimal-fold EMA,
+    # TPC-H 18, cohort matrix, apriori pairs, oriented triangles,
+    # quota sampling
+    "quantile_rollup",
+    "sql_decayed_revenue",
+    "tpch_q18",
+    "cohort_ltv",
+    "frequent_pairs",
+    "triangle_count",
+    "stratified_sample",
 )
 
 
