@@ -128,3 +128,46 @@ def test_olap_next_q20_semi_join_chain(spark):
     plan = _plan(QUERIES_NEXT["tpch_q20"](spark, SF_SMOKE))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q18_big_orders_broadcast(spark):
+    from stock_data_project_spark.plans import olap_next4
+
+    plan = _plan(olap_next4.QUERIES_NEXT["tpch_q18"](spark, SF_SMOKE))
+    # the rare big-order set must ride a broadcast into the orders
+    # scan — a shuffle join here would re-shuffle the whole fact
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frequent_pairs_prune_before_pairing(spark):
+    from stock_data_project_spark.plans import olap_next4
+
+    plan = _plan(olap_next4.QUERIES_NEXT["frequent_pairs"](spark, SF_SMOKE))
+    # the apriori prune is a semi join that must sit BELOW the
+    # pairing self-join in the plan (prune first, pair second), and
+    # the pairing is an equi-join on the order key, never a cartesian
+    assert re.search(r"(?s)SortMergeJoin.*LeftSemi|BroadcastHashJoin.*LeftSemi|LeftSemi", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_rollup_single_fact_scan_shape(spark):
+    from stock_data_project_spark.plans import olap_next3
+
+    plan = _plan(olap_next3.QUERIES_NEXT["quantile_rollup"](spark, SF_SMOKE))
+    # binning groupBy partial-aggregates map-side; the estimator tail
+    # runs on sketch-sized data. The domain probe is the one extra
+    # single-row aggregate (broadcast, scalar-subquery pattern).
+    assert "CartesianProduct" not in plan
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "props" not in m.group(0)  # pruned to (event_type, value)
+
+
+def test_stratified_sample_no_global_window(spark):
+    from stock_data_project_spark.plans import llm_next3
+
+    plan = _plan(llm_next3.QUERIES_NEXT["stratified_sample"](spark, SF_SMOKE))
+    # the rank window partitions by lang — a missing partitionBy
+    # would appear as a SinglePartition exchange under the Window
+    assert not re.search(r"Exchange SinglePartition\s*\n\s*\+?-?\s*\*?\(?\d*\)?\s*Window", plan)
+    assert "CartesianProduct" not in plan
