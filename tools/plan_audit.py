@@ -97,6 +97,11 @@ def main() -> None:
         "frequent_tokens",
         "data_quality_audit",
         "expectation_gate",
+        # quantile_rollup binds two metadata-sized broadcasts: the
+        # 1-row (lo, hi) domain aggregate and the 3-row percentile
+        # frame — both against sketch-sized (≤ types×512 rows)
+        # inputs; constant-cost binds, same class as above
+        "quantile_rollup",
     }
     flagged = [
         k
