@@ -758,3 +758,14 @@ from stock_data_project_spark.plans.stock_next2 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT2)
 ORACLE.update(ORACLE_NEXT2)
+
+# r6 build, r7 debut: ema_cross (the first fully-oracled EMA-class
+# indicator — exact-decimal fold + recursive-CTE oracle) and
+# roc_momentum
+from stock_data_project_spark.plans.stock_next3 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT3,
+    QUERIES_NEXT as QUERIES_NEXT3,
+)
+
+QUERIES.update(QUERIES_NEXT3)
+ORACLE.update(ORACLE_NEXT3)

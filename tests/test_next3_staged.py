@@ -7,17 +7,24 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from stock_data_project_spark.plans import llm_next3, olap_next4, stream_next3
+from stock_data_project_spark.plans import (
+    llm_next3,
+    olap_next4,
+    stock_next3,
+    stream_next3,
+)
 from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle_utils import assert_gradable_schema, compare, duckdb_run
 
 ALL_Q = {
     **olap_next4.QUERIES_NEXT,
+    **stock_next3.QUERIES_NEXT,
     **llm_next3.QUERIES_NEXT,
     **stream_next3.QUERIES_NEXT,
 }
 ALL_O = {
     **olap_next4.ORACLE_NEXT,
+    **stock_next3.ORACLE_NEXT,
     **llm_next3.ORACLE_NEXT,
     **stream_next3.ORACLE_NEXT,
 }
@@ -203,3 +210,41 @@ def test_topk_rollup_containment_and_bounds(spark):
         )
     )
     assert a == b
+
+
+def test_ema_cross_tracks_float_ema(spark):
+    """The decimal trajectory stays within accumulated-rounding
+    distance of the reference float EWM (adjust=False) — the decimal
+    discipline buys oracle parity, not different indicator semantics
+    — and signals fire exactly at sign flips."""
+    import pandas as pd
+
+    rows = stock_next3.QUERIES_NEXT["ema_cross"](spark, SF_ORACLE).collect()
+    by_series: dict[str, list] = {}
+    for r in rows:
+        by_series.setdefault(r["series_key"], []).append(r)
+    assert by_series
+    for series, rs in by_series.items():
+        rs.sort(key=lambda r: r["rn"])
+        closes = duckdb_run(
+            f"""
+            SELECT arg_max(value, ts) AS close
+            FROM events WHERE event_type = '{series}'
+            GROUP BY date_trunc('day', ts)
+            ORDER BY date_trunc('day', ts)
+            """,
+            SF_ORACLE,
+        )["close"].round(6)
+        ref_fast = closes.ewm(alpha=0.2, adjust=False).mean()
+        ref_slow = closes.ewm(alpha=0.05, adjust=False).mean()
+        n = len(rs)
+        assert len(closes) == n, series
+        for i, r in enumerate(rs):
+            assert abs(r["ema_fast"] - ref_fast.iloc[i]) < 1e-4, (series, i)
+            assert abs(r["ema_slow"] - ref_slow.iloc[i]) < 1e-4, (series, i)
+        prev_sign = None
+        for r in rs:
+            sign = (r["ema_fast"] > r["ema_slow"]) - (r["ema_fast"] < r["ema_slow"])
+            want = sign if (prev_sign is not None and sign != prev_sign) else 0
+            assert r["cross_signal"] == want, (series, r["rn"])
+            prev_sign = sign
