@@ -161,9 +161,13 @@ def heavy_hitters_by_key(
         if rows:
             yield pd.DataFrame(rows, columns=[key_col, "token"])
 
+    # candidate frame carries the key at its ORIGINAL dtype — a
+    # hardcoded string key would cast-poison the pass-2 semi join for
+    # any non-string key column (r6 review finding)
+    key_type = dict(df.dtypes)[key_col]
     candidates = (
         df.select(key_col, text_col)
-        .mapInPandas(mg_partition, schema=f"{key_col} string, token string")
+        .mapInPandas(mg_partition, schema=f"{key_col} {key_type}, token string")
         .distinct()
     )
     tokens = df.select(

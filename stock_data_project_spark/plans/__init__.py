@@ -28,11 +28,13 @@ from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 #
 # r6 window (50): the 23 prebuilt-r5 debuts first (stock_next2 4,
 # llm_next2 8, olap_next3 8, sql_api 1, stream_next2 2), then the two
-# named r5 deferrals (dim_country, macd), then re-grades
-# oldest-evidence-first: the llm family's 17 r3 rows and olap's
-# tpch_q12/q13/q17 + approx_stats (r3). The two r4 rows-only keys
-# (embedding_dedup_ivf, ann_ivf) overflow — DEFERRED to r7, named in
-# SURVEY §5, along with the remaining r4 olap/stream re-grades.
+# named r5 deferrals (dim_country, macd), then 25 re-grades
+# oldest-evidence-first: the llm family's 17 r3 rows, olap's
+# tpch_q12/q13/q17 + approx_stats (r3), and the two r4 rows-only keys
+# (embedding_dedup_ivf, ann_ivf) — closing with the two keys BUILT in
+# r6 (quantile_rollup, scd2_late_gate; new keys debut inside the
+# upcoming window). The remaining r4 olap/sql/stream re-grades fill
+# the r7 window after the nine r6-built debuts (SURVEY §5).
 _GRADE_ORDER = [
     # olap_next3 debuts (SCD2 + warehouse audit family)
     "scd2_dim",

@@ -499,15 +499,16 @@ def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-quantity orders (TPC-H Q18 shape): HAVING over a grouped
-    fact, then join back for customer attribution."""
+    fact, then join back for customer attribution. The aggregate core
+    is shared with the canonical tpch_q18 (plans/olap_next4.py)."""
+    # lazy import: olap_next4 is also imported at this module's
+    # bottom for graduation, so a top-level import here would cycle
+    from stock_data_project_spark.plans.olap_next4 import big_quantity_orders
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.col("total_qty") > 250)
-    )
+    big = big_quantity_orders(li, 250, round_dp=2, alias="total_qty")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)

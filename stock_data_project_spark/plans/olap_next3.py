@@ -419,15 +419,19 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(_QR_BINS))
+    # degenerate-domain guard (hi == lo → all values equal): 0/0 is
+    # NaN and CAST(NaN AS INT) raises under ANSI mode — degrade to a
+    # single bin instead, mirrored in the oracle (r6 review finding)
+    bin_of = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.least(
+            F.floor((F.col("value") - F.col("_lo")) / width).cast("int"),
+            F.lit(_QR_BINS - 1),
+        ),
+    ).otherwise(F.lit(0))
     binned = (
         ev.crossJoin(F.broadcast(stats))
-        .select(
-            F.col("event_type").alias("series_key"),
-            F.least(
-                F.floor((F.col("value") - F.col("_lo")) / width).cast("int"),
-                F.lit(_QR_BINS - 1),
-            ).alias("bin"),
-        )
+        .select(F.col("event_type").alias("series_key"), bin_of.alias("bin"))
         .groupBy("series_key", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -728,9 +732,11 @@ bars_new AS (
         ),
         binned AS (
             SELECT event_type AS series_key,
-                   LEAST(CAST(floor((value - lo)
-                              / ((hi - lo) / {_QR_BINS}.0)) AS INT),
-                         {_QR_BINS - 1}) AS bin,
+                   CASE WHEN hi > lo
+                        THEN LEAST(CAST(floor((value - lo)
+                                   / ((hi - lo) / {_QR_BINS}.0)) AS INT),
+                                   {_QR_BINS - 1})
+                        ELSE 0 END AS bin,
                    count(*) AS n
             FROM events, stats WHERE value IS NOT NULL
             GROUP BY 1, 2

@@ -38,17 +38,33 @@ _Q18_MIN_QTY = 300
 _PAIR_MIN_SUPPORT = 3
 
 
+def big_quantity_orders(
+    li: DataFrame, min_qty: float, round_dp: int | None = None, alias: str = "sum_qty"
+) -> DataFrame:
+    """The Q18 HAVING core — ONE implementation shared by the
+    canonical ``tpch_q18`` (threshold 300) and the earlier
+    ``big_orders`` key (plans/olap.py, threshold 250, 2dp-rounded
+    quantity), so a quantity-semantics change can never fork the two
+    (r6 review finding)."""
+    agg = F.sum("l_quantity")
+    if round_dp is not None:
+        agg = F.round(agg, round_dp)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(agg.alias(alias))
+        .filter(F.col(alias) > min_qty)
+    )
+
+
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customer): orders whose total quantity
-    exceeds 300, with customer identity and order revenue."""
+    exceeds 300, with customer identity and order revenue. The
+    aggregate core is shared with big_orders (its Q18-shape
+    predecessor at threshold 250)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
-        .filter(F.col("sum_qty") > _Q18_MIN_QTY)
-    )
+    big = big_quantity_orders(li, _Q18_MIN_QTY)
     # big is the rare-order set (46 rows at sf0.01, ~0.3% of orders at
     # any SF) — broadcast it so the orders scan never shuffles
     return (

@@ -101,7 +101,7 @@ _DECAYED_SQL = """
         SELECT event_type,
                date_trunc('day', ts) AS day_start,
                CAST(round(sum(value), 6) AS DECIMAL(18,6)) AS revenue
-        FROM events GROUP BY 1, 2
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
     ), seq AS (
         SELECT event_type, day_start, revenue,
                CAST(row_number() OVER (PARTITION BY event_type
@@ -157,7 +157,7 @@ def q_sql_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    date_trunc('day', ts) AS day_start,
                    CAST(round(sum(value), 6) AS DECIMAL(18,6)) AS revenue
-            FROM events GROUP BY 1, 2
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
         )
         """
     )

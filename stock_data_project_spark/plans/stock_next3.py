@@ -41,7 +41,11 @@ def q_ema_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bars = daily_bars(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("series_key").orderBy("date")
-    daily = bars.select(
+    # NULL series excluded on BOTH sides: the oracle's recursive join
+    # (r.series_key = s.series_key) never matches NULL, so a NULL
+    # group would keep only its anchor row there while the groupBy
+    # fold kept the whole trajectory (r6 review finding)
+    daily = bars.filter(F.col("series_key").isNotNull()).select(
         "series_key",
         "date",
         F.row_number().over(w).cast("int").alias("rn"),
@@ -115,6 +119,7 @@ bars AS (
            date_trunc('day', ts) AS date,
            arg_max(value, ts) AS close
     FROM events
+    WHERE event_type IS NOT NULL
     GROUP BY 1, 2
 )"""
 

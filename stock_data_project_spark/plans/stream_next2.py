@@ -58,12 +58,19 @@ ORACLE_NEXT["stream_scd2"] = _OLAP3_ORACLE["scd2_dim"]
 # sit below the watermark by definition and so never advance it —
 # max-over-admitted == max-over-delivered, making the window over
 # all delivered events exact. epoch_us per the ts-comparison rule;
-# // is floor division in both engines' integer domains.
-ORACLE_NEXT["scd2_late_gate"] = """
+# // is floor division in both engines' integer domains. The late
+# modulus is interpolated from the implementation's constant so the
+# two can never silently desynchronize.
+from stock_data_project_spark.streaming.pipeline import (  # noqa: E402
+    _LATE_MOD,
+)
+
+ORACLE_NEXT["scd2_late_gate"] = f"""
     WITH nn AS (SELECT max(event_id) + 1 AS n FROM events),
     delivered AS (
         SELECT user_id, ts,
-               CASE WHEN event_id < (n // 3) AND event_id % 97 = 0 THEN 2
+               CASE WHEN event_id < (n // 3)
+                         AND event_id % {_LATE_MOD} = 0 THEN 2
                     WHEN event_id < (n // 3) THEN 0
                     WHEN event_id < ((2 * n) // 3) THEN 1
                     ELSE 2 END AS drop_id

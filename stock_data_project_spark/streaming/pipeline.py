@@ -797,13 +797,19 @@ def scd2_upsert_batch(
     if epoch_id <= committed_epoch:
         return
     sp = batch.sparkSession
-    if quarantine_dir and committed_dir:
-        wm = (
-            sp.read.parquet(committed_dir)
-            .groupBy("user_id")
-            .agg(F.max("last_ts").alias("_wm"))
-        )
-        tagged = batch.join(wm, "user_id", "left")
+    # ONE read of the committed state per epoch, shared by the gate's
+    # watermark, the affected-run reconstruction, and the island
+    # offset (three scans of a 100 TB-scale dimension otherwise —
+    # r6 review finding)
+    state = sp.read.parquet(committed_dir) if committed_dir else None
+    if quarantine_dir and state is not None:
+        wm = state.groupBy("user_id").agg(F.max("last_ts").alias("_wm"))
+        # eqNullSafe: a NULL-user group must gate against ITS OWN
+        # watermark (the oracle's PARTITION BY groups NULLs together;
+        # a plain equi-join would wave every NULL-user event through)
+        tagged = batch.join(
+            wm, batch["user_id"].eqNullSafe(wm["user_id"]), "left"
+        ).drop(wm["user_id"])
         late = tagged.filter(F.col("ts") < F.col("_wm")).drop("_wm")
         batch = tagged.filter(
             F.col("_wm").isNull() | (F.col("ts") >= F.col("_wm"))
@@ -818,11 +824,17 @@ def scd2_upsert_batch(
             os.path.join(quarantine_dir, f"epoch_{epoch_id}")
         )
     new_runs = scd2_runs(batch)
-    if committed_dir:
-        state = sp.read.parquet(committed_dir)
-        affected = new_runs.select("user_id").distinct()
+    if state is not None:
+        # all state↔batch key joins are NULL-SAFE: scd2_runs groups a
+        # NULL user like any other key, so a plain equi-join would
+        # route its committed rows to "untouched" while the batch's
+        # NULL runs merged fresh — forking the NULL group's version
+        # chain (r6 review finding, same class as the gate join)
+        affected = new_runs.select(F.col("user_id").alias("_au")).distinct()
         old_runs = (
-            state.join(affected, "user_id", "left_semi")
+            state.join(
+                affected, state["user_id"].eqNullSafe(affected["_au"]), "left_semi"
+            )
             .select(
                 "user_id",
                 "tier",
@@ -840,19 +852,23 @@ def scd2_upsert_batch(
         # a new run share valid_from (boundary event at the exact same
         # ts — legal under the non-decreasing contract) the tie-break
         # must still put committed runs first (r5 advisor finding).
-        old_max = (
-            state.join(affected, "user_id", "left_semi")
-            .groupBy("user_id")
-            .agg(F.max("version").alias("_vmax"))
-        )
+        # Derived from old_runs (island == version there) so the state
+        # is not semi-joined a second time.
+        old_max = old_runs.groupBy("user_id").agg(
+            F.max("island").alias("_vmax")
+        ).select(F.col("user_id").alias("_mu"), "_vmax")
         new_shifted = (
-            new_runs.join(old_max, "user_id", "left")
+            new_runs.join(
+                old_max, new_runs["user_id"].eqNullSafe(old_max["_mu"]), "left"
+            )
             .withColumn(
                 "island", F.col("island") + F.coalesce(F.col("_vmax"), F.lit(0))
             )
             .select("user_id", "tier", "valid_from", "n_events", "last_ts", "island")
         )
-        untouched = state.join(affected, "user_id", "left_anti")
+        untouched = state.join(
+            affected, state["user_id"].eqNullSafe(affected["_au"]), "left_anti"
+        )
         merged = merge_runs(old_runs.unionByName(new_shifted))
         out = untouched.unionByName(merged)
     else:
@@ -1093,12 +1109,18 @@ def stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     width = (hi - lo) / float(_QR_BINS)
     ev = read_events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
-    binned = ev.groupBy(
-        F.col("event_type").alias("series_key"),
+    # degenerate-domain guard, mirroring the batch key: width 0 would
+    # make the division NaN and the INT cast raise under ANSI mode
+    bin_of = (
         F.least(
             F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int"),
             F.lit(_QR_BINS - 1),
-        ).alias("bin"),
+        )
+        if width > 0
+        else F.lit(0)
+    )
+    binned = ev.groupBy(
+        F.col("event_type").alias("series_key"), bin_of.alias("bin")
     ).agg(F.count(F.lit(1)).alias("n"))
     _run_to_memory(binned, "stream_quantile_bins", "complete")
     stats = spark.createDataFrame([(float(lo), float(hi))], "_lo double, _hi double")

@@ -141,3 +141,67 @@ def test_scd2_late_gate_quarantines_and_state_is_clean(spark):
         # replay of epoch 1 is a no-op for state AND quarantine
         scd2_upsert_batch(batch2, 1, out, quarantine_dir=qdir)
         assert _scd2_committed(out)[0] == 1
+
+
+def test_scd2_late_gate_null_user_group(spark):
+    """NULL-user events gate against their OWN watermark (eqNullSafe
+    join — the oracle's PARTITION BY groups NULLs together; a plain
+    equi-join would admit every NULL-user event). r6 review finding."""
+    from datetime import datetime
+
+    from stock_data_project_spark.streaming.pipeline import scd2_upsert_batch
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    batch1 = spark.createDataFrame([(1, None, t(12), 10.0)], schema)
+    batch2 = spark.createDataFrame(
+        [(2, None, t(11), 60.0), (3, None, t(13), 20.0)], schema
+    )
+    with tempfile.TemporaryDirectory() as root:
+        out = os.path.join(root, "state")
+        qdir = os.path.join(root, "q")
+        os.makedirs(out)
+        scd2_upsert_batch(batch1, 0, out, quarantine_dir=qdir)
+        scd2_upsert_batch(batch2, 1, out, quarantine_dir=qdir)
+        q1 = spark.read.parquet(os.path.join(qdir, "epoch_1"))
+        assert [r["event_id"] for r in q1.collect()] == [2]
+
+
+def test_incremental_scd2_null_user_equals_batch(spark):
+    """Incremental == batch for a NULL-user group: the state↔batch
+    key joins are null-safe, so a NULL user's committed rows are
+    reconstructed and re-merged like any other key instead of forking
+    the version chain (r6 review finding)."""
+    from datetime import datetime
+
+    from stock_data_project_spark.streaming.pipeline import scd2_upsert_batch
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    batch1 = spark.createDataFrame(
+        [(1, None, t(10), 10.0), (2, 5, t(10), 10.0)], schema
+    )
+    batch2 = spark.createDataFrame(
+        [(3, None, t(11), 60.0), (4, None, t(12), 60.0)], schema
+    )
+    with tempfile.TemporaryDirectory() as out:
+        scd2_upsert_batch(batch1, 0, out)
+        scd2_upsert_batch(batch2, 1, out)
+        _, data_dir = _scd2_committed(out)
+        final = spark.read.parquet(data_dir)
+        expected = scd2_build(batch1.unionByName(batch2))
+
+        def rows(df):  # None-tolerant sort (NULL user_id)
+            return sorted(
+                (
+                    tuple(r)
+                    for r in df.select(
+                        "user_id", "tier", "valid_from", "valid_to",
+                        "n_events", "version",
+                    ).collect()
+                ),
+                key=str,
+            )
+
+        assert rows(final) == rows(expected)
+
