@@ -41,11 +41,15 @@ def q_ema_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bars = daily_bars(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("series_key").orderBy("date")
-    # NULL series excluded on BOTH sides: the oracle's recursive join
-    # (r.series_key = s.series_key) never matches NULL, so a NULL
-    # group would keep only its anchor row there while the groupBy
-    # fold kept the whole trajectory (r6 review finding)
-    daily = bars.filter(F.col("series_key").isNotNull()).select(
+    # NULL series AND NULL closes excluded on BOTH sides: the
+    # oracle's recursive join never matches a NULL series (keeping
+    # only its anchor row while the fold kept the trajectory), and a
+    # NULL close would TypeError inside the decimal fold where the
+    # oracle's SQL arithmetic silently propagates NULL — filter both
+    # before rn so ranks stay dense and identical (r6 review findings)
+    daily = bars.filter(
+        F.col("series_key").isNotNull() & F.col("close").isNotNull()
+    ).select(
         "series_key",
         "date",
         F.row_number().over(w).cast("int").alias("rn"),
@@ -113,7 +117,15 @@ QUERIES_NEXT = {
     "roc_momentum": q_roc_momentum,
 }
 
-_BARS = """
+# ema's close-only bars (NULL series/closes excluded to mirror the
+# fold's filter); roc reuses the FULL shared bars CTE from stock.py —
+# one copy of the daily_bars mirror, per the single-implementation
+# rule (r6 review finding). Import is safe: plans/__init__ always
+# initializes stock (which binds _BARS at its top) before any path
+# can reach this module.
+from stock_data_project_spark.plans.stock import _BARS as _FULL_BARS  # noqa: E402
+
+_CLOSE_BARS = """
 bars AS (
     SELECT event_type AS series_key,
            date_trunc('day', ts) AS date,
@@ -125,12 +137,13 @@ bars AS (
 
 ORACLE_NEXT = {
     "ema_cross": f"""
-        WITH RECURSIVE {_BARS}, seq AS (
+        WITH RECURSIVE {_CLOSE_BARS}, seq AS (
             SELECT series_key, date,
                    CAST(row_number() OVER (PARTITION BY series_key
                                            ORDER BY date) AS INT) AS rn,
                    CAST(round(close, 6) AS DECIMAL(18,6)) AS close
             FROM bars
+            WHERE close IS NOT NULL
         ), rec(series_key, date, rn, fast, slow) AS (
             SELECT series_key, date, rn, close, close FROM seq WHERE rn = 1
             UNION ALL
@@ -159,18 +172,7 @@ ORACLE_NEXT = {
         WINDOW w AS (PARTITION BY series_key ORDER BY rn)
     """,
     "roc_momentum": f"""
-        WITH bars AS (
-            SELECT event_type AS series_key,
-                   date_trunc('day', ts) AS date,
-                   arg_min(value, ts) AS open,
-                   max(value) AS high,
-                   min(value) AS low,
-                   arg_max(value, ts) AS close,
-                   count(*) AS volume,
-                   round(sum(value), 6) AS turnover
-            FROM events
-            GROUP BY 1, 2
-        )
+        WITH {_FULL_BARS}
         SELECT series_key, date, close,
                round((close - lag(close, {_ROC_N}) OVER w) * 100.0
                      / nullif(lag(close, {_ROC_N}) OVER w, 0), 6) AS roc,

@@ -797,11 +797,15 @@ def scd2_upsert_batch(
     if epoch_id <= committed_epoch:
         return
     sp = batch.sparkSession
-    # ONE read of the committed state per epoch, shared by the gate's
-    # watermark, the affected-run reconstruction, and the island
-    # offset (three scans of a 100 TB-scale dimension otherwise —
-    # r6 review finding)
-    state = sp.read.parquet(committed_dir) if committed_dir else None
+    # ONE scan of the committed state per epoch, shared by the gate's
+    # watermark, the affected-run reconstruction, the island offset,
+    # and the untouched carry-over. The persist is what actually
+    # delivers that: the lazy frame alone would re-scan the parquet
+    # once per plan BRANCH (Spark reuses exchanges, not scans) and
+    # once per action (r6 review finding).
+    state = (
+        sp.read.parquet(committed_dir).persist() if committed_dir else None
+    )
     if quarantine_dir and state is not None:
         wm = state.groupBy("user_id").agg(F.max("last_ts").alias("_wm"))
         # eqNullSafe: a NULL-user group must gate against ITS OWN
@@ -875,6 +879,8 @@ def scd2_upsert_batch(
         out = merge_runs(new_runs)
     data_dir = os.path.join(out_dir, f"scd2_{epoch_id}")
     out.write.mode("overwrite").parquet(data_dir)
+    if state is not None:
+        state.unpersist()  # all actions over the old state are done
     ptr_tmp = os.path.join(out_dir, f".{_SCD2_POINTER}.tmp")
     with open(ptr_tmp, "w") as fh:
         fh.write(f"{epoch_id}\t{os.path.basename(data_dir)}")
