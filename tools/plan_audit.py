@@ -70,6 +70,9 @@ def main() -> None:
         "cohort_ltv",
         "frequent_pairs",
         "stratified_sample",
+        "topk_rollup",
+        "ema_cross",
+        "roc_momentum",
     )
     out = {}
     for name in tuple(HEADLINE) + extra:
