@@ -26,78 +26,75 @@ from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 # set is reviewable as one diff. Keys beyond the list follow in module
 # order. New keys MUST debut inside the list in their round.
 #
-# r6 window (50): the 23 prebuilt-r5 debuts first (stock_next2 4,
-# llm_next2 8, olap_next3 8, sql_api 1, stream_next2 2), then the two
-# named r5 deferrals (dim_country, macd), then 25 re-grades
-# oldest-evidence-first: the llm family's 17 r3 rows, olap's
-# tpch_q12/q13/q17 + approx_stats (r3), and the two r4 rows-only keys
-# (embedding_dedup_ivf, ann_ivf) — closing with the two keys BUILT in
-# r6 (quantile_rollup, scd2_late_gate; new keys debut inside the
-# upcoming window). The remaining r4 olap/sql/stream re-grades fill
-# the r7 window after the nine r6-built debuts (SURVEY §5).
+# r7 window (50), per the SURVEY §5 commitment made in r6: the nine
+# r6-built debuts first (olap_next4 4, llm_next3 2, stock_next3 2,
+# stream_next3 1 — all fully oracled, parity-proven by
+# tests/test_next3_staged.py), then the williams_r re-grade (its r6
+# row was a signed-zero hash artifact — zero value differences — and
+# must not wait a full rotation red; fixed this round), then 40
+# re-grades oldest-evidence-first: the olap family's r4 rows in
+# module order, olap_next's 8 TPC-H shapes, and sql_api's first two.
+# Named r8 deferrals (43 candidates, 40 slots):
+# sql_above_avg_orders, stream_window_counts, stream_sessionize.
 _GRADE_ORDER = [
-    # olap_next3 debuts (SCD2 + warehouse audit family)
-    "scd2_dim",
-    "scd2_asof",
-    "session_concurrency",
-    "data_quality_audit",
-    "expectation_gate",
-    "user_influence",
-    "snapshot_delta",
-    "salted_join_revenue",
-    # sql_api debut (recursive-CTE EMA)
-    "sql_decayed_revenue",
-    # stock_next2 debuts
+    # olap_next4 debuts (built r6)
+    "tpch_q18",
+    "cohort_ltv",
+    "frequent_pairs",
+    "triangle_count",
+    # llm_next3 debuts (built r6)
+    "stratified_sample",
+    "topk_rollup",
+    # stock_next3 debuts (built r6)
+    "ema_cross",
+    "roc_momentum",
+    # stream_next3 debut (built r6)
+    "stream_quantile",
+    # the one red r6 row — signed-zero fix re-graded immediately
     "williams_r",
-    "mfi",
-    "ulcer_index",
-    "linear_interp",
-    # llm_next2 debuts
-    "frequent_tokens",
-    "contamination_flags",
-    "bigram_logprob",
-    "capped_counts",
-    "split_counts",
-    "bpe_token_count",
-    "pack_stats",
-    "remix_counts",
-    # stream_next2 debuts
-    "stream_anomaly",
-    "stream_scd2",
-    # r5 named deferrals
-    "dim_country",
-    "macd",
-    # re-grades: llm family, r3 evidence (module order)
-    "tfidf_top_terms",
-    "clean_corpus",
-    "embedding_dedup",
-    "media_pipeline",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "ann_cosine_topk",
-    "ann_lsh",
-    "lang_id",
-    "text_quality",
-    "token_count",
-    "doc_fingerprint",
-    "doc_winnow",
-    "gopher_quality",
-    "ngram_repetition",
-    # re-grades: olap, r3 evidence
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q17",
-    "approx_stats",
-    # re-grades: r4 rows-only llm keys (next-oldest evidence)
-    "embedding_dedup_ivf",
-    "ann_ivf",
-    # r6 debuts built this round: the mergeable-quantile rollup
-    # (percentile twin of hll_rollup, fully oracled) and the SCD2
-    # late-data gate (the maintainer's contract made observable)
-    "quantile_rollup",
-    "scd2_late_gate",
+    # re-grades: olap family, r4 evidence (module order)
+    "rollup_sales",
+    "customers_no_orders",
+    "sessionize",
+    "tumbling_window_agg",
+    "tpch_q19",
+    "tpch_q22",
+    "funnel",
+    "weekly_retention",
+    "active_customer_overlap",
+    "unpivot_ohlc",
+    "value_histogram",
+    "word_frequency",
+    "cube_sales",
+    "big_orders",
+    "balance_distribution",
+    "nation_segments",
+    "ntile_deciles",
+    "asof_join",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "props_extract",
+    "price_quantiles",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_customers_per_nation",
+    "pivot_returnflag",
+    # re-grades: olap_next TPC-H shapes, r4 evidence
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    # re-grades: sql_api, r4 evidence
+    "sql_segment_revenue",
+    "sql_star_query",
 ]
 
 _MODULES = (stock, llm, olap, sql_api, stream)
