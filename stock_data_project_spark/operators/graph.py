@@ -47,6 +47,15 @@ def pagerank(
     symmetrizing the graph) — dangling nodes would otherwise leak
     rank mass. rank'(v) = round((1−d)/N + d·Σ_u rank(u)·w(u,v)/W(u) with W = out-weight,
     6dp), iterated ``iters`` times from the uniform vector.
+
+    Preconditions (CHECKED, one metadata-sized job before iterating —
+    r6 ADVICE: the self-loop rewrite made these silent): ``src`` must
+    be non-NULL (NULL never equi-joins, so a NULL-keyed node would
+    vanish from the output instead of holding base rank) and every
+    node's total out-weight must be strictly positive and non-NULL
+    (W ≤ 0 or a NULL edge weight makes rank·w/W NaN and poisons the
+    trajectory). Violations raise ``ValueError`` naming the node
+    count rather than returning a silently narrowed result.
     """
     e0 = edges.select(
         F.col(src_col).alias("src"),
@@ -77,6 +86,23 @@ def pagerank(
         n = nodes.count()
         if n == 0:
             raise ValueError("pagerank: empty edge list")
+        n_bad = (
+            outw.filter(
+                F.col("src").isNull()
+                | F.col("w_out").isNull()
+                | (F.col("w_out") <= 0.0)
+            )
+            .limit(1)
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                "pagerank: found NULL src and/or a node whose total "
+                "out-weight is NULL or <= 0 — NULL keys never "
+                "equi-join (the node would silently vanish) and "
+                "non-positive W makes rank*w/W NaN; filter NULL "
+                "sources and ensure strictly positive edge weights"
+            )
         base = (1.0 - damping) / n
         ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), 6))
         ranks = ranks.localCheckpoint(eager=True)

@@ -179,12 +179,20 @@ def with_williams_r(
     """Williams %R = −100·(rolling max high − close)/(rolling max high
     − rolling min low) — the stochastic %K mirrored to [−100, 0]. A
     flat lookback (high == low throughout) yields NULL, not an ANSI
-    division error, matching ``with_stochastic``."""
+    division error, matching ``with_stochastic``.
+
+    Signed zero: when close == rolling high the numerator is exactly
+    0 and the −100 factor makes it IEEE ``-0.0``; engines disagree on
+    whether ``round`` preserves the sign (DuckDB does, Spark doesn't)
+    and the driver canonicalizer hashes the sign bit (the one red r6
+    row). ``+ 0.0`` after the final round normalizes: −0.0 + 0.0 =
+    +0.0, every other value (incl. NULL) unchanged. Mirrored in the
+    oracle SQL."""
     w = _rolling(key_col, order_col, window)
     hh = F.max("high").over(w)
     ll = F.min("low").over(w)
     r = -100.0 * (hh - F.col("close")) / F.nullif(hh - ll, F.lit(0.0))
-    return df.withColumn(out_col, F.round(r, 6))
+    return df.withColumn(out_col, F.round(r, 6) + F.lit(0.0))
 
 
 def with_mfi(

@@ -154,7 +154,7 @@ ORACLE_NEXT = {
         WITH {_BARS}
         SELECT series_key, date, close,
                round(-100.0 * (hh - close) / nullif(hh - ll, 0.0), 6)
-                   AS williams_r
+                   + 0.0 AS williams_r
         FROM (
             SELECT series_key, date, close,
                    max(high) OVER w AS hh,

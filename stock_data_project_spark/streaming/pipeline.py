@@ -806,6 +806,7 @@ def scd2_upsert_batch(
     state = (
         sp.read.parquet(committed_dir).persist() if committed_dir else None
     )
+    tagged = None
     if quarantine_dir and state is not None:
         wm = state.groupBy("user_id").agg(F.max("last_ts").alias("_wm"))
         # eqNullSafe: a NULL-user group must gate against ITS OWN
@@ -813,14 +814,31 @@ def scd2_upsert_batch(
         # a plain equi-join would wave every NULL-user event through)
         tagged = batch.join(
             wm, batch["user_id"].eqNullSafe(wm["user_id"]), "left"
-        ).drop(wm["user_id"])
+        ).drop(wm["user_id"]).persist()
         late = tagged.filter(F.col("ts") < F.col("_wm")).drop("_wm")
+        # NULL-ts disposition is EXPLICIT: ts < _wm is NULL (not late)
+        # AND ts >= _wm is NULL (not admitted) — without the isNull
+        # arm the event would silently vanish from both branches
+        # (r6 ADVICE). NULL-ts rows are admitted, matching the oracle
+        # (which counts them as on-time); with it the two predicates
+        # PARTITION every batch, which the conservation check below
+        # turns from an assumption into a measurement.
         batch = tagged.filter(
-            F.col("_wm").isNull() | (F.col("ts") >= F.col("_wm"))
+            F.col("_wm").isNull()
+            | F.col("ts").isNull()
+            | (F.col("ts") >= F.col("_wm"))
         ).drop("_wm")
         late.write.mode("overwrite").parquet(
             os.path.join(quarantine_dir, f"epoch_{epoch_id}")
         )
+        n_in, n_late, n_adm = tagged.count(), late.count(), batch.count()
+        if n_late + n_adm != n_in:
+            raise RuntimeError(
+                f"scd2 gate lost rows in epoch {epoch_id}: "
+                f"{n_in} delivered != {n_late} late + {n_adm} admitted "
+                "— a gate predicate no longer partitions the batch "
+                "(check NULL handling in the watermark comparison)"
+            )
     elif quarantine_dir:
         # no committed state: nothing can be late; an empty quarantine
         # drop keeps the per-epoch accounting uniform
@@ -881,6 +899,8 @@ def scd2_upsert_batch(
     out.write.mode("overwrite").parquet(data_dir)
     if state is not None:
         state.unpersist()  # all actions over the old state are done
+    if tagged is not None:
+        tagged.unpersist()  # gate counts + admitted batch consumed
     ptr_tmp = os.path.join(out_dir, f".{_SCD2_POINTER}.tmp")
     with open(ptr_tmp, "w") as fh:
         fh.write(f"{epoch_id}\t{os.path.basename(data_dir)}")

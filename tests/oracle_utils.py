@@ -59,6 +59,21 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> None:
             f"value mismatch in column {c}:\n"
             f"spark head: {g.head(10).tolist()}\noracle head: {w.head(10).tolist()}"
         )
+        if pd.api.types.is_float_dtype(g):
+            # Driver-faithful: the canonicalizer hashes raw bytes, so
+            # IEEE -0.0 vs +0.0 hash-mismatches even though == passes
+            # (the williams_r r6 red row). Compare the sign bit at
+            # exact zeros explicitly.
+            ga, wa = g.to_numpy(np.float64), w.to_numpy(np.float64)
+            gz = np.signbit(ga) & (ga == 0.0)
+            wz = np.signbit(wa) & (wa == 0.0)
+            bad = np.flatnonzero(gz != wz)
+            assert bad.size == 0, (
+                f"signed-zero mismatch in column {c} at rows "
+                f"{bad[:5].tolist()}: spark {ga[bad[:5]].tolist()} vs "
+                f"oracle {wa[bad[:5]].tolist()} (driver hashes the "
+                f"sign bit; normalize with '+ 0.0' on both engines)"
+            )
 
 
 def assert_gradable_schema(df, key: str) -> None:

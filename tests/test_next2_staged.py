@@ -238,3 +238,70 @@ def test_quantile_rollup_accuracy_and_merge(spark):
     n_total = {r["p"]: r["n_values"] for r in rows if r["is_total"]}
     per_type = sum(r["n_values"] for r in rows if not r["is_total"] and r["p"] == 0.5)
     assert set(n_total.values()) == {per_type}
+
+
+def test_williams_r_never_emits_negative_zero(spark):
+    """r6's one red driver row: close == rolling high makes the
+    numerator exactly 0 and the -100 factor turns it into IEEE -0.0;
+    DuckDB's round() preserves the sign, Spark's doesn't, and the
+    driver canonicalizer hashes the sign bit. with_williams_r now
+    normalizes with `+ 0.0` after the final round (mirrored in the
+    oracle SQL); pin that no -0.0 survives on a crafted
+    close-at-the-high series."""
+    import numpy as np
+
+    from stock_data_project_spark.operators.indicators import with_williams_r
+
+    rows = [
+        # close == high == rolling max → %R = -0.0 without the fix
+        ("A", 1, 10.0, 5.0, 10.0),
+        ("A", 2, 10.0, 5.0, 10.0),
+        ("A", 3, 12.0, 6.0, 12.0),
+        ("A", 4, 11.0, 6.0, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_key string, date int, high double, low double, close double"
+    )
+    vals = [
+        r.williams_r
+        for r in with_williams_r(df, order_col="date", window=14).collect()
+        if r.williams_r is not None
+    ]
+    assert vals, "expected non-NULL %R values"
+    assert not any(np.signbit(v) and v == 0.0 for v in vals), vals
+    assert 0.0 in vals  # the close-at-high rows still produce exact zero
+
+
+def test_compare_harness_catches_signed_zero(spark):
+    """The in-repo parity harness must fail where the driver fails:
+    two frames equal under == but differing in zero sign (the gap that
+    let williams_r ship red in r6)."""
+    import pandas as pd
+
+    sdf = spark.createDataFrame([(1, 0.0)], "id int, v double")
+    oracle_ok = pd.DataFrame({"id": [1], "v": [0.0]})
+    oracle_bad = pd.DataFrame({"id": [1], "v": [-0.0]})
+    compare(sdf, oracle_ok)
+    with pytest.raises(AssertionError, match="signed-zero"):
+        compare(sdf, oracle_bad)
+
+
+def test_pagerank_rejects_null_src_and_nonpositive_outweight(spark):
+    """r6 ADVICE: the self-loop rewrite silently narrowed the
+    operator's contract — a NULL-src node vanished (NULL never
+    equi-joins) and a zero/NULL total out-weight produced NaN ranks.
+    The preconditions are now CHECKED up front."""
+    from stock_data_project_spark.operators.graph import pagerank
+
+    schema = "src string, dst string, w double"
+    with pytest.raises(ValueError, match="NULL src"):
+        pagerank(spark.createDataFrame([(None, "b", 1.0), ("b", "a", 1.0)], schema))
+    with pytest.raises(ValueError, match="out-weight"):
+        pagerank(spark.createDataFrame([("a", "b", 0.0), ("b", "a", 1.0)], schema))
+    with pytest.raises(ValueError, match="out-weight"):
+        pagerank(spark.createDataFrame([("a", "b", None), ("b", "a", 1.0)], schema))
+    # the happy path still works
+    ranks = pagerank(
+        spark.createDataFrame([("a", "b", 1.0), ("b", "a", 1.0)], schema), iters=2
+    )
+    assert ranks.count() == 2

@@ -205,3 +205,39 @@ def test_incremental_scd2_null_user_equals_batch(spark):
 
         assert rows(final) == rows(expected)
 
+
+
+def test_scd2_late_gate_null_ts_is_admitted(spark):
+    """A NULL-ts event with a committed watermark must not vanish:
+    `ts < wm` is NULL (not late) and `ts >= wm` is NULL (not
+    admitted) — without the explicit isNull arm the event escaped
+    BOTH branches (r6 ADVICE). NULL-ts rows are admitted, and the
+    gate's conservation check (delivered == late + admitted) turns
+    any future gate hole into a loud RuntimeError."""
+    from datetime import datetime
+
+    from stock_data_project_spark.streaming.pipeline import scd2_upsert_batch
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    batch1 = spark.createDataFrame([(1, 7, t(12), 10.0)], schema)
+    batch2 = spark.createDataFrame(
+        [(2, 7, None, 60.0), (3, 7, t(13), 20.0)], schema
+    )
+    with tempfile.TemporaryDirectory() as root:
+        out = os.path.join(root, "state")
+        qdir = os.path.join(root, "q")
+        os.makedirs(out)
+        scd2_upsert_batch(batch1, 0, out, quarantine_dir=qdir)
+        scd2_upsert_batch(batch2, 1, out, quarantine_dir=qdir)
+        q1 = spark.read.parquet(os.path.join(qdir, "epoch_1"))
+        assert q1.count() == 0  # NULL ts is NOT late
+        _, data_dir = _scd2_committed(out)
+        final = spark.read.parquet(data_dir)
+        # all three events survive into the dimension's run counts
+        assert final.agg(F.sum("n_events")).collect()[0][0] == 3
+        # and the incremental result equals the batch build over the
+        # same (fully admitted) event set
+        assert _sorted_rows(final) == _sorted_rows(
+            scd2_build(batch1.unionByName(batch2))
+        )
