@@ -583,3 +583,13 @@ from stock_data_project_spark.plans.llm_next3 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT3)
 ORACLE.update(ORACLE_NEXT3)
+
+# r7 build, r8 debut: semantic_dedup (SemDeDup with an oracle-able
+# sign-bit quantizer cell; linear per-cell kernel, never all-pairs)
+from stock_data_project_spark.plans.llm_next4 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT4,
+    QUERIES_NEXT as QUERIES_NEXT4,
+)
+
+QUERIES.update(QUERIES_NEXT4)
+ORACLE.update(ORACLE_NEXT4)

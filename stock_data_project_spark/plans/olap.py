@@ -1111,3 +1111,13 @@ from stock_data_project_spark.plans.olap_next4 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT4)
 ORACLE.update(ORACLE_NEXT4)
+
+# r7 build, r8 debut: conversion_lag (order→ship lag percentiles via
+# the shared mergeable histogram-sketch estimator)
+from stock_data_project_spark.plans.olap_next5 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT5,
+    QUERIES_NEXT as QUERIES_NEXT5,
+)
+
+QUERIES.update(QUERIES_NEXT5)
+ORACLE.update(ORACLE_NEXT5)

@@ -1,0 +1,127 @@
+"""OLAP keys built in r7, staged for the r8 driver window.
+
+- ``conversion_lag`` — order-to-shipment conversion lag percentiles
+  via the mergeable histogram sketch: lag = calendar days from
+  ``o_orderdate`` to each lineitem's ``l_shipdate``, sketched per
+  ``o_orderpriority`` into the same per-(key, bin) equi-width
+  histogram as ``quantile_rollup`` and estimated by the SAME shared
+  estimator (plans/olap_next3.histogram_quantiles — one
+  implementation, per the repo rule), with the grand-total rollup
+  merged from the per-priority sketches by bin-count summation (no
+  fact rescan).
+
+  Scale shape: the lineitem⋈orders join shuffles both sides on
+  orderkey — at 100 TB the tables are bucketed/co-partitioned on
+  orderkey (sources/writers.write_bucketed) so the join is
+  exchange-free; neither side is broadcastable. After the join the
+  fact collapses map-side to ≤ priorities × 512 sketch rows; the
+  percentile tail touches kilobytes. Fully oracled: the estimator is
+  deterministic arithmetic (floor-binning, cumulative counts, linear
+  interpolation), reproduced verbatim in DuckDB, exactly like
+  quantile_rollup's oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.plans.olap_next3 import _QR_BINS, histogram_quantiles
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_orderpriority").alias("series_key"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("double")
+            .alias("value"),
+        )
+        .filter(F.col("value").isNotNull())
+    )
+    stats = lag.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(_QR_BINS))
+    # same degenerate-domain guard as quantile_rollup (hi == lo →
+    # single bin, mirrored in the oracle)
+    bin_of = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.least(
+            F.floor((F.col("value") - F.col("_lo")) / width).cast("int"),
+            F.lit(_QR_BINS - 1),
+        ),
+    ).otherwise(F.lit(0))
+    binned = (
+        lag.crossJoin(F.broadcast(stats))
+        .select("series_key", bin_of.alias("bin"))
+        .groupBy("series_key", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return histogram_quantiles(binned, stats)
+
+
+QUERIES_NEXT = {"conversion_lag": q_conversion_lag}
+
+# CAST AS DOUBLE: a bare 0.5 literal is DECIMAL in DuckDB and the
+# p·total rank arithmetic must be double×double on both engines
+_QR_PS_SQL = "CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)"
+
+ORACLE_NEXT = {
+    # quantile_rollup's oracle with lag-days as the sketched value
+    "conversion_lag": f"""
+        WITH lag AS (
+            SELECT o.o_orderpriority AS series_key,
+                   CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                        AS DOUBLE) AS value
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+        ),
+        stats AS (
+            SELECT min(value) AS lo, max(value) AS hi FROM lag
+        ),
+        binned AS (
+            SELECT series_key,
+                   CASE WHEN hi > lo
+                        THEN LEAST(CAST(floor((value - lo)
+                                   / ((hi - lo) / {_QR_BINS}.0)) AS INT),
+                                   {_QR_BINS - 1})
+                        ELSE 0 END AS bin,
+                   count(*) AS n
+            FROM lag, stats
+            GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT series_key, FALSE AS is_total, bin, n FROM binned
+            UNION ALL
+            SELECT NULL, TRUE, bin, CAST(sum(n) AS BIGINT)
+            FROM binned GROUP BY bin
+        ),
+        cum AS (
+            SELECT series_key, is_total, bin, n,
+                   sum(n) OVER (PARTITION BY series_key, is_total
+                                ORDER BY bin) AS cum,
+                   sum(n) OVER (PARTITION BY series_key, is_total) AS total
+            FROM merged
+        ),
+        sel AS (
+            SELECT series_key, is_total, p, total,
+                   arg_min(bin, bin) AS bin,
+                   arg_min(n, bin) AS n,
+                   arg_min(cum, bin) AS cum
+            FROM cum,
+                 (SELECT unnest([{_QR_PS_SQL}]) AS p) ps
+            WHERE cum >= p * total
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT series_key, is_total, p,
+               round(lo + ((hi - lo) / {_QR_BINS}.0)
+                     * (bin + (p * total - (cum - n)) / n), 6) AS approx_value,
+               CAST(total AS BIGINT) AS n_values
+        FROM sel, stats
+    """,
+}

@@ -135,3 +135,13 @@ from stock_data_project_spark.plans.stream_next3 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT3)
 ORACLE.update(ORACLE_NEXT3)
+
+# r7 build, r8 debut: stream_late_data (watermark-dropped row counts
+# measured from query progress; oracle replays the wm recurrence)
+from stock_data_project_spark.plans.stream_next4 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT4,
+    QUERIES_NEXT as QUERIES_NEXT4,
+)
+
+QUERIES.update(QUERIES_NEXT4)
+ORACLE.update(ORACLE_NEXT4)
