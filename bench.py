@@ -67,6 +67,13 @@ HEADLINE = (
     "sql_decayed_revenue",
     "bigram_logprob",
     "quantile_rollup",
+    # r7 debut families: apriori pairs, degree-oriented triangles,
+    # semantic (cluster-representative) dedup, histogram-sketch lag
+    # percentiles over the lineitem⋈orders join
+    "frequent_pairs",
+    "triangle_count",
+    "semantic_dedup",
+    "conversion_lag",
 )
 
 
