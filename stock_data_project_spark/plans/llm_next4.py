@@ -69,6 +69,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        # canonical row order FIRST: the centroid mean (and therefore
+        # every rounded cosine) must not depend on shuffle arrival
+        # order — float summation is order-sensitive in the last bit
+        # (the layout-determinism rule; embedding_dedup sorts too)
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         m = to_matrix(pdf["embedding"].to_numpy(), d)
         u = unit_rows(m)
         norms = np.linalg.norm(u, axis=1)

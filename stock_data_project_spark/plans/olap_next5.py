@@ -65,7 +65,63 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(binned, stats)
 
 
-QUERIES_NEXT = {"conversion_lag": q_conversion_lag}
+def q_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch funnel attribution: each purchase is attributed to
+    the same user's most recent click at-or-before it, IF that click
+    is within the 7-day lookback; conversions and revenue roll up by
+    attribution day, with a NULL-day row collecting the unattributed
+    remainder (no click, or the last click is stale).
+
+    Plan shape: the scalable union-and-window as-of join
+    (operators/asof.py — one user-key shuffle, no per-group pandas),
+    then a day rollup. Clicks are pre-aggregated per (user, ts) so
+    the as-of pick is deterministic; NULL users/timestamps are
+    filtered identically on both engines (NULL never equi-joins —
+    the eqNullSafe parity class)."""
+    from stock_data_project_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.max("event_id").alias("click_id"))
+        .select(F.col("user_id").alias("cuser"), "cts", "click_id")
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        left=clicks,
+        right=purchases,
+        left_key="cuser",
+        right_key="user_id",
+        left_time="cts",
+        right_time="ts",
+        value_cols=["click_id"],
+    )
+    attributed = F.col("asof_cts").isNotNull() & (
+        F.col("asof_cts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        joined.select(
+            F.when(attributed, F.date_trunc("day", F.col("asof_cts"))).alias(
+                "attr_day"
+            ),
+            "value",
+        )
+        .groupBy("attr_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 6).alias("attributed_value"),
+        )
+    )
+
+
+QUERIES_NEXT = {
+    "conversion_lag": q_conversion_lag,
+    "funnel_attribution": q_funnel_attribution,
+}
 
 # CAST AS DOUBLE: a bare 0.5 literal is DECIMAL in DuckDB and the
 # p·total rank arithmetic must be double×double on both engines
@@ -123,5 +179,28 @@ ORACLE_NEXT = {
                      * (bin + (p * total - (cum - n)) / n), 6) AS approx_value,
                CAST(total AS BIGINT) AS n_values
         FROM sel, stats
+    """,
+    "funnel_attribution": """
+        WITH clicks AS (
+            SELECT user_id AS cuser, ts AS cts, max(event_id) AS click_id
+            FROM events
+            WHERE event_type = 'click'
+              AND user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+              AND user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT CASE WHEN c.cts IS NOT NULL
+                         AND c.cts >= p.ts - INTERVAL 7 DAY
+                    THEN date_trunc('day', c.cts) END AS attr_day,
+               count(*) AS n_conversions,
+               round(sum(p.value), 6) AS attributed_value
+        FROM p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.cuser AND c.cts <= p.ts
+        GROUP BY 1
     """,
 }

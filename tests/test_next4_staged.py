@@ -140,3 +140,26 @@ def test_semantic_dedup_runs_with_arrow_disabled(spark):
         assert ALL_Q["stream_late_data"](spark, SF_SMOKE).count() > 0
     finally:
         spark.conf.set(key, old)
+
+
+def test_funnel_attribution_conserves_purchases(spark):
+    """Every purchase lands in exactly one attribution bucket (a day
+    or the NULL unattributed row), and attribution days are midnight
+    timestamps (the no-DATE-output parity rule)."""
+    from stock_data_project_spark.catalog import load_table
+
+    out = ALL_Q["funnel_attribution"](spark, SF_ORACLE).collect()
+    n_purchases = (
+        load_table(spark, SF_ORACLE, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .count()
+    )
+    assert sum(r.n_conversions for r in out) == n_purchases
+    days = [r.attr_day for r in out if r.attr_day is not None]
+    assert days, "expected attributed conversions"
+    for d in days:
+        assert d.hour == 0 and d.minute == 0 and d.second == 0

@@ -73,6 +73,11 @@ def main() -> None:
         "topk_rollup",
         "ema_cross",
         "roc_momentum",
+        # r7-built keys (batch; stream_late_data is streaming-driven
+        # and pinned by tests/test_next4_staged.py)
+        "semantic_dedup",
+        "conversion_lag",
+        "funnel_attribution",
     )
     out = {}
     for name in tuple(HEADLINE) + extra:
@@ -105,6 +110,9 @@ def main() -> None:
         # frame — both against sketch-sized (≤ types×512 rows)
         # inputs; constant-cost binds, same class as above
         "quantile_rollup",
+        # conversion_lag is quantile_rollup's estimator applied to
+        # the lag join — the identical two metadata-sized binds
+        "conversion_lag",
     }
     flagged = [
         k
