@@ -54,8 +54,8 @@ def pagerank(
     vanish from the output instead of holding base rank) and every
     node's total out-weight must be strictly positive and non-NULL
     (W ≤ 0 or a NULL edge weight makes rank·w/W NaN and poisons the
-    trajectory). Violations raise ``ValueError`` naming the node
-    count rather than returning a silently narrowed result.
+    trajectory). Violations raise ``ValueError`` rather than
+    returning a silently narrowed result.
     """
     e0 = edges.select(
         F.col(src_col).alias("src"),

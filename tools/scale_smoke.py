@@ -72,6 +72,13 @@ QUERIES = (
     "frequent_pairs",
     "triangle_count",
     "stratified_sample",
+    # r7 families: sign-bit-cell semantic dedup (linear per-cell
+    # GEMM), histogram-sketch lag percentiles over the orderkey
+    # join, as-of last-touch attribution. stream_late_data stays
+    # excluded like the other streaming-driven harness keys.
+    "semantic_dedup",
+    "conversion_lag",
+    "funnel_attribution",
 )
 
 
