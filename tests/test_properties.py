@@ -117,3 +117,43 @@ def test_asof_forward_matches_pandas_merge_asof(spark, left_rows, right_rows):
         want.set_index(want["rid"].astype("int64"))["v"],
         check_names=False,
     )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),  # key (incl. NULL group)
+            st.integers(0, 9),                  # order position
+            st.one_of(st.none(), st.integers(0, 50)),  # carried value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 5),  # chunk width — coarse monotone bucketing
+)
+def test_chunked_lag_matches_plain_lag(spark, rows, width):
+    """chunked_lag == F.lag for ANY key/value/NULL mix and any
+    monotone chunking granularity (width 1 = every row its own chunk,
+    the maximal-stitch case)."""
+    from stock_data_project_spark.operators.chunked import chunked_lag
+
+    data = [(k, pos, i, v) for i, (k, pos, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, pos int, id int, v int")
+    from pyspark.sql import Window
+
+    plain = df.withColumn(
+        "prev_v", F.lag("v").over(Window.partitionBy("k").orderBy("pos", "id"))
+    )
+    chunked = chunked_lag(
+        df,
+        key_cols=["k"],
+        order_cols=["pos", "id"],
+        target_col="v",
+        chunk=F.floor(F.col("pos") / width),
+        out_col="prev_v",
+    )
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    want = sorted(map(tuple, plain.select("k", "id", "prev_v").collect()), key=key)
+    got = sorted(map(tuple, chunked.select("k", "id", "prev_v").collect()), key=key)
+    assert got == want
