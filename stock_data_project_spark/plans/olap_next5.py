@@ -45,7 +45,20 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("value").isNotNull())
     )
-    stats = lag.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    # Lag is INTEGER days: pre-aggregate exact (key, value) counts —
+    # priorities × distinct lag-days rows, a few thousand — so the
+    # expensive join+scan runs ONCE and both the domain probe and the
+    # binning read the tiny table. Count-weighted binning is exactly
+    # count-preserving, so the result (and the oracle) is unchanged.
+    # localCheckpoint cuts the plan so the stats branch cannot
+    # re-execute the join subplan (the first cut re-ran the 18M-row
+    # join for the domain probe: 24.4s at the 30× smoke).
+    counts = (
+        lag.groupBy("series_key", "value")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    stats = counts.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(_QR_BINS))
     # same degenerate-domain guard as quantile_rollup (hi == lo →
     # single bin, mirrored in the oracle)
@@ -57,10 +70,10 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.lit(0))
     binned = (
-        lag.crossJoin(F.broadcast(stats))
-        .select("series_key", bin_of.alias("bin"))
+        counts.crossJoin(F.broadcast(stats))
+        .select("series_key", bin_of.alias("bin"), "_n")
         .groupBy("series_key", "bin")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("_n").alias("n"))
     )
     return histogram_quantiles(binned, stats)
 
