@@ -74,6 +74,7 @@ HEADLINE = (
     "triangle_count",
     "semantic_dedup",
     "conversion_lag",
+    "skew_report",
 )
 
 

@@ -131,9 +131,51 @@ def q_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_TOPK = 10
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of the lineitem⋈orders key — the
+    warehouse-ops report that decides whether a join needs salting:
+    (a) the full fanout histogram (rows-per-orderkey → number of
+    keys) and (b) the top-K heaviest keys, in one two-part output
+    (kind ∈ {'fanout_hist', 'top_key'}).
+
+    Plan shape: ONE map-side-partial groupBy on the join key; the
+    histogram is a second groupBy over the tiny fanout domain; the
+    top-K is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject — per-partition local top-K merged on the
+    driver, never a global sort (the single-partition window
+    row_number idiom would serialize |keys| rows through one task).
+    Ties at the cut are broken by key asc, so the selection is a
+    total order and fully oracled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fan = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("fanout"))
+    hist = (
+        fan.groupBy("fanout")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(
+            F.lit("fanout_hist").alias("kind"),
+            F.col("fanout").alias("k"),
+            "v",
+        )
+    )
+    top = (
+        fan.orderBy(F.desc("fanout"), F.asc("l_orderkey"))
+        .limit(_SKEW_TOPK)
+        .select(
+            F.lit("top_key").alias("kind"),
+            F.col("l_orderkey").alias("k"),
+            F.col("fanout").alias("v"),
+        )
+    )
+    return hist.unionByName(top)
+
+
 QUERIES_NEXT = {
     "conversion_lag": q_conversion_lag,
     "funnel_attribution": q_funnel_attribution,
+    "skew_report": q_skew_report,
 }
 
 # CAST AS DOUBLE: a bare 0.5 literal is DECIMAL in DuckDB and the
@@ -215,5 +257,20 @@ ORACLE_NEXT = {
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.cuser AND c.cts <= p.ts
         GROUP BY 1
+    """,
+    "skew_report": f"""
+        WITH fan AS (
+            SELECT l_orderkey, count(*) AS fanout
+            FROM lineitem GROUP BY 1
+        ),
+        top AS (
+            SELECT l_orderkey, fanout FROM fan
+            ORDER BY fanout DESC, l_orderkey
+            LIMIT {_SKEW_TOPK}
+        )
+        SELECT 'fanout_hist' AS kind, fanout AS k, count(*) AS v
+        FROM fan GROUP BY 2
+        UNION ALL
+        SELECT 'top_key', l_orderkey, fanout FROM top
     """,
 }

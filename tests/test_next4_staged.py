@@ -163,3 +163,23 @@ def test_funnel_attribution_conserves_purchases(spark):
     assert days, "expected attributed conversions"
     for d in days:
         assert d.hour == 0 and d.minute == 0 and d.second == 0
+
+
+def test_skew_report_topk_is_takeordered_and_total(spark):
+    """The global top-K must compile to TakeOrderedAndProject
+    (per-partition local top-K + driver merge), never a
+    single-partition window sort; and the report's two parts must
+    agree (every top key's fanout appears in the histogram)."""
+    df = ALL_Q["skew_report"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    rows = df.collect()
+    hist = {r.k: r.v for r in rows if r.kind == "fanout_hist"}
+    tops = [r for r in rows if r.kind == "top_key"]
+    from stock_data_project_spark.plans.olap_next5 import _SKEW_TOPK
+
+    assert len(tops) == _SKEW_TOPK
+    for t in tops:
+        assert t.v in hist  # the top key's fanout is a histogram bin
+    # top keys are the global maxima: no histogram bin above them
+    assert max(hist) == max(t.v for t in tops)

@@ -78,6 +78,7 @@ def main() -> None:
         "semantic_dedup",
         "conversion_lag",
         "funnel_attribution",
+        "skew_report",
     )
     out = {}
     for name in tuple(HEADLINE) + extra:

@@ -79,6 +79,7 @@ QUERIES = (
     "semantic_dedup",
     "conversion_lag",
     "funnel_attribution",
+    "skew_report",
 )
 
 
