@@ -1,0 +1,168 @@
+"""Stdlib media codecs: real encode/decode round-trips and the
+malformed-input contract (ValueError, never a crash)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from stock_data_project_spark.operators.codecs import (
+    PNG_MAGIC,
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+    sniff_media,
+)
+
+
+def _rng(seed: int = 7) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = _rng()
+    mono = (rng.integers(-30000, 30000, 400)).astype(np.int16)
+    rate, back = decode_wav(encode_wav(mono, rate=8000))
+    assert rate == 8000 and back.shape == (400, 1)
+    assert np.array_equal(back[:, 0], mono.astype(np.int32))
+    stereo = (rng.integers(-30000, 30000, (250, 2))).astype(np.int16)
+    rate, back = decode_wav(encode_wav(stereo, rate=44100))
+    assert rate == 44100 and back.shape == (250, 2)
+    assert np.array_equal(back, stereo.astype(np.int32))
+
+
+def test_bmp_roundtrip_including_padded_rows():
+    rng = _rng(1)
+    # w=3 → row bytes 9 → 3 pad bytes: exercises the 4-byte padding
+    img = rng.integers(0, 256, (5, 3, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    img2 = rng.integers(0, 256, (4, 4, 3)).astype(np.uint8)  # no pad
+    assert np.array_equal(decode_bmp(encode_bmp(img2)), img2)
+
+
+def test_bmp_top_down_variant():
+    img = _rng(2).integers(0, 256, (3, 2, 3)).astype(np.uint8)
+    b = bytearray(encode_bmp(img))
+    # flip to top-down: negative height + rows already bottom-up in
+    # the payload, so reverse them to keep the same logical image
+    h = struct.unpack_from("<i", b, 22)[0]
+    struct.pack_into("<i", b, 22, -h)
+    stride = 2 * 3 + ((-(2 * 3)) % 4)
+    off = struct.unpack_from("<I", b, 10)[0]
+    rows = [bytes(b[off + r * stride : off + (r + 1) * stride]) for r in range(h)]
+    b[off:] = b"".join(reversed(rows))
+    assert np.array_equal(decode_bmp(bytes(b)), img)
+
+
+@pytest.mark.parametrize("shape", [(6, 5), (4, 3, 3), (3, 4, 4), (2, 2, 2)])
+def test_png_roundtrip_all_color_types(shape):
+    img = _rng(3).integers(0, 256, shape).astype(np.uint8)
+    back = decode_png(encode_png(img))
+    want = img[:, :, None] if img.ndim == 2 else img
+    assert np.array_equal(back, want)
+
+
+def test_png_decoder_handles_all_five_filters():
+    """The encoder only emits filter 0 — craft a 4-row RGB image
+    whose scanlines use filters 1-4 and check the decoder against a
+    reference unfiltering."""
+    w, c = 4, 3
+    stride = w * c
+    rng = _rng(4)
+    img = rng.integers(0, 256, (4, w, c)).astype(np.uint8)
+
+    def sub(line, prev):
+        out = np.zeros(stride, np.int32)
+        for i in range(stride):
+            # predictor uses the RECONSTRUCTED (= original) left
+            # pixel, not the encoded byte
+            a = int(line[i - c]) if i >= c else 0
+            out[i] = (int(line[i]) - a) & 0xFF
+        return out
+
+    def up(line, prev):
+        return (line.astype(np.int32) - prev.astype(np.int32)) & 0xFF
+
+    def avg(line, prev):
+        out = np.zeros(stride, np.int32)
+        for i in range(stride):
+            a = (int(img[2, (i - c) // c, (i - c) % c]) if i >= c else 0)
+            out[i] = (int(line[i]) - ((a + int(prev[i])) >> 1)) & 0xFF
+        return out
+
+    def paeth(line, prev):
+        out = np.zeros(stride, np.int32)
+        flat_cur = img[3].reshape(-1)
+        for i in range(stride):
+            a = int(flat_cur[i - c]) if i >= c else 0
+            b = int(prev[i])
+            cc = int(prev[i - c]) if i >= c else 0
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out[i] = (int(line[i]) - pred) & 0xFF
+        return out
+
+    flat = [img[r].reshape(-1) for r in range(4)]
+    raw = b"\x01" + bytes(sub(flat[0], None).astype(np.uint8))
+    raw += b"\x02" + bytes(up(flat[1], flat[0]).astype(np.uint8))
+    raw += b"\x03" + bytes(avg(flat[2], flat[1]).astype(np.uint8))
+    raw += b"\x04" + bytes(paeth(flat[3], flat[2]).astype(np.uint8))
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, 4, 8, 2, 0, 0, 0)
+    payload = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_sniff_and_malformed_inputs():
+    img = _rng(5).integers(0, 256, (2, 2, 3)).astype(np.uint8)
+    assert sniff_media(encode_png(img)) == "png"
+    assert sniff_media(encode_bmp(img)) == "bmp"
+    assert sniff_media(encode_wav(np.zeros(4, np.int16))) == "wav"
+    assert sniff_media(b"hello world") is None
+    for bad in (
+        b"",
+        b"BMshort",
+        PNG_MAGIC + b"\x00\x00\x00\x04IHDRxxxx",
+        b"RIFFxxxxWAVEjunk",
+    ):
+        with pytest.raises(ValueError):
+            (decode_png if bad.startswith(PNG_MAGIC) else
+             decode_bmp if bad.startswith(b"BM") else
+             decode_wav if bad.startswith(b"RIFF") else decode_png)(bad)
+    # cut INSIDE the IDAT chunk (8 magic + 25 IHDR chunk = 33; 40 is
+    # mid-IDAT) — trailing-IEND truncation is recoverable by design
+    truncated = encode_png(img)[:40]
+    with pytest.raises(ValueError):
+        decode_png(truncated)
+
+
+def test_resize_nearest_shapes_and_determinism():
+    img = _rng(6).integers(0, 256, (10, 7, 3)).astype(np.uint8)
+    small = resize_nearest(img, 4, 3)
+    assert small.shape == (3, 4, 3)
+    assert np.array_equal(small, resize_nearest(img, 4, 3))
+    up = resize_nearest(small, 8, 6)
+    assert up.shape == (6, 8, 3)
+    grey = resize_nearest(img[:, :, 0], 5, 5)
+    assert grey.shape == (5, 5)

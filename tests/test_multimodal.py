@@ -79,3 +79,75 @@ def test_sample_frames_video_only_and_bounded(spark):
         assert bad.count() == 0
     finally:
         frames.unpersist()
+
+
+def _real_media_df(spark):
+    import numpy as np
+
+    from stock_data_project_spark.operators.codecs import (
+        encode_bmp,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    wav = rng.integers(-30000, 30000, (300, 2)).astype(np.int16)
+    rows = [
+        (1, bytearray(encode_png(img)), ("image", 0, 0)),
+        (2, bytearray(encode_bmp(img)), ("image", 0, 0)),
+        (3, bytearray(encode_wav(wav, rate=8000)), ("audio", 0, 0)),
+        (4, bytearray(b"plain text payload"), ("text", 0, 0)),
+        (5, bytearray(b"BM corrupt not a real bmp" * 3), ("image", 0, 0)),
+    ]
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<media_type:string, n_bytes:long, checksum:long>"
+    )
+    return spark.createDataFrame(rows, schema), img, wav
+
+
+def test_extract_features_decodes_real_media(spark):
+    """Genuine WAV/PNG/BMP payloads are REALLY decoded (r7,
+    stdlib codecs): the feature head identifies kind/dims/channels
+    and the stats match a direct numpy computation; text and corrupt
+    payloads fall back to the byte-fake per row."""
+    import numpy as np
+
+    df, img, wav = _real_media_df(spark)
+    feats = {r.doc_id: r.features for r in extract_features(df).collect()}
+    for d in (1, 2):  # png + bmp: same pixels, same features
+        kind, h, w, c = feats[d][:4]
+        assert (kind, h, w, c) == (2.0, 9.0, 7.0, 3.0)
+        arr = img.astype(np.float64)
+        want = [round(float(f(arr)) / 255.0, 6) for f in (np.mean, np.std, np.min, np.max)]
+        assert feats[d][4:] == want
+    kind, rate, n, ch = feats[3][:4]
+    assert (kind, rate, n, ch) == (1.0, 8000.0, 300.0, 2.0)
+    # text + corrupt-BM payloads use the byte-fake (first-bytes/255)
+    assert feats[4][0] == ord("p") / 255.0
+    assert feats[5][0] == ord("B") / 255.0
+
+
+def test_resize_media_really_resizes_real_images(spark):
+    """A real PNG/BMP payload comes back as a REAL re-encoded image
+    of the target dimensions whose pixels equal the nearest-neighbor
+    resample; a corrupt image-typed payload keeps the deterministic
+    tile fake (row degrades, batch survives)."""
+    import numpy as np
+
+    from stock_data_project_spark.operators.codecs import (
+        decode_bmp,
+        decode_png,
+        resize_nearest,
+    )
+
+    df, img, _ = _real_media_df(spark)
+    out = {r.doc_id: r for r in resize_media(df, width=5, height=4).collect()}
+    want = resize_nearest(img, 5, 4)
+    assert np.array_equal(decode_png(bytes(out[1].payload)), want)
+    assert np.array_equal(decode_bmp(bytes(out[2].payload)), want)
+    assert (out[1].width, out[1].height) == (5, 4)
+    assert len(bytes(out[5].payload)) == 5 * 4  # tile fake for corrupt
+    assert bytes(out[4].payload) == b"plain text payload"  # non-image passthrough
+    assert out[4].width is None
