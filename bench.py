@@ -75,6 +75,7 @@ HEADLINE = (
     "semantic_dedup",
     "conversion_lag",
     "skew_report",
+    "bloom_join_prune",
 )
 
 

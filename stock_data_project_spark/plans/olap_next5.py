@@ -172,10 +172,62 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.unionByName(top)
 
 
+_BLOOM_BITS = 1 << 17
+_BLOOM_K = 5
+_BLOOM_PRED_SQL = "o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'"
+
+
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, DataFrame-native (operators/
+    bloom.py — this build exposes no bloom_filter_agg/might_contain,
+    which is why SURVEY carried the capability as jar-blocked): the
+    selective orders subset collapses to a kilobyte bitmap via
+    explode+bit_or, ships as a broadcast literal, and pre-filters
+    lineitem with pure codegen bit tests BEFORE the real join's
+    exchange — the join then moves only true matches + false
+    positives. Output is the effectiveness ledger: probe rows, rows
+    passing the bloom, and true matches (FP count = pass − match).
+
+    Fully oracled because the double-hash positions are exact BIGINT
+    arithmetic (Knuth mixers, bloom_positions_sql emits the identical
+    expressions) — DuckDB verifies membership via the equivalent
+    position-set formulation instead of a bitmap."""
+    from stock_data_project_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    build_keys = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    bitmap = bloom_build(build_keys, "o_orderkey", _BLOOM_BITS, _BLOOM_K)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    marked = li.join(
+        F.broadcast(build_keys.withColumn("_m", F.lit(True))),
+        li["l_orderkey"] == build_keys["o_orderkey"],
+        "left",
+    )
+    passes = bloom_might_contain(
+        F.col("l_orderkey"), bitmap, _BLOOM_BITS, _BLOOM_K
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(passes, 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias("n_true_match"),
+    )
+
+
 QUERIES_NEXT = {
     "conversion_lag": q_conversion_lag,
     "funnel_attribution": q_funnel_attribution,
     "skew_report": q_skew_report,
+    "bloom_join_prune": q_bloom_join_prune,
 }
 
 # CAST AS DOUBLE: a bare 0.5 literal is DECIMAL in DuckDB and the
@@ -274,3 +326,39 @@ ORACLE_NEXT = {
         SELECT 'top_key', l_orderkey, fanout FROM top
     """,
 }
+
+# bloom_join_prune oracle: identical hash arithmetic via
+# bloom_positions_sql, membership via the position-set formulation
+# (a key passes iff all k positions are set by some build key —
+# exactly the bitmap test, no bitmap needed in SQL)
+from stock_data_project_spark.operators.bloom import bloom_positions_sql  # noqa: E402
+
+_BP_BUILD = bloom_positions_sql("key", _BLOOM_BITS, _BLOOM_K)
+_BP_PROBE = bloom_positions_sql("pk.key", _BLOOM_BITS, _BLOOM_K)
+
+ORACLE_NEXT["bloom_join_prune"] = f"""
+    WITH build AS (
+        SELECT DISTINCT o_orderkey AS key FROM orders
+        WHERE {_BLOOM_PRED_SQL}
+    ),
+    bpos AS (
+        SELECT DISTINCT unnest([{", ".join(_BP_BUILD)}]) AS pos FROM build
+    ),
+    pk AS (
+        SELECT l_orderkey AS key, count(*) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    flags AS (
+        SELECT pk.n,
+               ({" AND ".join(f"({p}) IN (SELECT pos FROM bpos)" for p in _BP_PROBE)})
+                   AS bloom_pass,
+               pk.key IN (SELECT key FROM build) AS true_match
+        FROM pk
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN bloom_pass THEN n ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(sum(CASE WHEN true_match THEN n ELSE 0 END) AS BIGINT)
+               AS n_true_match
+    FROM flags
+"""

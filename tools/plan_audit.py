@@ -79,6 +79,9 @@ def main() -> None:
         "conversion_lag",
         "funnel_attribution",
         "skew_report",
+        # bloom_join_prune runs its bitmap-build job when invoked (like
+        # the fit-style keys) but returns a lazy probe plan — audited
+        "bloom_join_prune",
     )
     out = {}
     for name in tuple(HEADLINE) + extra:

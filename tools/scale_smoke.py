@@ -80,6 +80,7 @@ QUERIES = (
     "conversion_lag",
     "funnel_attribution",
     "skew_report",
+    "bloom_join_prune",
 )
 
 
