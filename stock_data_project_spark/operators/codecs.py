@@ -13,12 +13,16 @@ formats end-to-end:
   non-interlaced, with ALL FIVE scanline filters (None/Sub/Up/
   Average/Paeth) implemented in the decoder; the encoder emits
   filter 0 scanlines.
+- APNG — the PNG standard's animation chunks (acTL/fcTL/fdAT) in
+  the full-frame simple profile: real multi-frame decode with
+  per-frame delays, reusing the PNG scanline machinery — which
+  makes ``sample_frames`` genuinely decode animations.
 
 These plug into operators/multimodal.py's Arrow-batched kernels via
 magic-byte sniffing, replacing the deterministic fakes for payloads
-that really are media. JPEG and inter-frame video codecs stay out of
-scope (entropy decoders aren't a reasonable reimplementation) — the
-honest remaining stub surface.
+that really are media. JPEG and inter-frame compressed video
+(H.26x/VP9) stay out of scope (entropy/motion decoders aren't a
+reasonable reimplementation) — the honest remaining stub surface.
 
 All decode functions return numpy arrays (pixels uint8, samples
 int32) and raise ``ValueError`` on malformed/unsupported input —
@@ -265,3 +269,143 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     return px[rows][:, cols]
+
+
+# ------------------------------------------------------- APNG (animation)
+
+
+def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """Animated PNG from same-shaped 8-bit frames (full-frame
+    updates: dispose_op=0, blend_op=0 — the simple profile this
+    module's decoder supports). Frame 0 rides the default IDAT;
+    later frames are fdAT chunks. A real public standard (the PNG
+    third edition's animation chunks), decodable by any browser."""
+    if not frames:
+        raise ValueError("encode_apng wants >= 1 frame")
+    px0 = np.asarray(frames[0], dtype=np.uint8)
+    if px0.ndim == 2:
+        px0 = px0[:, :, None]
+    h, w, c = px0.shape
+    if c not in (1, 2, 3, 4):
+        raise ValueError("unsupported channel count")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def raw(pix: np.ndarray) -> bytes:
+        p = np.asarray(pix, dtype=np.uint8)
+        if p.ndim == 2:
+            p = p[:, :, None]
+        if p.shape != (h, w, c):
+            raise ValueError("all frames must share the first frame's shape")
+        return zlib.compress(b"".join(b"\0" + p[r].tobytes() for r in range(h)))
+
+    def fctl(seq: int) -> bytes:
+        return chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB", seq, w, h, 0, 0, delay_ms, 1000, 0, 0
+            ),
+        )
+
+    out = PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    )
+    out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    out += fctl(seq)
+    seq += 1
+    out += chunk(b"IDAT", raw(frames[0]))
+    for f in frames[1:]:
+        out += fctl(seq)
+        seq += 1
+        out += chunk(b"fdAT", struct.pack(">I", seq) + raw(f))
+        seq += 1
+    return out + chunk(b"IEND", b"")
+
+
+def is_apng(payload: bytes) -> bool:
+    """PNG magic + an acTL chunk before the first IDAT."""
+    if not payload.startswith(PNG_MAGIC):
+        return False
+    pos = len(PNG_MAGIC)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"acTL":
+            return True
+        if tag in (b"IDAT", b"IEND"):
+            return False
+        pos += 12 + length
+    return False
+
+
+def decode_apng(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """(frames, delay_seconds) from an APNG in the full-frame simple
+    profile (every fcTL covers the whole canvas at offset 0 with
+    dispose/blend 0 — what encode_apng emits). Raises ValueError on
+    region/delta frames rather than silently compositing wrong."""
+    if not payload.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = len(PNG_MAGIC)
+    ihdr = None
+    delay_s = 0.1
+    streams: list[bytes] = []  # zlib stream per frame, in order
+    saw_fctl_for_default = False
+    n_declared = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated APNG chunk")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"acTL":
+            n_declared = struct.unpack_from(">I", body, 0)[0]
+        elif tag == b"fcTL":
+            _, fw, fh, x, y, dnum, dden, dispose, blend = struct.unpack(
+                ">IIIIIHHBB", body
+            )
+            w, h = struct.unpack_from(">II", ihdr, 0)
+            if (fw, fh, x, y) != (w, h, 0, 0) or dispose or blend:
+                raise ValueError("only full-frame simple-profile APNG supported")
+            delay_s = (dnum / (dden or 100.0))
+            if not streams:
+                saw_fctl_for_default = True
+            streams.append(b"")
+        elif tag == b"IDAT":
+            if not streams:  # plain PNG or default image not a frame
+                streams.append(b"")
+            streams[-1] += body
+        elif tag == b"fdAT":
+            if not streams:
+                raise ValueError("fdAT before fcTL")
+            streams[-1] += body[4:]  # strip sequence number
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or n_declared is None or not saw_fctl_for_default:
+        raise ValueError("not a (simple-profile) APNG")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or interlace or comp or filt or color_type not in _PNG_CHANNELS:
+        raise ValueError("unsupported APNG pixel format")
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    frames = []
+    for s in streams:
+        raw = np.frombuffer(zlib.decompress(s), dtype=np.uint8)
+        if raw.size != h * (stride + 1):
+            raise ValueError("frame size mismatch")
+        frames.append(_unfilter(raw, h, stride, c).reshape(h, w, c))
+    if n_declared != len(frames):
+        raise ValueError("acTL frame count mismatch")
+    return frames, delay_s

@@ -236,13 +236,36 @@ def sample_frames(
     """Frame sampling for video-typed rows: one OUTPUT ROW PER
     SAMPLED FRAME — the one-to-many batch shape a real video pipeline
     needs (mapInPandas emits more rows than it receives; non-video
-    rows emit nothing). STUB KERNEL: a real implementation seeks
-    keyframes (ffmpeg/pyav) — the fake treats each 256-byte payload
-    chunk as one decoded frame, takes every ``stride``-th chunk up to
-    ``max_frames``, and stamps ``ts_sec`` from the frame index and
-    ``fps``. Memory stays bounded by (batch rows × max_frames)
-    regardless of video length.
+    rows emit nothing). REAL for APNG payloads since r7 (the PNG
+    standard's animation chunks, codecs.py): frames genuinely
+    decoded, stride-sampled, timestamped from the animation's own
+    per-frame delay, and re-encoded as single still PNGs. Inter-frame
+    compressed video (H.26x/VP9 in MP4/WebM) remains the honest stub
+    seam where ffmpeg/pyav would slot in — such payloads (and the
+    corpus's text-byte fakes) fall back per-row to the deterministic
+    256-byte-chunk fake. Memory stays bounded by (batch rows ×
+    max_frames) on every path.
     """
+
+    def _real_frames(raw: bytes) -> list[tuple[int, float, bytes]] | None:
+        from stock_data_project_spark.operators.codecs import (
+            decode_apng,
+            encode_png,
+            is_apng,
+        )
+
+        if not is_apng(raw):
+            return None
+        try:
+            frames, delay_s = decode_apng(raw)
+        except ValueError:
+            return None
+        out = []
+        for out_i, src_i in enumerate(range(0, len(frames), stride)):
+            if out_i >= max_frames:
+                break
+            out.append((src_i, src_i * delay_s, encode_png(frames[src_i])))
+        return out
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -251,6 +274,14 @@ def sample_frames(
                 if m["media_type"] != "video" or p is None:
                     continue
                 raw = bytes(p)
+                real = _real_frames(raw)
+                if real is not None:
+                    for src_i, ts, frame in real:
+                        rows["doc_id"].append(did)
+                        rows["frame_idx"].append(src_i)
+                        rows["ts_sec"].append(ts)
+                        rows["frame"].append(frame)
+                    continue
                 chunks = [
                     raw[i : i + _FRAME_BYTES]
                     for i in range(0, max(len(raw), 1), _FRAME_BYTES)

@@ -166,3 +166,27 @@ def test_resize_nearest_shapes_and_determinism():
     assert up.shape == (6, 8, 3)
     grey = resize_nearest(img[:, :, 0], 5, 5)
     assert grey.shape == (5, 5)
+
+
+def test_apng_roundtrip_and_sniff():
+    from stock_data_project_spark.operators.codecs import (
+        decode_apng,
+        encode_apng,
+        is_apng,
+    )
+
+    rng = _rng(8)
+    frames = [rng.integers(0, 256, (6, 5, 3)).astype(np.uint8) for _ in range(4)]
+    p = encode_apng(frames, delay_ms=50)
+    assert is_apng(p) and sniff_media(p) == "png"  # still a valid PNG stream
+    back, delay = decode_apng(p)
+    assert len(back) == 4 and abs(delay - 0.05) < 1e-9
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    # a plain PNG is NOT an APNG, and decode_apng says so loudly
+    still = encode_png(frames[0])
+    assert not is_apng(still)
+    with pytest.raises(ValueError):
+        decode_apng(still)
+    # decode_png on an APNG yields the default (first) frame
+    assert np.array_equal(decode_png(p), frames[0])

@@ -151,3 +151,40 @@ def test_resize_media_really_resizes_real_images(spark):
     assert len(bytes(out[5].payload)) == 5 * 4  # tile fake for corrupt
     assert bytes(out[4].payload) == b"plain text payload"  # non-image passthrough
     assert out[4].width is None
+
+
+def test_sample_frames_really_decodes_apng(spark):
+    """A genuine APNG video payload yields REAL decoded frames:
+    stride-sampled indices, timestamps from the animation's own
+    delay, and each output frame is a still PNG with the original
+    pixels; a non-APNG payload keeps the 256-byte-chunk fake."""
+    import numpy as np
+
+    from stock_data_project_spark.operators.codecs import (
+        decode_png,
+        encode_apng,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, (4, 3, 3)).astype(np.uint8) for _ in range(6)]
+    rows = [
+        (1, bytearray(encode_apng(frames, delay_ms=200)), ("video", 0, 0)),
+        (2, bytearray(b"x" * 600), ("video", 0, 0)),  # fake path
+        (3, bytearray(b"not video"), ("text", 0, 0)),  # emits nothing
+    ]
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<media_type:string, n_bytes:long, checksum:long>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = sample_frames(df, stride=2, max_frames=8, fps=1.0).collect()
+    apng_rows = sorted(
+        (r for r in out if r.doc_id == 1), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in apng_rows] == [0, 2, 4]
+    assert [round(r.ts_sec, 3) for r in apng_rows] == [0.0, 0.4, 0.8]
+    for r in apng_rows:
+        assert np.array_equal(decode_png(bytes(r.frame)), frames[r.frame_idx])
+    fake_rows = [r for r in out if r.doc_id == 2]
+    assert len(fake_rows) == 2  # 600 bytes → 3 chunks, stride 2 → idx 0, 2
+    assert not [r for r in out if r.doc_id == 3]
