@@ -8,8 +8,9 @@ aggregation and probe it with pure codegen bit tests against a
 broadcast literal — no jars, no UDFs, no Python in the hot path.
 
 Hashing is the double-hash scheme position_i(key) = (h1 + i·h2) mod
-m with h1/h2 = Knuth multiplicative mixers computed in EXACT BIGINT
-arithmetic (same family as stratified_sample's hash) — so unlike an
+m with h1/h2 = xorshift-multiply avalanche mixers computed in EXACT
+BIGINT arithmetic (constants < 2^31 keep products ANSI-safe; pmod
+normalization keeps negative keys in lockstep) — so unlike an
 xxhash64-gated operator, every position and therefore every
 keep/drop decision is reproducible in ANSI SQL, which makes the
 graded key FULLY oracled: DuckDB verifies membership via the
@@ -46,14 +47,19 @@ _MASK32 = 4294967296
 
 
 def _mix(key: Column, c_a: int, c_b: int) -> Column:
-    x = key % _MASK32
+    # pmod, not %: Spark's % keeps the dividend's sign and integer
+    # division truncates toward zero, while the SQL twin uses floor
+    # division — a negative key would silently desync the engines.
+    # Normalizing to [0, 2^32) first makes every later op sign-free.
+    x = F.pmod(key, F.lit(_MASK32))
     x = (x.bitwiseXOR((x / 65536).cast("long")) * c_a) % _MASK32  # ^ >>16, ·c
     x = (x.bitwiseXOR((x / 8192).cast("long")) * c_b) % _MASK32  # ^ >>13, ·c
     return x.bitwiseXOR((x / 65536).cast("long"))  # ^ >>16
 
 
 def _mix_sql(key_expr: str, c_a: int, c_b: int) -> str:
-    x0 = f"(({key_expr}) % {_MASK32})"
+    # ((k % m) + m) % m = pmod: see _mix (negative-key lockstep)
+    x0 = f"(((({key_expr}) % {_MASK32}) + {_MASK32}) % {_MASK32})"
     x1 = f"((xor({x0}, {x0} // 65536) * {c_a}) % {_MASK32})"
     x2 = f"((xor({x1}, {x1} // 8192) * {c_b}) % {_MASK32})"
     return f"xor({x2}, {x2} // 65536)"

@@ -50,7 +50,9 @@ def test_positions_sql_matches_columns(spark):
 
     from stock_data_project_spark.operators.bloom import bloom_positions
 
-    keys = spark.createDataFrame([(k,) for k in (1, 7, 12345, 2**31 - 1)], "key long")
+    keys = spark.createDataFrame(
+        [(k,) for k in (1, 7, 12345, 2**31 - 1, -1, -98765)], "key long"
+    )
     got = keys.select(
         "key", F.array(*bloom_positions(F.col("key"), _BITS, _K)).alias("pos")
     ).collect()
@@ -60,7 +62,7 @@ def test_positions_sql_matches_columns(spark):
         r[0]: list(r[1])
         for r in con.sql(
             "SELECT key, [" + exprs + "] FROM (SELECT unnest([1, 7, 12345, "
-            f"{2**31 - 1}]) AS key)"
+            f"{2**31 - 1}, -1, -98765]) AS key)"
         ).fetchall()
     }
     for r in got:
