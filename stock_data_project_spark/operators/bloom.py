@@ -124,8 +124,12 @@ def bloom_might_contain(
 ) -> Column:
     """Pure-codegen membership test: every position's bit set in the
     broadcast literal array. NULL key → NULL (match join
-    semantics)."""
-    arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    semantics).
+
+    The bitmap must be ONE array Literal (``F.lit(list)``), never
+    ``F.array(*lits)`` — CreateArray rebuilds the 2048-element array
+    PER ROW (measured 10.8s vs 5.9s for the sf0.1 probe scan)."""
+    arr = F.lit([int(w) for w in bitmap]).cast("array<bigint>")
     checks = []
     for p in bloom_positions(key, num_bits, k):
         word = F.get(arr, (p / 64).cast("int"))
