@@ -26,75 +26,78 @@ from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 # set is reviewable as one diff. Keys beyond the list follow in module
 # order. New keys MUST debut inside the list in their round.
 #
-# r7 window (50), per the SURVEY §5 commitment made in r6: the nine
-# r6-built debuts first (olap_next4 4, llm_next3 2, stock_next3 2,
-# stream_next3 1 — all fully oracled, parity-proven by
-# tests/test_next3_staged.py), then the williams_r re-grade (its r6
-# row was a signed-zero hash artifact — zero value differences — and
-# must not wait a full rotation red; fixed this round), then 40
-# re-grades oldest-evidence-first: the olap family's r4 rows in
-# module order, olap_next's 8 TPC-H shapes, and sql_api's first two.
-# Named r8 deferrals (43 candidates, 40 slots):
-# sql_above_avg_orders, stream_window_counts, stream_sessionize.
+# r8 window (50), per the SURVEY §5 commitment made in r7: the six
+# r7-built debuts first (llm_next4 semantic_dedup, olap_next5
+# conversion_lag/funnel_attribution/skew_report/bloom_join_prune,
+# stream_next4 stream_late_data — all oracled, parity-proven by
+# tests/test_next4_staged.py + the r7 sf0.1 sweep), then the three
+# named r7 deferrals, then re-grades oldest-evidence-first: the r4
+# stream rows not yet re-graded, the r5 cohort (llm_next, stock_next,
+# olap_next2, stream_ohlc_bars/stream_topk), and the first 13 of the
+# stock family's r5 rows in module order.
+# Named r9 deferrals (r5 stock rows that overflow the 50):
+# daily_return, log_return, rolling_volatility, filter_range,
+# annual_join, ohlc_daily, sma_cross, cumulative_return, drawdown,
+# bollinger, rsi, incremental_watermark.
 _GRADE_ORDER = [
-    # olap_next4 debuts (built r6)
-    "tpch_q18",
-    "cohort_ltv",
-    "frequent_pairs",
-    "triangle_count",
-    # llm_next3 debuts (built r6)
-    "stratified_sample",
-    "topk_rollup",
-    # stock_next3 debuts (built r6)
-    "ema_cross",
-    "roc_momentum",
-    # stream_next3 debut (built r6)
-    "stream_quantile",
-    # the one red r6 row — signed-zero fix re-graded immediately
-    "williams_r",
-    # re-grades: olap family, r4 evidence (module order)
-    "rollup_sales",
-    "customers_no_orders",
-    "sessionize",
-    "tumbling_window_agg",
-    "tpch_q19",
-    "tpch_q22",
-    "funnel",
-    "weekly_retention",
-    "active_customer_overlap",
-    "unpivot_ohlc",
-    "value_histogram",
-    "word_frequency",
-    "cube_sales",
-    "big_orders",
-    "balance_distribution",
-    "nation_segments",
-    "ntile_deciles",
-    "asof_join",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "props_extract",
-    "price_quantiles",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "top_customers_per_nation",
-    "pivot_returnflag",
-    # re-grades: olap_next TPC-H shapes, r4 evidence
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    # re-grades: sql_api, r4 evidence
-    "sql_segment_revenue",
-    "sql_star_query",
+    # debuts (built r7)
+    "semantic_dedup",
+    "conversion_lag",
+    "funnel_attribution",
+    "skew_report",
+    "bloom_join_prune",
+    "stream_late_data",
+    # named r7 deferrals (pass r4; driver-smoke-checked each round)
+    "sql_above_avg_orders",
+    "stream_window_counts",
+    "stream_sessionize",
+    # re-grades: r4 stream rows not yet re-graded (module order)
+    "stream_running_stats",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_interval_join",
+    "stream_ingest_dedup",
+    # re-grades: llm_next r5 cohort (module order)
+    "pii_scrub",
+    "line_dedup",
+    "dedup_clusters",
+    "unigram_logprob",
+    "near_dup_removal",
+    "ann_pq",
+    "ann_ivfpq",
+    "dup_span_coverage",
+    # re-grades: stock_next r5 cohort (module order)
+    "atr",
+    "stochastic",
+    "obv",
+    "donchian",
+    "zscore_anomaly",
+    "pivot_points",
+    "vwap",
+    # re-grades: olap_next2 r5 cohort (module order)
+    "grouping_sets_sales",
+    "revenue_share",
+    "monthly_running_revenue",
+    "range_join_clicks",
+    "props_variant",
+    "hll_rollup",
+    # re-grades: stream r5 rows
+    "stream_ohlc_bars",
+    "stream_topk",
+    # re-grades: stock family r5 rows, module order (first 13)
+    "top_movers",
+    "hourly_profile",
+    "weekly_bars",
+    "return_correlation",
+    "rolling_correlation",
+    "gap_fill",
+    "range_window_avg",
+    "market_beta",
+    "wilder_rsi",
+    "adj_close_returns",
+    "dim_date",
+    "dim_entity",
+    "fact_build",
 ]
 
 _MODULES = (stock, llm, olap, sql_api, stream)
