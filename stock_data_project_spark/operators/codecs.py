@@ -41,6 +41,30 @@ BMP_MAGIC = b"BM"
 WAV_MAGIC = b"RIFF"
 
 
+def _malformed_raises_valueerror(fn):
+    """Normalize the exception surface of a decoder to ValueError.
+
+    Malformed containers surface as struct.error (short chunk bodies),
+    zlib.error (corrupt deflate streams), or TypeError (chunks arriving
+    before the header they depend on, e.g. fcTL before IHDR) — all of
+    which would escape callers' ``except ValueError`` row-degrade guards
+    and crash the whole Arrow batch. The module contract is
+    ValueError-on-malformed, so convert here, once, for every decoder.
+    """
+
+    def wrapped(payload: bytes):
+        try:
+            return fn(payload)
+        except ValueError:
+            raise
+        except (struct.error, zlib.error, TypeError, IndexError) as e:
+            raise ValueError(f"malformed media: {e}") from e
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def sniff_media(payload: bytes) -> str | None:
     """'png' | 'bmp' | 'wav' | None by magic bytes."""
     if payload.startswith(PNG_MAGIC):
@@ -121,6 +145,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + body
 
 
+@_malformed_raises_valueerror
 def decode_bmp(payload: bytes) -> np.ndarray:
     """(h, w, 3) uint8 RGB from an uncompressed 24-bit BI_RGB BMP
     (top-down or bottom-up)."""
@@ -219,6 +244,7 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+@_malformed_raises_valueerror
 def decode_png(payload: bytes) -> np.ndarray:
     """(h, w, c) uint8 from an 8-bit non-interlaced PNG (grey /
     grey+alpha / RGB / RGBA), all five scanline filters supported."""
@@ -274,14 +300,22 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
 # ------------------------------------------------------- APNG (animation)
 
 
-def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+def encode_apng(
+    frames: list[np.ndarray], delay_ms: int | list[int] = 100
+) -> bytes:
     """Animated PNG from same-shaped 8-bit frames (full-frame
     updates: dispose_op=0, blend_op=0 — the simple profile this
     module's decoder supports). Frame 0 rides the default IDAT;
-    later frames are fdAT chunks. A real public standard (the PNG
+    later frames are fdAT chunks. ``delay_ms`` may be a single
+    cadence or one delay per frame. A real public standard (the PNG
     third edition's animation chunks), decodable by any browser."""
     if not frames:
         raise ValueError("encode_apng wants >= 1 frame")
+    per_frame = (
+        list(delay_ms) if isinstance(delay_ms, (list, tuple)) else [delay_ms] * len(frames)
+    )
+    if len(per_frame) != len(frames):
+        raise ValueError("need one delay per frame")
     px0 = np.asarray(frames[0], dtype=np.uint8)
     if px0.ndim == 2:
         px0 = px0[:, :, None]
@@ -306,11 +340,11 @@ def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
             raise ValueError("all frames must share the first frame's shape")
         return zlib.compress(b"".join(b"\0" + p[r].tobytes() for r in range(h)))
 
-    def fctl(seq: int) -> bytes:
+    def fctl(seq: int, d_ms: int) -> bytes:
         return chunk(
             b"fcTL",
             struct.pack(
-                ">IIIIIHHBB", seq, w, h, 0, 0, delay_ms, 1000, 0, 0
+                ">IIIIIHHBB", seq, w, h, 0, 0, d_ms, 1000, 0, 0
             ),
         )
 
@@ -319,11 +353,11 @@ def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
     )
     out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
     seq = 0
-    out += fctl(seq)
+    out += fctl(seq, per_frame[0])
     seq += 1
     out += chunk(b"IDAT", raw(frames[0]))
-    for f in frames[1:]:
-        out += fctl(seq)
+    for f, d_ms in zip(frames[1:], per_frame[1:]):
+        out += fctl(seq, d_ms)
         seq += 1
         out += chunk(b"fdAT", struct.pack(">I", seq) + raw(f))
         seq += 1
@@ -346,16 +380,20 @@ def is_apng(payload: bytes) -> bool:
     return False
 
 
-def decode_apng(payload: bytes) -> tuple[list[np.ndarray], float]:
-    """(frames, delay_seconds) from an APNG in the full-frame simple
-    profile (every fcTL covers the whole canvas at offset 0 with
-    dispose/blend 0 — what encode_apng emits). Raises ValueError on
-    region/delta frames rather than silently compositing wrong."""
+@_malformed_raises_valueerror
+def decode_apng(payload: bytes) -> tuple[list[np.ndarray], list[float]]:
+    """(frames, per_frame_delay_seconds) from an APNG in the full-frame
+    simple profile (every fcTL covers the whole canvas at offset 0 with
+    dispose/blend 0 — what encode_apng emits). delays[i] is frame i's
+    OWN fcTL display duration (they may differ frame to frame);
+    timestamps are its cumulative prefix sum. Raises ValueError on
+    region/delta frames rather than silently compositing wrong, and on
+    any malformed chunk (struct/zlib/ordering errors are normalized)."""
     if not payload.startswith(PNG_MAGIC):
         raise ValueError("not a PNG")
     pos = len(PNG_MAGIC)
     ihdr = None
-    delay_s = 0.1
+    delays: list[float] = []  # one per fcTL, in frame order
     streams: list[bytes] = []  # zlib stream per frame, in order
     saw_fctl_for_default = False
     n_declared = None
@@ -376,7 +414,7 @@ def decode_apng(payload: bytes) -> tuple[list[np.ndarray], float]:
             w, h = struct.unpack_from(">II", ihdr, 0)
             if (fw, fh, x, y) != (w, h, 0, 0) or dispose or blend:
                 raise ValueError("only full-frame simple-profile APNG supported")
-            delay_s = (dnum / (dden or 100.0))
+            delays.append(dnum / (dden or 100.0))
             if not streams:
                 saw_fctl_for_default = True
             streams.append(b"")
@@ -406,6 +444,6 @@ def decode_apng(payload: bytes) -> tuple[list[np.ndarray], float]:
         if raw.size != h * (stride + 1):
             raise ValueError("frame size mismatch")
         frames.append(_unfilter(raw, h, stride, c).reshape(h, w, c))
-    if n_declared != len(frames):
+    if n_declared != len(frames) or len(delays) != len(frames):
         raise ValueError("acTL frame count mismatch")
-    return frames, delay_s
+    return frames, delays

@@ -257,14 +257,19 @@ def sample_frames(
         if not is_apng(raw):
             return None
         try:
-            frames, delay_s = decode_apng(raw)
+            frames, delays = decode_apng(raw)
         except ValueError:
             return None
+        # frame i is displayed starting at the sum of the PRIOR frames'
+        # fcTL durations — per-frame delays, not a uniform cadence
+        starts = [0.0]
+        for d in delays[:-1]:
+            starts.append(starts[-1] + d)
         out = []
         for out_i, src_i in enumerate(range(0, len(frames), stride)):
             if out_i >= max_frames:
                 break
-            out.append((src_i, src_i * delay_s, encode_png(frames[src_i])))
+            out.append((src_i, starts[src_i], encode_png(frames[src_i])))
         return out
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

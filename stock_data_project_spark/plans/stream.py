@@ -136,8 +136,10 @@ from stock_data_project_spark.plans.stream_next3 import (  # noqa: E402
 QUERIES.update(QUERIES_NEXT3)
 ORACLE.update(ORACLE_NEXT3)
 
-# r7 build, r8 debut: stream_late_data (watermark-dropped row counts
-# measured from query progress; oracle replays the wm recurrence)
+# r7 build, r8 debut: stream_late_data (finalized append-sink window
+# counts with late rows excluded — the numRowsDroppedByWatermark
+# progress metric is partial-layout-dependent, hence NOT graded;
+# oracle replays the watermark recurrence over the same arrival order)
 from stock_data_project_spark.plans.stream_next4 import (  # noqa: E402
     ORACLE_NEXT as ORACLE_NEXT4,
     QUERIES_NEXT as QUERIES_NEXT4,

@@ -179,10 +179,15 @@ def test_apng_roundtrip_and_sniff():
     frames = [rng.integers(0, 256, (6, 5, 3)).astype(np.uint8) for _ in range(4)]
     p = encode_apng(frames, delay_ms=50)
     assert is_apng(p) and sniff_media(p) == "png"  # still a valid PNG stream
-    back, delay = decode_apng(p)
-    assert len(back) == 4 and abs(delay - 0.05) < 1e-9
+    back, delays = decode_apng(p)
+    assert len(back) == 4 and all(abs(d - 0.05) < 1e-9 for d in delays)
     for a, b in zip(frames, back):
         assert np.array_equal(a, b)
+    # VARYING per-frame delays round-trip individually (not collapsed
+    # to the last fcTL's value — the pre-r8 bug)
+    pv = encode_apng(frames, delay_ms=[10, 20, 40, 80])
+    _, dv = decode_apng(pv)
+    assert [round(d, 3) for d in dv] == [0.01, 0.02, 0.04, 0.08]
     # a plain PNG is NOT an APNG, and decode_apng says so loudly
     still = encode_png(frames[0])
     assert not is_apng(still)
@@ -190,3 +195,71 @@ def test_apng_roundtrip_and_sniff():
         decode_apng(still)
     # decode_png on an APNG yields the default (first) frame
     assert np.array_equal(decode_png(p), frames[0])
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def test_malformed_media_raises_valueerror_never_crashes():
+    """Every malformed-container failure mode must surface as
+    ValueError — struct.error / zlib.error / TypeError escaping the
+    decoder would crash a whole Arrow batch instead of degrading the
+    row (the kernels guard with ``except ValueError`` only)."""
+    from stock_data_project_spark.operators.codecs import (
+        decode_apng,
+        encode_apng,
+    )
+
+    img = _rng(9).integers(0, 256, (3, 3, 3)).astype(np.uint8)
+
+    # 1. truncated IHDR body (declared length 4 < the 13 the header
+    #    needs) — pre-fix: struct.error from struct.unpack
+    short_ihdr = PNG_MAGIC + _chunk(b"IHDR", b"\x00\x00\x00\x01") + _chunk(
+        b"IDAT", zlib.compress(b"\x00")
+    )
+    with pytest.raises(ValueError):
+        decode_png(short_ihdr)
+    with pytest.raises(ValueError):
+        decode_apng(short_ihdr)
+
+    # 2. corrupt fdAT deflate stream — pre-fix: zlib.error from the
+    #    per-frame decompress
+    apng = bytearray(encode_apng([img, img], delay_ms=30))
+    i = bytes(apng).find(b"fdAT")
+    assert i > 0
+    # clobber bytes INSIDE the fdAT body (past the 4-byte seq number)
+    apng[i + 8 : i + 12] = b"\xff\x00\xff\x00"
+    with pytest.raises(ValueError):
+        decode_apng(bytes(apng))
+
+    # 3. fcTL chunk arriving before IHDR — pre-fix: TypeError from
+    #    unpack_from on ihdr=None
+    fctl_body = struct.pack(">IIIIIHHBB", 0, 3, 3, 0, 0, 30, 1000, 0, 0)
+    bad_order = (
+        PNG_MAGIC
+        + _chunk(b"acTL", struct.pack(">II", 1, 0))
+        + _chunk(b"fcTL", fctl_body)
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 30))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_apng(bad_order)
+
+    # 4. truncated fcTL body — pre-fix: struct.error
+    apng2 = bytearray(encode_apng([img], delay_ms=30))
+    j = bytes(apng2).find(b"fcTL")
+    struct.pack_into(">I", apng2, j - 4, 5)  # declare a 5-byte fcTL
+    with pytest.raises(ValueError):
+        decode_apng(bytes(apng2[: j + 4 + 5 + 4]) + bytes(apng2[j + 4 + 26 + 4 :]))
+
+    # the kernels see these payloads as "not media" and keep the row:
+    from stock_data_project_spark.operators.multimodal import _real_features
+
+    assert _real_features(bytes(short_ihdr)) is None
