@@ -28,8 +28,63 @@ the same budget the connected-components loop already pays.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Above this many rows in the BIGGEST event_type stream, the plain
+# per-key window (one sort task per key) loses to the chunked
+# split-and-stitch lag, whose parallelism is keys × days. Below it,
+# chunked_lag's extra tails pass + stitch join is pure overhead.
+# Measured on this host (local[32], r8 A/B, median of 3 warm runs of
+# the full edge build):
+#   sf0.1   (~20k/key, 5 keys):  plain 0.5s, chunked 0.9s
+#   30×     (600k/key, 5 keys):  plain 2.4s, chunked 3.2s
+#   120×    (2.4M/key, 5 keys):  plain 8.0s, chunked 11.5s
+#   120×/1key (12M in 1 stream): plain 13.3s, chunked 9.6s  ← crossover
+# i.e. with keys ≥ cores/6 the overlapped per-key sorts stay ahead
+# until a SINGLE stream is many-million rows. On a real cluster the
+# crossover sits lower (a sort task is one executor core, and a
+# 20 TB stream must spill), so this is the conservative single-box
+# number; pass chunk_threshold explicitly for cluster deployments.
+COACTIVITY_CHUNK_THRESHOLD = 5_000_000
+
+
+def coactivity_seq(ev: DataFrame, chunk_threshold: int | None = None) -> DataFrame:
+    """(user_id, prev_user) for consecutive events within each
+    event_type stream ordered by (ts, event_id) — the shared edge
+    construction of user_influence and triangle_count.
+
+    ``F.lag over partitionBy(event_type)`` serializes into one sort
+    task per event type (FIVE, on this schema) — correct, and fastest,
+    at small per-key volume, but a scale cliff at 100×. This helper
+    auto-engages operators/chunked.chunked_lag (bit-identical split-
+    and-stitch, parallelism = keys × days) when the largest stream
+    exceeds ``chunk_threshold`` rows, measured with one metadata-sized
+    groupBy job. Pass an explicit threshold to force either path
+    (0 ⇒ always chunked, None ⇒ COACTIVITY_CHUNK_THRESHOLD).
+    """
+    from stock_data_project_spark.operators.chunked import chunked_lag
+
+    if chunk_threshold is None:
+        chunk_threshold = COACTIVITY_CHUNK_THRESHOLD
+    biggest = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()["mx"]
+        or 0
+    )
+    if biggest > chunk_threshold:
+        return chunked_lag(
+            ev.select("event_type", "ts", "event_id", "user_id"),
+            key_cols=["event_type"],
+            order_cols=["ts", "event_id"],
+            target_col="user_id",
+            chunk=F.date_trunc("day", F.col("ts")),
+            out_col="prev_user",
+        ).select("user_id", "prev_user")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select("user_id", F.lag("user_id").over(w).alias("prev_user"))
 
 
 def pagerank(

@@ -275,11 +275,13 @@ def q_user_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-deterministic, so the DuckDB twin replays all 10 iterations
     with a recurring-aggregate recursive CTE (see operators/graph.py
     for why the Spark loop localCheckpoints each round)."""
-    from stock_data_project_spark.operators.graph import pagerank
+    from stock_data_project_spark.operators.graph import coactivity_seq, pagerank
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = ev.select("user_id", F.lag("user_id").over(w).alias("prev_user"))
+    # auto-engages the chunked (keys × days parallel) lag when the
+    # biggest event_type stream outgrows one sort task — bit-identical
+    # either way (operators/graph.coactivity_seq)
+    seq = coactivity_seq(ev)
     p0 = seq.filter(
         F.col("prev_user").isNotNull() & (F.col("prev_user") != F.col("user_id"))
     ).select(F.col("prev_user").alias("src"), F.col("user_id").alias("dst"))

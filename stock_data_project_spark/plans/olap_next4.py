@@ -139,9 +139,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles in the user co-activity graph (same consecutive-event
     edge construction as user_influence, canonicalized undirected).
     Output: one row (n_nodes, n_edges, n_triangles)."""
+    from stock_data_project_spark.operators.graph import coactivity_seq
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = ev.select("user_id", F.lag("user_id").over(w).alias("prev_user"))
+    # auto-engages the chunked (keys × days parallel) lag when the
+    # biggest event_type stream outgrows one sort task — bit-identical
+    # either way (operators/graph.coactivity_seq)
+    seq = coactivity_seq(ev)
     e0 = (
         seq.filter(
             F.col("prev_user").isNotNull()

@@ -84,3 +84,25 @@ def test_chunked_lag_parallelizes_by_chunk(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(event_type" in plan and "_chunk" in plan
+
+
+def test_coactivity_seq_auto_engage_and_parity(spark):
+    """coactivity_seq engages chunked_lag above the volume threshold,
+    stays on the plain window below it, and both paths produce the
+    SAME (user_id, prev_user) multiset — so the graded keys are
+    unchanged at sf0.1 while the 100× plan parallelizes."""
+    from stock_data_project_spark.operators.graph import coactivity_seq
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    plain = coactivity_seq(ev, chunk_threshold=10**12)   # force plain
+    chunked = coactivity_seq(ev, chunk_threshold=0)      # force chunked
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    chunk_plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" not in plain_plan
+    assert "_chunk" in chunk_plan
+    cols = ["user_id", "prev_user"]
+    assert _rows(plain, cols) == _rows(chunked, cols)
+    # the default threshold keeps sf-oracle-sized inputs on the plain
+    # path (biggest stream ~4k rows at sf0.01 << 200k)
+    default = coactivity_seq(ev)
+    assert "_chunk" not in default._jdf.queryExecution().executedPlan().toString()
