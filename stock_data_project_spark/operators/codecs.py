@@ -17,6 +17,12 @@ formats end-to-end:
   the full-frame simple profile: real multi-frame decode with
   per-frame delays, reusing the PNG scanline machinery — which
   makes ``sample_frames`` genuinely decode animations.
+- GIF  — real LZW (variable-width codes, clear/EOI, deferred-clear
+  tolerant), 87a/89a, global+local palettes, interlace, per-frame
+  Graphic Control delays, transparency compositing for disposal
+  none/keep; disposal=3 (restore-previous) raises rather than
+  compositing wrong. The encoder emits true LZW with a global
+  palette (≤256 distinct colors; more raises ValueError).
 
 These plug into operators/multimodal.py's Arrow-batched kernels via
 magic-byte sniffing, replacing the deterministic fakes for payloads
@@ -39,6 +45,7 @@ import numpy as np
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 BMP_MAGIC = b"BM"
 WAV_MAGIC = b"RIFF"
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
 def _malformed_raises_valueerror(fn):
@@ -66,13 +73,15 @@ def _malformed_raises_valueerror(fn):
 
 
 def sniff_media(payload: bytes) -> str | None:
-    """'png' | 'bmp' | 'wav' | None by magic bytes."""
+    """'png' | 'bmp' | 'wav' | 'gif' | None by magic bytes."""
     if payload.startswith(PNG_MAGIC):
         return "png"
     if payload.startswith(BMP_MAGIC):
         return "bmp"
     if payload.startswith(WAV_MAGIC) and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(GIF_MAGICS):
+        return "gif"
     return None
 
 
@@ -447,3 +456,319 @@ def decode_apng(payload: bytes) -> tuple[list[np.ndarray], list[float]]:
     if n_declared != len(frames) or len(delays) != len(frames):
         raise ValueError("acTL frame count mismatch")
     return frames, delays
+
+
+# ---------------------------------------------------------------- GIF
+
+_GIF_MAX_CODE = 4096  # 12-bit LZW ceiling (the format constant)
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR resets
+    the table, EOI ends the stream; a full table with no CLEAR
+    ("deferred clear") keeps decoding with the table frozen."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = {i: (i,) for i in range(clear)}
+    table: dict[int, tuple[int, ...]] = dict(base)
+    width = min_code_size + 1
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while True:
+        if bitpos + width > total_bits:
+            raise ValueError("LZW stream ended without EOI")
+        byte_i, bit_o = divmod(bitpos, 8)
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> bit_o) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = dict(base)
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError(f"bad first LZW code {code}")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # the KwKwK special case
+        else:
+            raise ValueError(f"LZW code {code} out of sequence")
+        out.extend(entry)
+        if prev is not None and next_code < _GIF_MAX_CODE:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """True LZW (not the clear-code-spam "uncompressed" trick),
+    emitting CLEAR + rebuilding when the table fills — round-trips
+    through _lzw_decode and any standard GIF reader."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits: list[int] = []  # (value, width) packed LSB-first below
+    widths: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        bits.append(code)
+        widths.append(width)
+
+    table = {(i,): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for px in indices:
+        px = int(px)
+        if not 0 <= px < clear:
+            raise ValueError("palette index out of range for code size")
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < _GIF_MAX_CODE:
+            table[cand] = next_code
+            next_code += 1
+            # the decoder widens when ITS next_code (one behind ours
+            # at the same emission index) reaches 2^width
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:  # table full: reset so both sides rebuild in lockstep
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        buf = (px,)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    acc = 0
+    nbits = 0
+    payload = bytearray()
+    for code, w in zip(bits, widths):
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        payload.append(acc & 0xFF)
+    return bytes(payload)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)]
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+@_malformed_raises_valueerror
+def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[float]]:
+    """(RGB frames, per-frame delay seconds) from a GIF87a/89a.
+    Region frames composite onto the running canvas (disposal none/
+    keep, honoring the Graphic Control transparency index); disposal
+    2 restores the background; disposal 3 (restore-previous) raises
+    ValueError rather than compositing wrong."""
+    if not payload.startswith(GIF_MAGICS):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, packed, bg_index, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if w == 0 or h == 0:
+        raise ValueError("bad dimensions")
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if global_pal is not None and bg_index < len(global_pal):
+        canvas[:] = global_pal[bg_index]
+    background = canvas.copy()
+    frames: list[np.ndarray] = []
+    delays: list[float] = []
+    delay_cs = 0
+    transparent: int | None = None
+    disposal = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ended without trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control
+                size = payload[pos]
+                if size != 4:
+                    raise ValueError("bad Graphic Control block")
+                flags, delay_cs = struct.unpack_from("<BH", payload, pos + 1)
+                transparent = payload[pos + 4] if flags & 0x01 else None
+                disposal = (flags >> 2) & 0x07
+                if disposal == 3:
+                    raise ValueError("GIF disposal=3 (restore previous) unsupported")
+                pos += 1 + size
+            else:  # skip any other extension's sub-blocks
+                pass
+            while True:  # terminator-walk the sub-blocks
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                pos += size
+        elif block == 0x2C:  # image descriptor
+            fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if fx + fw > w or fy + fh > h or fw == 0 or fh == 0:
+                raise ValueError("frame exceeds canvas")
+            pal = global_pal
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 0x07)
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("no color table for frame")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                chunk = payload[pos : pos + size]
+                if len(chunk) != size:
+                    raise ValueError("truncated GIF data sub-block")
+                data += chunk
+                pos += size
+            idx = _lzw_decode(min_code_size, bytes(data))
+            if len(idx) < fw * fh:
+                raise ValueError("LZW output shorter than frame")
+            grid = np.asarray(idx[: fw * fh], dtype=np.int32).reshape(fh, fw)
+            if fpacked & 0x40:
+                grid = _deinterlace(grid)
+            if int(grid.max()) >= len(pal):
+                raise ValueError("palette index out of range")
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            rgb = pal[grid]
+            if transparent is not None:
+                mask = (grid != transparent)[:, :, None]
+                rgb = np.where(mask, rgb, region)
+            canvas[fy : fy + fh, fx : fx + fw] = rgb
+            frames.append(canvas.copy())
+            delays.append(delay_cs / 100.0)
+            if disposal == 2:  # restore region to background
+                canvas[fy : fy + fh, fx : fx + fw] = background[
+                    fy : fy + fh, fx : fx + fw
+                ]
+            transparent = None
+            disposal = 0
+            delay_cs = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames, delays
+
+
+def encode_gif(
+    frames: list[np.ndarray], delay_ms: int | list[int] = 100
+) -> bytes:
+    """GIF89a from same-shaped (h, w, 3) uint8 RGB frames sharing a
+    ≤256-color global palette (more distinct colors raises ValueError
+    — this is a palette format; quantization is out of scope). Real
+    LZW compression, full-canvas frames, per-frame delays."""
+    if not frames:
+        raise ValueError("encode_gif wants >= 1 frame")
+    fs = []
+    for f in frames:
+        a = np.asarray(f, dtype=np.uint8)
+        if a.ndim == 2:
+            a = np.repeat(a[:, :, None], 3, axis=2)
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("encode_gif wants (h, w, 3) frames")
+        fs.append(a)
+    h, w, _ = fs[0].shape
+    for a in fs:
+        if a.shape != (h, w, 3):
+            raise ValueError("all frames must share one shape")
+    per_frame = (
+        list(delay_ms) if isinstance(delay_ms, (list, tuple)) else [delay_ms] * len(fs)
+    )
+    if len(per_frame) != len(fs):
+        raise ValueError("need one delay per frame")
+    # global palette = sorted distinct colors across all frames
+    stacked = np.concatenate([a.reshape(-1, 3) for a in fs])
+    palette = np.unique(stacked, axis=0)  # sorted lexicographically
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} distinct colors > GIF's 256")
+    pal_size_pow = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    n_pal = 1 << pal_size_pow
+    pal_bytes = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal_bytes[: len(palette)] = palette
+    # color → index lookup via a packed-int sort
+    packed_pal = (
+        palette[:, 0].astype(np.int64) << 16
+    ) | (palette[:, 1].astype(np.int64) << 8) | palette[:, 2].astype(np.int64)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_size_pow - 1) & 0x07), 0, 0)
+    out += pal_bytes.tobytes()
+    min_code_size = max(2, pal_size_pow)
+    for a, d_ms in zip(fs, per_frame):
+        out += struct.pack(
+            "<BBBBHBB", 0x21, 0xF9, 4, 0, max(0, int(d_ms)) // 10, 0, 0
+        )
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code_size)
+        packed_px = (
+            a[:, :, 0].astype(np.int64) << 16
+        ) | (a[:, :, 1].astype(np.int64) << 8) | a[:, :, 2].astype(np.int64)
+        idx = np.searchsorted(packed_pal, packed_px.reshape(-1))
+        data = _lzw_encode(min_code_size, idx.tolist())
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def is_animated_gif(payload: bytes) -> bool:
+    """GIF magic + more than one image descriptor (cheap block walk;
+    malformed streams just report False — decode_gif is the
+    authority)."""
+    if not payload.startswith(GIF_MAGICS):
+        return False
+    try:
+        frames, _ = decode_gif(payload)
+    except ValueError:
+        return False
+    return len(frames) > 1

@@ -2,8 +2,9 @@
 metadata + a batched feature-extraction stage.
 
 Since r7 the decode step is REAL for the formats the standard
-library can handle — WAV (``wave``), BMP (``struct``) and PNG
-(``zlib``), via operators/codecs.py: kernels sniff the payload's
+library can handle — WAV (``wave``), BMP (``struct``), PNG/APNG
+(``zlib``) and, since r8, GIF (stdlib LZW) — via
+operators/codecs.py: kernels sniff the payload's
 magic bytes and genuinely decode/resample matching rows; payloads
 that aren't parseable media (this corpus's text-byte fakes, or
 corrupt blobs) degrade PER-ROW to the original deterministic
@@ -84,6 +85,7 @@ def _real_features(raw: bytes) -> list[float] | None:
     format's full scale, rounded 6dp (row-local, deterministic)."""
     from stock_data_project_spark.operators.codecs import (
         decode_bmp,
+        decode_gif,
         decode_png,
         decode_wav,
         sniff_media,
@@ -98,7 +100,10 @@ def _real_features(raw: bytes) -> list[float] | None:
             arr, scale = samples.astype(np.float64), 32768.0
             head = [1.0, float(rate), float(samples.shape[0]), float(samples.shape[1])]
         else:
-            px = decode_png(raw) if kind == "png" else decode_bmp(raw)
+            if kind == "gif":  # stats over the first (or only) frame
+                px = decode_gif(raw)[0][0]
+            else:
+                px = decode_png(raw) if kind == "png" else decode_bmp(raw)
             arr, scale = px.astype(np.float64), 255.0
             c = px.shape[2] if px.ndim == 3 else 1
             head = [2.0, float(px.shape[0]), float(px.shape[1]), float(c)]
@@ -150,9 +155,10 @@ _RESIZE_SCHEMA = T.StructType(
 
 def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize stage for image-typed rows; other media pass through
-    with NULL dimensions. REAL for genuine PNG/BMP payloads since r7:
-    decode (codecs.py) → nearest-neighbor resample → re-encode in the
-    SAME container format. Rows typed "image" whose bytes are not
+    with NULL dimensions. REAL for genuine PNG/BMP (r7) and GIF (r8,
+    every frame + delays preserved) payloads: decode (codecs.py) →
+    nearest-neighbor resample → re-encode in the SAME container
+    format. Rows typed "image" whose bytes are not
     parseable media keep the pre-r7 deterministic tile/truncate fake
     (degrade the ROW, never the batch) — the Spark-side contract
     (binary in, fixed-size-or-real-image binary out, one row per
@@ -163,20 +169,31 @@ def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFra
     def _real_resize(raw: bytes) -> bytes | None:
         from stock_data_project_spark.operators.codecs import (
             decode_bmp,
+            decode_gif,
             decode_png,
             encode_bmp,
+            encode_gif,
             encode_png,
             resize_nearest,
             sniff_media,
         )
 
         kind = sniff_media(raw)
-        if kind not in ("png", "bmp"):
+        if kind not in ("png", "bmp", "gif"):
             return None
         try:
             if kind == "png":
                 px = resize_nearest(decode_png(raw), width, height)
                 return encode_png(px)
+            if kind == "gif":
+                # resize EVERY frame, keep the animation + its delays;
+                # nearest-neighbor only samples existing pixels, so
+                # the ≤256-color palette invariant survives
+                frames, delays = decode_gif(raw)
+                return encode_gif(
+                    [resize_nearest(f, width, height) for f in frames],
+                    delay_ms=[int(round(d * 1000)) for d in delays],
+                )
             px = resize_nearest(decode_bmp(raw), width, height)
             return encode_bmp(px)
         except ValueError:
@@ -236,10 +253,10 @@ def sample_frames(
     """Frame sampling for video-typed rows: one OUTPUT ROW PER
     SAMPLED FRAME — the one-to-many batch shape a real video pipeline
     needs (mapInPandas emits more rows than it receives; non-video
-    rows emit nothing). REAL for APNG payloads since r7 (the PNG
-    standard's animation chunks, codecs.py): frames genuinely
-    decoded, stride-sampled, timestamped from the animation's own
-    per-frame delay, and re-encoded as single still PNGs. Inter-frame
+    rows emit nothing). REAL for APNG (r7) and animated-GIF (r8)
+    payloads (codecs.py): frames genuinely decoded, stride-sampled,
+    timestamped from the animation's own per-frame delays
+    (cumulative), and re-encoded as single still PNGs. Inter-frame
     compressed video (H.26x/VP9 in MP4/WebM) remains the honest stub
     seam where ffmpeg/pyav would slot in — such payloads (and the
     corpus's text-byte fakes) fall back per-row to the deterministic
@@ -250,14 +267,20 @@ def sample_frames(
     def _real_frames(raw: bytes) -> list[tuple[int, float, bytes]] | None:
         from stock_data_project_spark.operators.codecs import (
             decode_apng,
+            decode_gif,
             encode_png,
             is_apng,
+            sniff_media,
         )
 
-        if not is_apng(raw):
+        if is_apng(raw):
+            decode = decode_apng
+        elif sniff_media(raw) == "gif":
+            decode = decode_gif
+        else:
             return None
         try:
-            frames, delays = decode_apng(raw)
+            frames, delays = decode(raw)
         except ValueError:
             return None
         # frame i is displayed starting at the sum of the PRIOR frames'

@@ -263,3 +263,147 @@ def test_malformed_media_raises_valueerror_never_crashes():
     from stock_data_project_spark.operators.multimodal import _real_features
 
     assert _real_features(bytes(short_ihdr)) is None
+
+
+def test_gif_roundtrip_animation_and_palette():
+    from stock_data_project_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+        is_animated_gif,
+    )
+
+    rng = _rng(11)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    frames = [pal[rng.integers(0, 8, (13, 17))] for _ in range(3)]
+    g = encode_gif(frames, delay_ms=[30, 60, 90])
+    assert sniff_media(g) == "gif" and is_animated_gif(g)
+    back, delays = decode_gif(g)
+    assert len(back) == 3 and [round(d, 3) for d in delays] == [0.03, 0.06, 0.09]
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    # single still: not animated
+    assert not is_animated_gif(encode_gif(frames[:1]))
+    # >256 distinct colors is a palette-format impossibility: raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_gif([rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)])
+
+
+def test_gif_lzw_table_growth_and_reset():
+    """128x128 of 256 random palette indices forces code widths to
+    12 bits and a mid-stream CLEAR/rebuild — the encoder/decoder
+    width-growth lockstep under test."""
+    from stock_data_project_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = _rng(12)
+    pal256 = np.array(
+        [[i, (i * 7) % 256, (i * 13) % 256] for i in range(256)], dtype=np.uint8
+    )
+    img = pal256[rng.integers(0, 256, (128, 128))]
+    back, _ = decode_gif(encode_gif([img]))
+    assert np.array_equal(back[0], img)
+
+
+def test_gif_interlace_region_transparency_disposal():
+    """Hand-crafted streams for the decoder features the encoder
+    doesn't emit: interlaced row order, a region frame composited
+    onto the canvas with a transparent index, and the disposal=3
+    refusal."""
+    import pytest as _pytest
+
+    from stock_data_project_spark.operators.codecs import (
+        _lzw_encode,
+        decode_gif,
+    )
+
+    def subblocks(data: bytes) -> bytes:
+        out = bytearray()
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        return bytes(out)
+
+    # palette: 4 colors (black, red, green, blue)
+    pal = b"\x00\x00\x00" + b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff"
+    head = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0) + pal
+
+    # -- interlaced 4x4: stored row order is passes (0), (2), (1,3)
+    rows = np.array(
+        [[1, 1, 1, 1], [2, 2, 2, 2], [3, 3, 3, 3], [0, 1, 2, 3]], dtype=np.int32
+    )
+    stored = np.vstack([rows[0], rows[2], rows[1], rows[3]])  # 8s,4s,2s,1s for h=4 → [0],[2],[1,3]
+    lzw = _lzw_encode(2, stored.reshape(-1).tolist())
+    gif = (
+        head
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0x40)
+        + bytes([2])
+        + subblocks(lzw)
+        + b"\x3b"
+    )
+    frames, _ = decode_gif(gif)
+    pal_np = np.frombuffer(pal, dtype=np.uint8).reshape(4, 3)
+    assert np.array_equal(frames[0], pal_np[rows])
+
+    # -- frame 2 is a 2x2 region at (1,1) with index 0 transparent:
+    # transparent cells keep frame 1's pixels
+    full = np.zeros((4, 4), dtype=np.int32) + 2  # all green
+    region = np.array([[1, 0], [0, 3]], dtype=np.int32)
+    gce = struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x01, 5, 0, 0)  # transparent=0
+    gif2 = (
+        head
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0)
+        + bytes([2])
+        + subblocks(_lzw_encode(2, full.reshape(-1).tolist()))
+        + gce
+        + struct.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0)
+        + bytes([2])
+        + subblocks(_lzw_encode(2, region.reshape(-1).tolist()))
+        + b"\x3b"
+    )
+    frames2, delays2 = decode_gif(gif2)
+    assert len(frames2) == 2 and round(delays2[1], 2) == 0.05
+    want = pal_np[full].copy()
+    want[1, 1] = pal_np[1]  # red drawn
+    want[2, 2] = pal_np[3]  # blue drawn
+    # (1,2) and (2,1) were transparent → still green
+    assert np.array_equal(frames2[1], want)
+
+    # -- disposal=3 refuses
+    gce3 = struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 3 << 2, 5, 0, 0)
+    gif3 = (
+        head
+        + gce3
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0)
+        + bytes([2])
+        + subblocks(_lzw_encode(2, full.reshape(-1).tolist()))
+        + b"\x3b"
+    )
+    with _pytest.raises(ValueError):
+        decode_gif(gif3)
+
+
+def test_gif_malformed_raises_valueerror():
+    import pytest as _pytest
+
+    from stock_data_project_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = _rng(13)
+    pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    good = encode_gif([pal[rng.integers(0, 4, (6, 6))]])
+    for bad in (
+        b"GIF89a",                          # truncated header
+        good[:20],                          # cut inside palette/descriptor
+        good[:-1],                          # missing trailer
+        good[:-10],                         # cut inside LZW data
+        b"GIF89a" + b"\xff" * 30,           # garbage blocks
+    ):
+        with _pytest.raises(ValueError):
+            decode_gif(bad)
+    # corrupt LZW body: clobber bytes mid-stream
+    b = bytearray(good)
+    b[-8:-4] = b"\xff\xff\xff\xff"
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(b))

@@ -188,3 +188,58 @@ def test_sample_frames_really_decodes_apng(spark):
     fake_rows = [r for r in out if r.doc_id == 2]
     assert len(fake_rows) == 2  # 600 bytes → 3 chunks, stride 2 → idx 0, 2
     assert not [r for r in out if r.doc_id == 3]
+
+
+def test_gif_through_all_three_kernels(spark):
+    """r8: genuine GIF payloads are really decoded by every kernel —
+    features from frame 0, resize preserves the animation (every
+    frame resampled, delays kept), sample_frames stride-samples with
+    cumulative per-frame timestamps."""
+    import numpy as np
+
+    from stock_data_project_spark.operators.codecs import (
+        decode_gif,
+        decode_png,
+        encode_gif,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    frames = [pal[rng.integers(0, 16, (6, 8))] for _ in range(4)]
+    still = encode_gif(frames[:1])
+    anim = encode_gif(frames, delay_ms=[100, 200, 400, 800])
+    rows = [
+        (1, bytearray(still), ("image", 0, 0)),
+        (2, bytearray(anim), ("image", 0, 0)),
+        (3, bytearray(anim), ("video", 0, 0)),
+    ]
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<media_type:string, n_bytes:long, checksum:long>"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    feats = {r.doc_id: r.features for r in extract_features(df).collect()}
+    assert feats[1][:4] == [2.0, 6.0, 8.0, 3.0]
+    arr = frames[0].astype(np.float64)
+    assert feats[1][4:] == [
+        round(float(f(arr)) / 255.0, 6) for f in (np.mean, np.std, np.min, np.max)
+    ]
+
+    out = {r.doc_id: r for r in resize_media(df, width=4, height=3).collect()}
+    back, delays = decode_gif(bytes(out[2].payload))
+    assert len(back) == 4 and [round(d, 1) for d in delays] == [0.1, 0.2, 0.4, 0.8]
+    for src, got in zip(frames, back):
+        assert np.array_equal(got, resize_nearest(src, 4, 3))
+
+    sampled = sorted(
+        (r for r in sample_frames(df, stride=2, max_frames=8).collect()),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.doc_id for r in sampled] == [3, 3]
+    assert [r.frame_idx for r in sampled] == [0, 2]
+    # cumulative starts: frame 0 at 0.0, frame 2 at 0.1+0.2
+    assert [round(r.ts_sec, 3) for r in sampled] == [0.0, 0.3]
+    for r in sampled:
+        assert np.array_equal(decode_png(bytes(r.frame)), frames[r.frame_idx])
