@@ -320,3 +320,80 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def cosine_range(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius similarity search: EVERY corpus vector with cosine ≥
+    ``tau`` per query (self-match excluded) — the fixed-threshold
+    companion to ``cosine_topk`` (retrieval wants top-k; dedup and
+    clustering recall want "all above τ").
+
+    Scale shape: the same per-Arrow-batch GEMM as cosine_topk, but
+    with NO ranking stage at all — each batch emits exactly its
+    matches, so the operator is a single map-side scan whose output
+    is bounded by the true match count (τ chooses the bound). Sims
+    round to 6dp BEFORE the threshold on both engines, so the GEMM
+    summation order cannot flip a boundary row."""
+    import numpy as np
+    import pandas as pd
+
+    from stock_data_project_spark.operators.linalg import first_dim, to_matrix, unit_rows
+
+    q_pdf = (
+        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+        .toPandas()
+        .drop_duplicates("_qid")
+    )
+    dim = first_dim(q_pdf["_qv"])
+    if dim is None:
+        qids = np.array([])
+        qm_t = np.zeros((0, 0))
+    else:
+        qm = unit_rows(to_matrix(q_pdf["_qv"], dim))
+        q_ok = qm.any(axis=1)
+        qm_t = qm[q_ok].T
+        qids = q_pdf["_qid"].to_numpy()[q_ok]
+
+    from pyspark.sql import types as T
+
+    id_type = embeddings.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty or len(qids) == 0:
+                continue
+            m = unit_rows(to_matrix(pdf[vec_col], dim))
+            ok = m.any(axis=1)
+            sims = np.round(m @ qm_t, 6)
+            nids = pdf[id_col].to_numpy()
+            frames = []
+            for j, qid in enumerate(qids):
+                mask = ok & (nids != qid) & (sims[:, j] >= tau)
+                if not mask.any():
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nids[mask],
+                            "cosine_sim": sims[mask, j],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(score, schema=out_schema)

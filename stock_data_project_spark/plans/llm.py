@@ -593,3 +593,14 @@ from stock_data_project_spark.plans.llm_next4 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT4)
 ORACLE.update(ORACLE_NEXT4)
+
+# r8 build, r9 debut: token_entropy (explode+codegen Shannon
+# entropy), ann_range_search (radius GEMM scan, no ranking shuffle),
+# quality_percentile_gate (per-source percentile curation)
+from stock_data_project_spark.plans.llm_next5 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT5,
+    QUERIES_NEXT as QUERIES_NEXT5,
+)
+
+QUERIES.update(QUERIES_NEXT5)
+ORACLE.update(ORACLE_NEXT5)

@@ -1,0 +1,200 @@
+"""LLM-pipeline keys built in r8, staged for the r9 driver window.
+
+- ``token_entropy`` — per-document Shannon entropy of the word
+  distribution (the repetitive/templated-text quality signal used
+  alongside the Gopher gates: near-zero entropy = boilerplate).
+  H = ln(n) − (Σ c·ln c)/n over per-word counts c. Per the repo
+  explode rule, the per-token work FEEDS an aggregation, so it runs
+  as explode + codegen groupBy (two uniform-key shuffles: (doc,
+  word) then doc), never an interpreted HOF fold. Rounded 6dp both
+  engines.
+
+- ``ann_range_search`` — radius similarity search: all corpus
+  vectors with cosine ≥ τ of each query (operators/similarity.
+  cosine_range). The companion to ann_cosine_topk: retrieval wants
+  top-k, dedup/recall audits want "all above τ". One map-side GEMM
+  scan, NO ranking shuffle; output bounded by the true match count.
+  Fully oracled: sims round to 6dp BEFORE the threshold on both
+  engines.
+
+- ``quality_percentile_gate`` — per-source quality curation (the
+  FineWeb-style per-domain percentile threshold, not one global
+  cut): percent_rank over (quality_score, doc_id) within each
+  source, keep the top 30%, report per-source kept counts and score
+  stats. percent_rank is exact rational arithmetic — identical in
+  both engines — and the (score, doc_id) order is total, so the
+  gate decision is deterministic row-by-row.
+
+Reference parity: the reference has no text pipeline (its scope is
+price ingest, fetch_stocks.py); this family is the
+training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.textops import (
+    STOPWORDS,
+    normalized,
+    with_quality,
+    words,
+)
+
+_RANGE_TAU = 0.3
+_GATE_KEEP_FRAC = 0.3  # keep the top 30% per source
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words()).alias("word")
+    )
+    per_word = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+                "_clnc"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.round(
+                F.log(F.col("n_words").cast("double"))
+                - F.col("_clnc") / F.col("n_words"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_data_project_spark.plans.llm import N_QUERY_VECS
+    from stock_data_project_spark.operators.similarity import cosine_range
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_range(emb, queries, tau=_RANGE_TAU)
+
+
+def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality(docs).filter(F.col("quality_score").isNotNull())
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    gated = scored.withColumn("pr", F.percent_rank().over(w)).withColumn(
+        "kept", F.col("pr") >= F.lit(1.0 - _GATE_KEEP_FRAC)
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.round(
+            F.avg(F.when(F.col("kept"), F.col("quality_score"))), 6
+        ).alias("avg_kept_score"),
+        F.round(
+            F.min(F.when(F.col("kept"), F.col("quality_score"))), 6
+        ).alias("gate_threshold"),
+    )
+
+
+QUERIES_NEXT = {
+    "token_entropy": q_token_entropy,
+    "ann_range_search": q_ann_range_search,
+    "quality_percentile_gate": q_quality_percentile_gate,
+}
+
+# SQL twins — the same normalization/scoring fragments as llm.py's
+# oracles (string-level identical normalization is what keeps the
+# tokenizations in lockstep)
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+def _sql_list(xs: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
+ORACLE_NEXT = {
+    "token_entropy": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+        ),
+        per_word AS (
+            SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                       / sum(c), 6) AS entropy
+        FROM per_word
+        GROUP BY doc_id
+    """,
+    "ann_range_search": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10
+        ),
+        e AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv
+            FROM embeddings
+        )
+        SELECT query_id, neighbor_id,
+               round(list_cosine_similarity(qv, nv), 6) AS cosine_sim
+        FROM e CROSS JOIN q
+        WHERE neighbor_id <> query_id
+          AND round(list_cosine_similarity(qv, nv), 6) >= {_RANGE_TAU}
+    """,
+    "quality_percentile_gate": f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   length(text) AS nc,
+                   CAST(len({_WORDS}) AS INT) AS n_words,
+                   length(regexp_replace(text, '[.,!?;:()\\-]', '', 'g'))
+                       AS nc_nopunct,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS nc_alpha,
+                   len(list_filter({_WORDS},
+                       w -> list_contains({_sql_list(STOPWORDS["en"])}, w)))
+                       AS n_stop
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source,
+                   round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.25
+                         + (CAST(nc_alpha AS DOUBLE) / nullif(nc, 0)) * 0.35
+                         + least((CAST(n_stop AS DOUBLE) / n_words) * 5.0,
+                                 1.0) * 0.25
+                         + (1.0 - least((CAST(nc - nc_nopunct AS DOUBLE)
+                                         / nullif(nc, 0)) * 10.0, 1.0)) * 0.15,
+                         6) AS quality_score
+            FROM base
+        ),
+        gated AS (
+            SELECT source, quality_score,
+                   percent_rank() OVER (PARTITION BY source
+                                        ORDER BY quality_score, doc_id) AS pr
+            FROM scored
+            WHERE quality_score IS NOT NULL
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN pr >= {1.0 - _GATE_KEEP_FRAC}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               round(avg(CASE WHEN pr >= {1.0 - _GATE_KEEP_FRAC}
+                              THEN quality_score END), 6) AS avg_kept_score,
+               round(min(CASE WHEN pr >= {1.0 - _GATE_KEEP_FRAC}
+                              THEN quality_score END), 6) AS gate_threshold
+        FROM gated
+        GROUP BY source
+    """,
+}

@@ -1121,3 +1121,14 @@ from stock_data_project_spark.plans.olap_next5 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT5)
 ORACLE.update(ORACLE_NEXT5)
+
+# r8 build, r9 debut: skew_salted_revenue (the skew REPORT driving
+# the salting mitigation, plain-join oracled), order_gap_stats
+# (per-customer reorder cadence with exact median)
+from stock_data_project_spark.plans.olap_next6 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT6,
+    QUERIES_NEXT as QUERIES_NEXT6,
+)
+
+QUERIES.update(QUERIES_NEXT6)
+ORACLE.update(ORACLE_NEXT6)

@@ -769,3 +769,13 @@ from stock_data_project_spark.plans.stock_next3 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT3)
 ORACLE.update(ORACLE_NEXT3)
+
+# r8 build, r9 debut: aroon (argmax-position window), cmf (volume-
+# weighted money flow), keltner (SMA channel)
+from stock_data_project_spark.plans.stock_next4 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT4,
+    QUERIES_NEXT as QUERIES_NEXT4,
+)
+
+QUERIES.update(QUERIES_NEXT4)
+ORACLE.update(ORACLE_NEXT4)

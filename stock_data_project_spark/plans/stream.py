@@ -147,3 +147,14 @@ from stock_data_project_spark.plans.stream_next4 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT4)
 ORACLE.update(ORACLE_NEXT4)
+
+# r8 build, r9 debut: stream_distinct_users (chained stateful
+# dedup -> windowed count; in-order feed leaves one recurrence —
+# the final-watermark emission cut — for the oracle to replay)
+from stock_data_project_spark.plans.stream_next5 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT5,
+    QUERIES_NEXT as QUERIES_NEXT5,
+)
+
+QUERIES.update(QUERIES_NEXT5)
+ORACLE.update(ORACLE_NEXT5)

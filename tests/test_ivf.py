@@ -278,12 +278,15 @@ def test_ann_keys_run_with_arrow_disabled(spark):
     old = spark.conf.get(key)
     spark.conf.set(key, "false")
     try:
+        from stock_data_project_spark.plans import llm_next5
+
         for q in (
             llm.q_ann_cosine_topk,
             llm.q_ann_lsh,
             llm.q_ann_ivf,
             llm.q_embedding_dedup_ivf,
             llm.q_media_pipeline,
+            llm_next5.q_ann_range_search,
         ):
             assert q(spark, SF_SMOKE).count() > 0
     finally:
