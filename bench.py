@@ -76,6 +76,13 @@ HEADLINE = (
     "conversion_lag",
     "skew_report",
     "bloom_join_prune",
+    # r8 debut families: report-driven salting, radius ANN, entropy
+    # quality signal, per-source percentile gate, reorder cadence
+    "skew_salted_revenue",
+    "ann_range_search",
+    "token_entropy",
+    "quality_percentile_gate",
+    "order_gap_stats",
 )
 
 
