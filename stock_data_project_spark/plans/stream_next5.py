@@ -45,11 +45,20 @@ _SDU_DROPS = 4
 
 def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ranked = ev.select("user_id", "ts").withColumn(
-        "_q", F.ntile(_SDU_DROPS).over(Window.orderBy("ts"))
+    # persist BEFORE branching: the 4 per-drop filters re-execute the
+    # global ntile sort otherwise, and tied timestamps could land in
+    # different quartiles across re-executions — a row duplicated into
+    # (or missing from) the feed. Same class as the CLAUDE.md range-
+    # exchange rule; the harness sort is single-partition but the tie
+    # hazard is identical (rank.py).
+    ranked = (
+        ev.select("user_id", "ts")
+        .withColumn("_q", F.ntile(_SDU_DROPS).over(Window.orderBy("ts")))
+        .persist()
     )
     root = tempfile.mkdtemp(prefix="sdu_")
     try:
+        ranked.count()  # materialize the cache before the branches
         in_dir = os.path.join(root, "drops")
         os.makedirs(in_dir)
         stages = []
@@ -92,6 +101,7 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in spark.table("stream_distinct_users").collect()
         ]
     finally:
+        ranked.unpersist()
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "window_start timestamp, n_users long")
 
