@@ -83,6 +83,8 @@ HEADLINE = (
     "token_entropy",
     "quality_percentile_gate",
     "order_gap_stats",
+    "bm25_rank",
+    "doc_compression_ratio",
 )
 
 

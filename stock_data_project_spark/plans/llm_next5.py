@@ -45,6 +45,10 @@ from stock_data_project_spark.operators.textops import (
 
 _RANGE_TAU = 0.3
 _GATE_KEEP_FRAC = 0.3  # keep the top 30% per source
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
 
 
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,10 +109,103 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of the corpus for a fixed conjunctive
+    query (Robertson et al.; the Lucene-flavored idf
+    ln((N−df+0.5)/(df+0.5)+1), k1=1.2, b=0.75) — the classic sparse
+    retrieval scorer next to the dense ANN family. Shape: explode →
+    per-(doc, term) tf filtered to the query terms (a broadcast-able
+    3-row dimension), doc lengths from one codegen scan, corpus
+    stats (N, avgdl) as a 1-row broadcast bind; top-N via
+    orderBy+limit = TakeOrderedAndProject, never a global sort.
+    Fully oracled: every factor is deterministic arithmetic, the
+    per-doc score sums ≤ |terms| values, rounded 6dp both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", F.size(words()).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(words()).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(lens), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPN)
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def q_doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility quality signal (rows-only: DuckDB has no
+    deflate; determinism + known-plaintext ratios pinned in-repo):
+    highly compressible text is repetitive/templated — the cheap
+    byte-level cousin of token_entropy. Map-only Arrow-batched scan,
+    scalar output columns; zlib level fixed so the ratio is
+    bit-deterministic across runs and partitionings."""
+    import zlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        for pdf in batches:
+            ratios, nb, nc = [], [], []
+            for t in pdf["text"]:
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratios.append(
+                    round(len(comp) / len(raw), 6) if raw else None
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                    "n_compressed": pd.array(nc, dtype="Int64"),
+                    "compression_ratio": pd.array(ratios, dtype="float64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, n_bytes long, n_compressed long, compression_ratio double",
+    )
+
+
 QUERIES_NEXT = {
     "token_entropy": q_token_entropy,
     "ann_range_search": q_ann_range_search,
     "quality_percentile_gate": q_quality_percentile_gate,
+    "bm25_rank": q_bm25_rank,
+    "doc_compression_ratio": q_doc_compression_ratio,
 }
 
 # SQL twins — the same normalization/scoring fragments as llm.py's
@@ -122,7 +219,48 @@ def _sql_list(xs: tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
 
 
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+
 ORACLE_NEXT = {
+    "bm25_rank": f"""
+        WITH lens AS (
+            SELECT doc_id, CAST(len({_WORDS}) AS INT) AS dl FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+            FROM lens
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_WORDS}) AS term FROM documents)
+            WHERE term IN (SELECT unnest({_BM25_TERMS_SQL}))
+            GROUP BY 1, 2
+        ),
+        dft AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   round(sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (t.tf * ({_BM25_K1} + 1.0))
+                       / (t.tf + {_BM25_K1}
+                          * (1.0 - {_BM25_B} + {_BM25_B} * l.dl / avgdl))
+                   ), 6) AS bm25
+            FROM tf t JOIN dft USING (term)
+                      JOIN lens l ON t.doc_id = l.doc_id
+                      CROSS JOIN stats
+            GROUP BY 1
+        ),
+        top AS (
+            SELECT doc_id, bm25 FROM scored
+            ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPN}
+        )
+        SELECT doc_id, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                   AS rank
+        FROM top
+    """,
     "token_entropy": f"""
         WITH tok AS (
             SELECT doc_id, unnest({_WORDS}) AS word FROM documents

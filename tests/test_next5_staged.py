@@ -30,11 +30,16 @@ ALL_O = {
 }
 
 
-def test_every_new_key_is_fully_oracled():
-    assert set(ALL_Q) == set(ALL_O)
+# the one deliberate rows-only key (DuckDB has no deflate); its
+# semantics are pinned by test_doc_compression_ratio_* below
+_ROWS_ONLY = {"doc_compression_ratio"}
 
 
-@pytest.mark.parametrize("key", sorted(ALL_Q))
+def test_every_new_key_is_oracled_or_annotated():
+    assert set(ALL_Q) - set(ALL_O) == _ROWS_ONLY
+
+
+@pytest.mark.parametrize("key", sorted(set(ALL_Q) - _ROWS_ONLY))
 def test_new_key_parity(spark, key):
     df = ALL_Q[key](spark, SF_ORACLE)
     assert_gradable_schema(df, key)
@@ -188,6 +193,59 @@ def test_stream_distinct_users_state_is_chained_and_exact(spark):
     assert len(batch) > len(got)
 
 
+def test_bm25_monotone_in_tf_and_topn_shape(spark):
+    """Synthetic corpus: with equal lengths, more query-term hits
+    score strictly higher; rank is dense 1..N by (score desc, id)."""
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join scan pad", "en", "s", 18),
+            (2, "hash join pad pad", "en", "s", 17),
+            (3, "hash pad pad pad", "en", "s", 16),
+            (4, "pad pad pad pad", "en", "s", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = sorted(
+            ALL_Q["bm25_rank"](spark, d).collect(), key=lambda r: r.rank
+        )
+    assert [r.doc_id for r in rows] == [1, 2, 3]  # doc 4 matches nothing
+    assert rows[0].bm25 > rows[1].bm25 > rows[2].bm25 > 0
+    assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_doc_compression_ratio_deterministic_and_pinned(spark):
+    """Fixed zlib level ⇒ bit-identical ratios across runs AND
+    partitionings; a repetitive text compresses far better than a
+    high-entropy one, and the pinned values match direct zlib."""
+    import os
+    import tempfile
+    import zlib
+
+    rep = "spam " * 200
+    rnd = "kq9x7z2vb4n8m1c5 " * 50  # still text, far less compressible
+    docs = spark.createDataFrame(
+        [(1, rep, "en", "s", len(rep)), (2, rnd, "en", "s", len(rnd)),
+         (3, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        a = {r.doc_id: r for r in ALL_Q["doc_compression_ratio"](spark, d).collect()}
+        b = {r.doc_id: r for r in ALL_Q["doc_compression_ratio"](spark, d).collect()}
+    for doc, text in ((1, rep), (2, rnd)):
+        want = round(
+            len(zlib.compress(text.encode(), 6)) / len(text.encode()), 6
+        )
+        assert a[doc].compression_ratio == want == b[doc].compression_ratio
+    assert a[1].compression_ratio < a[2].compression_ratio
+    assert a[3].compression_ratio is None and a[3].n_bytes == 0
+
+
 def test_pandas_crossing_new_keys_run_with_arrow_disabled(spark):
     """CLAUDE.md rule: every NEW pandas/createDataFrame-crossing key
     must run under a driver-like Arrow-off session before shipping."""
@@ -197,5 +255,6 @@ def test_pandas_crossing_new_keys_run_with_arrow_disabled(spark):
     try:
         assert ALL_Q["ann_range_search"](spark, SF_SMOKE).count() > 0
         assert ALL_Q["stream_distinct_users"](spark, SF_SMOKE).count() > 0
+        assert ALL_Q["doc_compression_ratio"](spark, SF_SMOKE).count() > 0
     finally:
         spark.conf.set(key, old)

@@ -82,6 +82,12 @@ def main() -> None:
         # bloom_join_prune runs its bitmap-build job when invoked (like
         # the fit-style keys) but returns a lazy probe plan — audited
         "bloom_join_prune",
+        # r8-built keys (batch; the 5 new headline families are in
+        # HEADLINE already; stream_distinct_users is streaming-driven
+        # and pinned by tests/test_next5_staged.py)
+        "aroon",
+        "cmf",
+        "keltner",
     )
     out = {}
     for name in tuple(HEADLINE) + extra:
@@ -117,6 +123,9 @@ def main() -> None:
         # conversion_lag is quantile_rollup's estimator applied to
         # the lag join — the identical two metadata-sized binds
         "conversion_lag",
+        # bm25_rank binds the 1-row (N, avgdl) corpus-stats aggregate
+        # — the same constant-cost scalar-bind class
+        "bm25_rank",
     }
     flagged = [
         k
