@@ -77,6 +77,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_fraction: float | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Append ``centroid_id`` (0..n_centroids-1) = nearest spherical
     k-means centroid by cosine. Deterministic: hash-picked init, fixed
@@ -87,8 +88,14 @@ def ivf_assign(
     per input row). For near-dup blocking this recovers pairs that sit
     astride a Voronoi boundary — the standard recall lever when the
     corpus has weak cluster structure; consumers must dedupe pairs
-    found in more than one block (``blocked_cosine_pairs`` does)."""
-    centroids = ivf_fit(df, n_centroids, iters, id_col, vec_col, fit_fraction)
+    found in more than one block (``blocked_cosine_pairs`` does).
+
+    ``centroids``: a PREFIT centroid table (ivf_fit output) — skips
+    the fit jobs entirely; the steady-state amortization path
+    (operators/memo.session_memo), same contract as bloom's bitmap
+    cache: the caller owns key freshness."""
+    if centroids is None:
+        centroids = ivf_fit(df, n_centroids, iters, id_col, vec_col, fit_fraction)
     return ivf_transform(df, centroids, probes, id_col, vec_col)
 
 
@@ -314,6 +321,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_fraction: float | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: fit the quantizer on the
     corpus, route each query to its ``nprobe`` nearest cells, and
@@ -357,7 +365,10 @@ def ivf_topk(
     ``nprobe == n_centroids`` bit-identical to ``cosine_topk``."""
     import pandas as pd
 
-    centroids = ivf_fit(embeddings, n_centroids, iters, id_col, vec_col, fit_fraction)
+    if centroids is None:
+        centroids = ivf_fit(
+            embeddings, n_centroids, iters, id_col, vec_col, fit_fraction
+        )
     if nprobe is None:
         # the centroid table is literal driver-built data → free count
         nprobe = max(4, round(math.sqrt(centroids.count())))

@@ -70,11 +70,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane buckets — the data-adaptive counterpart to ann_lsh.
     Rows-only (k-means isn't SQL-expressible); test_ivf.py asserts
     recall vs the exact brute force."""
-    from stock_data_project_spark.operators.ivf import ivf_topk
+    from stock_data_project_spark.operators.ivf import ivf_fit, ivf_topk
+    from stock_data_project_spark.operators.memo import session_memo
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return ivf_topk(emb, queries, k=TOPK)
+    # sf_dir names an immutable snapshot → the quantizer is identical
+    # every invocation; memoize the (metadata-sized) centroid table so
+    # steady-state searches skip the fit jobs (the bloom-bitmap
+    # amortization pattern, operators/memo.py)
+    centroids = session_memo(
+        spark, ("ivf_centroids", sf_dir, 3), lambda: ivf_fit(emb, iters=3)
+    )
+    return ivf_topk(emb, queries, k=TOPK, centroids=centroids)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,10 +174,19 @@ def q_embedding_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The label-blocked variant finds only the 5 same-label pairs —
     labels are not cosine clusters here, so the quantizer beats the
     label block key even before real cluster structure exists."""
-    from stock_data_project_spark.operators.ivf import blocked_cosine_pairs, ivf_assign
+    from stock_data_project_spark.operators.ivf import (
+        blocked_cosine_pairs,
+        ivf_assign,
+        ivf_fit,
+    )
+    from stock_data_project_spark.operators.memo import session_memo
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(emb, iters=3, probes=2)
+    # shares q_ann_ivf's memoized quantizer (same fit params)
+    centroids = session_memo(
+        spark, ("ivf_centroids", sf_dir, 3), lambda: ivf_fit(emb, iters=3)
+    )
+    assigned = ivf_assign(emb, iters=3, probes=2, centroids=centroids)
     return blocked_cosine_pairs(assigned, block_col="centroid_id", threshold=0.4)
 
 

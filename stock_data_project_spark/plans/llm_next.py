@@ -121,11 +121,17 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric distance over the CODES — the 32× scan-volume
     compression path. Rows-only (approximate by design; recall vs
     the exact brute force is asserted in tests/test_pq.py)."""
+    from stock_data_project_spark.operators.memo import session_memo
     from stock_data_project_spark.operators.pq import pq_encode, pq_fit, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    codebook = pq_fit(emb, m=16, nbits=6)
+    # immutable sf_dir → identical codebook every invocation; memoize
+    # the kilobyte codebook table so steady-state searches skip the
+    # fit job (operators/memo.py, the bloom-bitmap pattern)
+    codebook = session_memo(
+        spark, ("pq_codebook", sf_dir, 16, 6), lambda: pq_fit(emb, m=16, nbits=6)
+    )
     codes = pq_encode(emb, codebook, drop_vec=True)
     return pq_topk(codes, codebook, queries, k=5, rerank=50, vectors=emb)
 

@@ -346,3 +346,25 @@ def test_auto_fit_fraction_samples_large_corpora_only(spark):
     auto = ivf_fit(emb).orderBy("_cid").collect()
     full = ivf_fit(emb, fit_fraction=1.0).orderBy("_cid").collect()
     assert [r.asDict() for r in auto] == [r.asDict() for r in full]
+
+
+def test_session_memo_skips_refit(spark, tmp_path):
+    """operators/memo.session_memo: second build under the same key
+    returns the FIRST artifact without invoking the builder; a
+    different key rebuilds."""
+    from stock_data_project_spark.operators.memo import session_memo
+
+    calls = []
+
+    def build(tag):
+        def _b():
+            calls.append(tag)
+            return f"artifact-{tag}"
+        return _b
+
+    a = session_memo(spark, ("t_memo", "k1"), build("one"))
+    b = session_memo(spark, ("t_memo", "k1"), build("one-again"))
+    c = session_memo(spark, ("t_memo", "k2"), build("two"))
+    assert a == b == "artifact-one"
+    assert c == "artifact-two"
+    assert calls == ["one", "two"]  # the k1 re-request never built

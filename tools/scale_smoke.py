@@ -81,6 +81,17 @@ QUERIES = (
     "funnel_attribution",
     "skew_report",
     "bloom_join_prune",
+    # r8 families: report-driven salting, reorder cadence, entropy
+    # signal, per-source percentile gate, BM25, radius ANN, zlib
+    # signal. stream_distinct_users stays excluded like the other
+    # streaming-driven harness keys.
+    "skew_salted_revenue",
+    "order_gap_stats",
+    "token_entropy",
+    "quality_percentile_gate",
+    "bm25_rank",
+    "ann_range_search",
+    "doc_compression_ratio",
 )
 
 
