@@ -85,6 +85,8 @@ HEADLINE = (
     "order_gap_stats",
     "bm25_rank",
     "doc_compression_ratio",
+    "ngram_novelty",
+    "cumulative_distinct_users",
 )
 
 

@@ -200,12 +200,47 @@ def q_doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram NOVELTY — the directional complement of
+    dup_span_coverage: the fraction of a doc's distinct 8-word
+    shingles that it INTRODUCES to the corpus (min doc_id over the
+    shingle == this doc, in doc_id order). Low novelty late in the
+    corpus = the doc re-assembles already-seen spans — the
+    memorization/recency audit a dedup pass reads alongside span
+    coverage. Same uniform-key shuffle budget as dup_span_coverage
+    (shingle groupBy + join + per-doc agg); short docs contribute
+    their whole text as one shingle (word_shingles' fallback)."""
+    from stock_data_project_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 8))).alias("sh"),
+    )
+    firsts = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("doc_id") == F.col("first_doc")).cast("bigint")
+    return (
+        sh.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
 QUERIES_NEXT = {
     "token_entropy": q_token_entropy,
     "ann_range_search": q_ann_range_search,
     "quality_percentile_gate": q_quality_percentile_gate,
     "bm25_rank": q_bm25_rank,
     "doc_compression_ratio": q_doc_compression_ratio,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 # SQL twins — the same normalization/scoring fragments as llm.py's
@@ -291,6 +326,34 @@ ORACLE_NEXT = {
         FROM e CROSS JOIN q
         WHERE neighbor_id <> query_id
           AND round(list_cosine_similarity(qv, nv), 6) >= {_RANGE_TAU}
+    """,
+    # the dup_span_coverage shingle CTE with min-doc firsts
+    "ngram_novelty": r"""
+        WITH norm AS (
+            SELECT doc_id,
+                   string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '
+                   ) AS w
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, gs.i, gs.i + 7), ' ') AS sh
+            FROM norm, LATERAL unnest(generate_series(1, len(w) - 7)) AS gs(i)
+            WHERE len(w) >= 8
+            UNION
+            SELECT DISTINCT doc_id, array_to_string(w, ' ') AS sh
+            FROM norm WHERE len(w) < 8
+        ), firsts AS (
+            SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh
+        )
+        SELECT doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS novelty
+        FROM sh JOIN firsts USING (sh)
+        GROUP BY doc_id
     """,
     "quality_percentile_gate": f"""
         WITH base AS (

@@ -101,9 +101,44 @@ def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + new users + cumulative distinct reach —
+    the growth-analytics triple. Exact running distinct WITHOUT
+    re-scanning history: each user's FIRST-seen day (one uniform
+    groupBy) turns the cumulative distinct count into a running sum
+    of per-day first-seen counts — the incremental formulation that
+    holds at 100 TB (the naive per-day COUNT(DISTINCT) over an
+    expanding window rescans the fact). The running-sum window runs
+    over the post-agg ~calendar-sized table (metadata-sized single
+    partition, like histogram_quantiles' estimator tail)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    active = (
+        ev.select(day, "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    new_users = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(new_users, "day", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("cum_users", F.sum("new_users").over(w))
+    )
+
+
 QUERIES_NEXT = {
     "skew_salted_revenue": q_skew_salted_revenue,
     "order_gap_stats": q_order_gap_stats,
+    "cumulative_distinct_users": q_cumulative_distinct_users,
 }
 
 ORACLE_NEXT = {
@@ -115,6 +150,29 @@ ORACLE_NEXT = {
                count(*) AS n_orders
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2
+    """,
+    "cumulative_distinct_users": """
+        WITH active AS (
+            SELECT date_trunc('day', ts) AS day,
+                   count(DISTINCT user_id) AS active_users
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY 1
+        ),
+        firsts AS (
+            SELECT user_id, min(date_trunc('day', ts)) AS day
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY 1
+        ),
+        news AS (
+            SELECT day, count(*) AS new_users FROM firsts GROUP BY 1
+        )
+        SELECT a.day, a.active_users,
+               coalesce(n.new_users, 0) AS new_users,
+               CAST(sum(coalesce(n.new_users, 0)) OVER (
+                   ORDER BY a.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM active a LEFT JOIN news n USING (day)
     """,
     "order_gap_stats": """
         WITH gaps AS (

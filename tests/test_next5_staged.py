@@ -258,3 +258,51 @@ def test_pandas_crossing_new_keys_run_with_arrow_disabled(spark):
         assert ALL_Q["doc_compression_ratio"](spark, SF_SMOKE).count() > 0
     finally:
         spark.conf.set(key, old)
+
+
+def test_ngram_novelty_conservation_and_first_doc(spark):
+    """Every shingle is novel for exactly one doc (its min-doc), so
+    Σ n_novel == |distinct shingles|; the lowest doc_id with text has
+    novelty exactly 1.0."""
+    rows = ALL_Q["ngram_novelty"](spark, SF_ORACLE).collect()
+    assert rows
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, SF_ORACLE, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_distinct_shingles = (
+        docs.select(F.explode(F.array_distinct(word_shingles("text", 8))))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct_shingles
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0
+
+
+def test_cumulative_distinct_users_invariants(spark):
+    """cum_users is non-decreasing, ends at the total distinct user
+    count, and every day's actives are a subset of users seen so far
+    (active_users ≤ cum_users)."""
+    from stock_data_project_spark.catalog import load_table
+
+    rows = sorted(
+        ALL_Q["cumulative_distinct_users"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    total = (
+        load_table(spark, SF_ORACLE, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].cum_users == total
+    prev = 0
+    for r in rows:
+        assert r.cum_users >= prev and r.active_users <= r.cum_users
+        assert r.cum_users - prev == r.new_users
+        prev = r.cum_users

@@ -92,6 +92,8 @@ QUERIES = (
     "bm25_rank",
     "ann_range_search",
     "doc_compression_ratio",
+    "ngram_novelty",
+    "cumulative_distinct_users",
 )
 
 
