@@ -24,11 +24,17 @@ formats end-to-end:
   compositing wrong. The encoder emits true LZW with a global
   palette (≤256 distinct colors; more raises ValueError).
 
+- JPEG — baseline sequential (SOF0), numpy + ``struct`` (r8): real
+  Huffman entropy coding, 4:4:4 / 4:2:2 / 4:2:0, restart markers;
+  interop-validated against real libjpeg files. See the JPEG
+  section header for the full surface.
+
 These plug into operators/multimodal.py's Arrow-batched kernels via
 magic-byte sniffing, replacing the deterministic fakes for payloads
-that really are media. JPEG and inter-frame compressed video
-(H.26x/VP9) stay out of scope (entropy/motion decoders aren't a
-reasonable reimplementation) — the honest remaining stub surface.
+that really are media. Progressive JPEG (SOF2) and inter-frame
+compressed video (H.26x/VP9) stay out of scope (the motion /
+multi-scan machinery isn't a reasonable reimplementation) — the
+honest remaining stub surface.
 
 All decode functions return numpy arrays (pixels uint8, samples
 int32) and raise ``ValueError`` on malformed/unsupported input —
@@ -46,6 +52,7 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 BMP_MAGIC = b"BM"
 WAV_MAGIC = b"RIFF"
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
+JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def _malformed_raises_valueerror(fn):
@@ -73,7 +80,7 @@ def _malformed_raises_valueerror(fn):
 
 
 def sniff_media(payload: bytes) -> str | None:
-    """'png' | 'bmp' | 'wav' | 'gif' | None by magic bytes."""
+    """'png' | 'bmp' | 'wav' | 'gif' | 'jpeg' | None by magic bytes."""
     if payload.startswith(PNG_MAGIC):
         return "png"
     if payload.startswith(BMP_MAGIC):
@@ -82,6 +89,8 @@ def sniff_media(payload: bytes) -> str | None:
         return "wav"
     if payload.startswith(GIF_MAGICS):
         return "gif"
+    if payload.startswith(JPEG_MAGIC):
+        return "jpeg"
     return None
 
 
@@ -772,3 +781,570 @@ def is_animated_gif(payload: bytes) -> bool:
     except ValueError:
         return False
     return len(frames) > 1
+
+
+# --------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (SOF0), pure numpy + struct — the last
+# image-format blocker lifted (r8): real Huffman entropy decode (any
+# valid canonical tables, byte stuffing, restart markers), DQT 8/16-bit,
+# sampling factors to 2x2 (4:4:4 / 4:2:2 / 4:2:0) with replication
+# upsampling, floating IDCT, JFIF full-range YCbCr. The encoder emits
+# 4:4:4 or 4:2:0 with quality-scaled Annex-K quant tables and
+# fixed-length canonical Huffman tables (valid per the spec, not
+# size-optimal — tables ride in DHT, so any decoder reads them).
+# Interop validated against real libjpeg-encoded files (including a
+# 477x720 4:2:0 photo). Progressive (SOF2) raises ValueError — the
+# honest remaining JPEG seam.
+
+# ---- shared constants ------------------------------------------------
+
+
+def _zigzag() -> np.ndarray:
+    idx = sorted(
+        ((i, j) for i in range(8) for j in range(8)),
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else -p[0]),
+    )
+    return np.array([i * 8 + j for i, j in idx], dtype=np.int64)
+
+
+ZIGZAG = _zigzag()          # natural index of the k-th zigzag coef
+INV_ZIGZAG = np.argsort(ZIGZAG)
+
+_D = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _D[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+        )
+
+
+def fdct(block: np.ndarray) -> np.ndarray:
+    return _D @ block @ _D.T
+
+
+def idct(coef: np.ndarray) -> np.ndarray:
+    return _D.T @ coef @ _D
+
+
+# base luma/chroma quant tables (JPEG Annex K — public spec constants),
+# in natural (row-major) order
+_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+
+def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base * s + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+# ---- bit IO ----------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map a `size`-bit magnitude to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """signed value -> (size, magnitude bits) per the JPEG encoding."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+# ---- canonical Huffman -----------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """DHT (BITS, HUFFVAL) -> {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    def __init__(self, bits: list[int], vals: list[int]):
+        # mincode/maxcode/valptr per length (the spec's F.16 method)
+        self.bits = bits
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            else:
+                self.maxcode[length] = -1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.read_bit()
+        length = 1
+        while code > self.maxcode[length]:
+            if length >= 16:
+                raise ValueError("bad JPEG Huffman code")
+            code = (code << 1) | br.read_bit()
+            length += 1
+        return self.vals[self.valptr[length] + code - self.mincode[length]]
+
+
+# ---- encoder ---------------------------------------------------------
+
+# fixed-length canonical tables: DC 12 symbols @ 4 bits, AC 162 @ 8
+_DC_SYMS = list(range(12))
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_AC_SYMS = [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [0x00, 0xF0]
+_AC_SYMS = sorted(set(_AC_SYMS))
+_AC_BITS = [0] * 16
+_AC_BITS[7] = len(_AC_SYMS)  # all at length 8
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    px = px.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _pad_to(img: np.ndarray, mh: int, mv: int) -> np.ndarray:
+    h, w = img.shape
+    ph = (-h) % mv
+    pw = (-w) % mh
+    return np.pad(img, ((0, ph), (0, pw)), mode="edge")
+
+
+def _encode_blocks(
+    plane: np.ndarray, q: np.ndarray, bw: _BitWriter, dc_codes, ac_codes, pred: int
+) -> int:
+    """Encode one 8x8-tiled plane block row-major; returns new DC pred."""
+    h, w = plane.shape
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = plane[by : by + 8, bx : bx + 8] - 128.0
+            coef = np.round(fdct(block) / q.reshape(8, 8)).astype(np.int64)
+            zz = coef.reshape(-1)[ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size, bits = _mag_bits(diff)
+            c, ln = dc_codes[size]
+            bw.write(c, ln)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = 0
+            nz = np.flatnonzero(zz[1:])
+            last_nz = nz[-1] + 1 if len(nz) else 0
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                size, bits = _mag_bits(v)
+                c, ln = ac_codes[(run << 4) | size]
+                bw.write(c, ln)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                c, ln = ac_codes[0x00]
+                bw.write(c, ln)
+    return pred
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg wants (h, w[, 3])")
+    h0, w0, _ = px.shape
+    if h0 == 0 or w0 == 0:
+        raise ValueError("empty image")
+    ycc = _rgb_to_ycbcr(px)
+    qy = _scaled_q(_QL, quality)
+    qc = _scaled_q(_QC, quality)
+    # component geometry
+    if subsample:  # 4:2:0
+        sampy, sampc = (2, 2), (1, 1)
+        mcu_w, mcu_h = 16, 16
+    else:
+        sampy, sampc = (1, 1), (1, 1)
+        mcu_w, mcu_h = 8, 8
+    y = _pad_to(ycc[..., 0], mcu_w, mcu_h)
+    if subsample:
+        cbp = _pad_to(ycc[..., 1], mcu_w, mcu_h)
+        crp = _pad_to(ycc[..., 2], mcu_w, mcu_h)
+        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+    else:
+        cb = _pad_to(ycc[..., 1], 8, 8)
+        cr = _pad_to(ycc[..., 2], 8, 8)
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: two tables, zigzag order, 8-bit
+    for tq, q in ((0, qy), (1, qc)):
+        body = bytes([tq]) + bytes(int(q[ZIGZAG[k]]) for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+    # SOF0
+    comps = [
+        (1, sampy, 0),
+        (2, sampc, 1),
+        (3, sampc, 1),
+    ]
+    body = struct.pack(">BHHB", 8, h0, w0, 3)
+    for cid, (sh, sv), tq in comps:
+        body += bytes([cid, (sh << 4) | sv, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(body)) + body
+    # DHT: same tables for DC (class 0, id 0) and AC (class 1, id 0)
+    for cls, bits, vals in ((0, _DC_BITS, _DC_SYMS), (1, _AC_BITS, _AC_SYMS)):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    # SOS
+    body = bytes([3])
+    for cid, _, _ in comps:
+        body += bytes([cid, 0x00])  # DC/AC table 0
+    body += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    bw = _BitWriter()
+    if subsample:
+        predy = predcb = predcr = 0
+        n_mcu_y = y.shape[0] // 16
+        n_mcu_x = y.shape[1] // 16
+        for my in range(n_mcu_y):
+            for mx in range(n_mcu_x):
+                for dy in range(2):
+                    for dx in range(2):
+                        by, bx = my * 16 + dy * 8, mx * 16 + dx * 8
+                        predy = _encode_blocks(
+                            y[by : by + 8, bx : bx + 8], qy, bw, dc_codes, ac_codes, predy
+                        )
+                        # (single block; _encode_blocks iterates tiles)
+                predcb = _encode_blocks(
+                    cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], qc, bw, dc_codes, ac_codes, predcb
+                )
+                predcr = _encode_blocks(
+                    cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], qc, bw, dc_codes, ac_codes, predcr
+                )
+    else:
+        predy = predcb = predcr = 0
+        nby = y.shape[0] // 8
+        nbx = y.shape[1] // 8
+        for by in range(nby):
+            for bx in range(nbx):
+                predy = _encode_blocks(
+                    y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qy, bw, dc_codes, ac_codes, predy
+                )
+                predcb = _encode_blocks(
+                    cb[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qc, bw, dc_codes, ac_codes, predcb
+                )
+                predcr = _encode_blocks(
+                    cr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qc, bw, dc_codes, ac_codes, predcr
+                )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---- decoder ---------------------------------------------------------
+
+
+@_malformed_raises_valueerror
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from a baseline sequential (SOF0) JPEG —
+    see the section header for the supported surface. Progressive
+    (SOF2) and other non-baseline frames raise ValueError."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (length,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        seg_end = pos + length
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.array(list(body[p : p + 64]), dtype=np.float64)
+                    p += 64
+                else:
+                    tbl = np.array(
+                        list(struct.unpack_from(f">{64}H", body, p)), dtype=np.float64
+                    )
+                    p += 128
+                nat = np.empty(64)
+                nat[ZIGZAG] = tbl  # stored zigzag -> natural
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                bits = list(body[p : p + 16])
+                p += 16
+                n = sum(bits)
+                vals = list(body[p : p + n])
+                p += n
+                (huff_dc if cls == 0 else huff_ac)[tid] = _HuffDecoder(bits, vals)
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            sof = {"h": hh, "w": ww, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) JPEG supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                sel[cid] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(
+                payload, seg_end, sof, sel, qt, huff_dc, huff_ac, restart_interval
+            )
+        pos = seg_end
+    raise ValueError("JPEG has no scan")
+
+
+def _decode_scan(payload, pos, sof, sel, qt, huff_dc, huff_ac, dri):
+    comps = sof["comps"]
+    h0, w0 = sof["h"], sof["w"]
+    if h0 == 0 or w0 == 0:
+        raise ValueError("bad dimensions")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4:
+        raise ValueError("bad sampling factors")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w0 // mcu_w)
+    mcus_y = -(-h0 // mcu_h)
+    planes = {}
+    for c in comps:
+        pw = mcus_x * 8 * c["h"]
+        ph = mcus_y * 8 * c["v"]
+        planes[c["id"]] = np.zeros((ph, pw))
+    # strip stuffing/restarts as we go: collect entropy bytes until a
+    # non-RST marker
+    data = bytearray()
+    p = pos
+    rst_positions = []
+    while p < len(payload) - 1:
+        b = payload[p]
+        if b == 0xFF:
+            nxt = payload[p + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                rst_positions.append(len(data))
+                p += 2
+                continue
+            break  # EOI or other marker
+        data.append(b)
+        p += 1
+    br = _BitReader(bytes(data))
+    preds = {c["id"]: 0 for c in comps}
+    rst_i = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and n_mcu and n_mcu % dri == 0:
+                # restart: align + reset predictions; the marker byte
+                # positions were stripped, so just realign
+                br.align()
+                # skip to the recorded boundary if we're behind it
+                if rst_i < len(rst_positions):
+                    br.pos = max(br.pos, rst_positions[rst_i])
+                    rst_i += 1
+                preds = {c["id"]: 0 for c in comps}
+            n_mcu += 1
+            for c in comps:
+                dct, act = sel[c["id"]]
+                hd, ha = huff_dc.get(dct), huff_ac.get(act)
+                q = qt.get(c["tq"])
+                if hd is None or ha is None or q is None:
+                    raise ValueError("missing JPEG table")
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = hd.decode(br)
+                        if size > 11:
+                            raise ValueError("bad DC size")
+                        diff = _extend(br.read_bits(size), size) if size else 0
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k <= 63:
+                            sym = ha.decode(br)
+                            if sym == 0x00:
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[ZIGZAG] = zz  # zigzag -> natural
+                        block = idct(coef.reshape(8, 8) * q.reshape(8, 8)) + 128.0
+                        by = (my * c["v"] + dy) * 8
+                        bx = (mx * c["h"] + dx) * 8
+                        planes[c["id"]][by : by + 8, bx : bx + 8] = block
+    # upsample to full res (replication) and convert
+    full = []
+    for c in comps:
+        pl = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+        full.append(pl[:h0, :w0])
+    if len(full) == 3:
+        return _ycbcr_to_rgb(full[0], full[1], full[2])
+    if len(full) == 1:
+        g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    raise ValueError(f"unsupported component count {len(full)}")
+
+

@@ -3,8 +3,9 @@ metadata + a batched feature-extraction stage.
 
 Since r7 the decode step is REAL for the formats the standard
 library can handle — WAV (``wave``), BMP (``struct``), PNG/APNG
-(``zlib``) and, since r8, GIF (stdlib LZW) — via
-operators/codecs.py: kernels sniff the payload's
+(``zlib``) and, since r8, GIF (stdlib LZW) and baseline JPEG
+(numpy Huffman+IDCT) — via operators/codecs.py: kernels sniff the
+payload's
 magic bytes and genuinely decode/resample matching rows; payloads
 that aren't parseable media (this corpus's text-byte fakes, or
 corrupt blobs) degrade PER-ROW to the original deterministic
@@ -86,6 +87,7 @@ def _real_features(raw: bytes) -> list[float] | None:
     from stock_data_project_spark.operators.codecs import (
         decode_bmp,
         decode_gif,
+        decode_jpeg,
         decode_png,
         decode_wav,
         sniff_media,
@@ -102,6 +104,8 @@ def _real_features(raw: bytes) -> list[float] | None:
         else:
             if kind == "gif":  # stats over the first (or only) frame
                 px = decode_gif(raw)[0][0]
+            elif kind == "jpeg":
+                px = decode_jpeg(raw)
             else:
                 px = decode_png(raw) if kind == "png" else decode_bmp(raw)
             arr, scale = px.astype(np.float64), 255.0
@@ -155,10 +159,10 @@ _RESIZE_SCHEMA = T.StructType(
 
 def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize stage for image-typed rows; other media pass through
-    with NULL dimensions. REAL for genuine PNG/BMP (r7) and GIF (r8,
-    every frame + delays preserved) payloads: decode (codecs.py) →
-    nearest-neighbor resample → re-encode in the SAME container
-    format. Rows typed "image" whose bytes are not
+    with NULL dimensions. REAL for genuine PNG/BMP (r7), GIF (r8,
+    every frame + delays preserved) and baseline JPEG (r8, re-encoded
+    at quality 90) payloads: decode (codecs.py) → nearest-neighbor
+    resample → re-encode in the SAME container format. Rows typed "image" whose bytes are not
     parseable media keep the pre-r7 deterministic tile/truncate fake
     (degrade the ROW, never the batch) — the Spark-side contract
     (binary in, fixed-size-or-real-image binary out, one row per
@@ -170,21 +174,26 @@ def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFra
         from stock_data_project_spark.operators.codecs import (
             decode_bmp,
             decode_gif,
+            decode_jpeg,
             decode_png,
             encode_bmp,
             encode_gif,
+            encode_jpeg,
             encode_png,
             resize_nearest,
             sniff_media,
         )
 
         kind = sniff_media(raw)
-        if kind not in ("png", "bmp", "gif"):
+        if kind not in ("png", "bmp", "gif", "jpeg"):
             return None
         try:
             if kind == "png":
                 px = resize_nearest(decode_png(raw), width, height)
                 return encode_png(px)
+            if kind == "jpeg":
+                px = resize_nearest(decode_jpeg(raw), width, height)
+                return encode_jpeg(px, quality=90)
             if kind == "gif":
                 # resize EVERY frame, keep the animation + its delays;
                 # nearest-neighbor only samples existing pixels, so

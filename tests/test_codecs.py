@@ -407,3 +407,93 @@ def test_gif_malformed_raises_valueerror():
     b[-8:-4] = b"\xff\xff\xff\xff"
     with _pytest.raises(ValueError):
         decode_gif(bytes(b))
+
+
+def test_jpeg_roundtrip_444_and_420():
+    """Baseline JPEG round-trips with small error on smooth images
+    (lossy by design — assert mean abs error, exact dims) for both
+    4:4:4 and 4:2:0, at two qualities."""
+    from stock_data_project_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:21, 0:19]  # non-multiple-of-8/16 dims: pad+crop
+    img = np.stack(
+        [(xx * 5 + yy * 3) % 256, (xx * 2 + 90) % 256, (yy * 7 + 40) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    for subsample in (False, True):
+        for q, bound in ((95, 2.0), (75, 5.0)):
+            back = decode_jpeg(encode_jpeg(img, quality=q, subsample=subsample))
+            assert back.shape == img.shape
+            err = np.abs(back.astype(int) - img.astype(int)).mean()
+            assert err < bound, (subsample, q, err)
+    # determinism: encode twice, identical bytes
+    assert encode_jpeg(img, quality=80) == encode_jpeg(img, quality=80)
+    # grey input widens to 3 channels like the other image codecs
+    g = _rng(31).integers(0, 256, (9, 11)).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(g, quality=95))
+    assert back.shape == (9, 11, 3)
+
+
+def test_jpeg_sniff_and_malformed():
+    import pytest as _pytest
+
+    from stock_data_project_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _rng(32).integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    j = encode_jpeg(img, quality=90)
+    assert sniff_media(j) == "jpeg"
+    for bad in (
+        b"\xff\xd8\xff",            # header only
+        j[:30],                     # cut inside tables
+        j[:-20],                    # cut inside the entropy stream
+        j.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF2
+    ):
+        with _pytest.raises(ValueError):
+            decode_jpeg(bad)
+    # >2x2 sampling factors refused, not crashed
+    b2 = bytearray(j)
+    i = bytes(b2).find(b"\xff\xc0")
+    b2[i + 12] = 0x55  # Y component h=5, v=5
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(b2))
+
+
+def test_jpeg_through_spark_kernels(spark):
+    """A genuine JPEG payload is really decoded by the feature kernel
+    (dims/channels + stats within JPEG loss of the source) and really
+    resized by the resize kernel (output is a decodable JPEG of the
+    target dims)."""
+    import numpy as np
+
+    from stock_data_project_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from stock_data_project_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+    )
+
+    yy, xx = np.mgrid[0:12, 0:10]
+    img = np.stack(
+        [(xx * 9) % 256, (yy * 11) % 256, ((xx + yy) * 6) % 256], axis=-1
+    ).astype(np.uint8)
+    j = encode_jpeg(img, quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(j), ("image", len(j), 0))],
+        "doc_id long, payload binary, "
+        "meta struct<media_type:string, n_bytes:long, checksum:long>",
+    )
+    [feat] = extract_features(df).collect()
+    assert feat.features[:4] == [2.0, 12.0, 10.0, 3.0]
+    want_mean = float(img.astype(np.float64).mean()) / 255.0
+    assert abs(feat.features[4] - want_mean) < 0.02  # JPEG loss budget
+    [out] = resize_media(df, width=5, height=4).collect()
+    back = decode_jpeg(bytes(out.payload))
+    assert back.shape == (4, 5, 3)
