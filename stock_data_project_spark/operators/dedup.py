@@ -57,6 +57,46 @@ def word_shingles(text_col: str = "text", k: int = 3) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """DISTINCT (id, shingle) rows — bit-identical to
+    ``explode(array_distinct(word_shingles(text, k)))`` but built
+    with CODEGEN window leads instead of interpreted ``zip_with``:
+    posexplode the tokens, ``lead(w, i)`` × (k−1) over the per-doc
+    window, ``concat_ws`` (which skips the NULL leads past the doc
+    end — that is exactly the short-doc whole-text fallback).
+
+    Why: Spark evaluates array HOFs interpreted, per element, and the
+    k−1 zip_with passes each materialize a full concatenated-string
+    array — measured 66.6s vs 5.7s for the 8-gram novelty scan at the
+    30× smoke (11.8×, bit-identical output). The per-doc window is
+    the UNIFORM-key kind (millions of docs), so the sort stage
+    parallelizes; use the array form only where a per-doc ARRAY is
+    genuinely needed downstream (e.g. minhash's k=3 signatures, where
+    the interpreted cost is 3× smaller and the array feeds codegen
+    ``min`` aggregates directly)."""
+    tok = df.select(F.col(id_col), F.posexplode(words(text_col)).alias("pos", "w"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("w", i).over(win).alias(f"_l{i}") for i in range(1, k)]
+    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    return (
+        tok.withColumn("_n", n)
+        .select(
+            F.col(id_col),
+            "pos",
+            "_n",
+            F.concat_ws(" ", F.col("w"), *leads).alias("sh"),
+        )
+        .filter(
+            (F.col("pos") + (k - 1) < F.col("_n"))
+            | ((F.col("_n") < k) & (F.col("pos") == 0))
+        )
+        .select(id_col, "sh")
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -163,12 +163,13 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffles: shingle count groupBy + the count join + the per-doc
     agg — all on uniform hash keys (shingle text / doc_id); no
     all-pairs anywhere, cost linear in total shingle volume."""
-    from stock_data_project_spark.operators.dedup import word_shingles
+    from stock_data_project_spark.operators.dedup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", 8))).alias("sh")
-    )
+    # r8: shingles via window-lead CODEGEN (shingle_rows) — the
+    # interpreted zip_with construction measured 11.8× slower at the
+    # 30× smoke on the 8-gram novelty scan; bit-identical rows
+    sh = shingle_rows(docs, 8)
     counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = (F.col("n_docs") > 1).cast("bigint")
     return (
