@@ -87,6 +87,18 @@ HEADLINE = (
     "doc_compression_ratio",
     "ngram_novelty",
     "cumulative_distinct_users",
+    # late-r8 debut families: fully-oracled Wilder recurrences
+    # (decimal fold), triple distributed-ntile RFM, decimal Pareto
+    # concentration, brand association rules, exact median/MAD,
+    # vector-space sparse retrieval, per-dim embedding stats
+    "adx",
+    "trix",
+    "rfm_segmentation",
+    "pareto_revenue",
+    "basket_lift",
+    "mad_outliers",
+    "tfidf_retrieval",
+    "embedding_dim_stats",
 )
 
 

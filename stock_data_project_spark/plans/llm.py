@@ -621,3 +621,14 @@ from stock_data_project_spark.plans.llm_next5 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT5)
 ORACLE.update(ORACLE_NEXT5)
+
+# r8 build, r9 debut: tfidf_retrieval (vector-space sparse retrieval,
+# decimal-exact dot products) and embedding_dim_stats (per-dimension
+# corpus stats, the whitening precursor)
+from stock_data_project_spark.plans.llm_next6 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT6,
+    QUERIES_NEXT as QUERIES_NEXT6,
+)
+
+QUERIES.update(QUERIES_NEXT6)
+ORACLE.update(ORACLE_NEXT6)

@@ -1,0 +1,239 @@
+"""LLM-pipeline keys built in r8 for the r9 driver window.
+
+- ``tfidf_retrieval`` — sparse TF-IDF cosine retrieval, fully
+  oracled: query docs (every 100th doc_id) score against the corpus
+  through a postings join on the shared token, with three
+  determinism guards that keep a float pipeline hash-stable across
+  engines: (1) every tf·idf weight is rounded to 6dp and cast to
+  DECIMAL(18,6), (2) dot products and squared norms are DECIMAL
+  sums of per-pair rounded products (summation-order-free — the q9
+  rule), (3) ranking orders by the ROUNDED cosine with a doc_id
+  tiebreak. Stopword-class terms (df·20 ≥ N·19, i.e. in ≥95% of
+  docs) are dropped on both sides — the exact-integer form of the
+  standard postings-fanout bound, and it guarantees idf > 0 so
+  norms never vanish (no 0/0 cosine). The threshold is generous
+  because the synthetic corpus has a ~31-term vocabulary with
+  median df ≈ 78% of docs; a natural corpus would cap far lower.
+  Complements ``bm25_rank`` (probabilistic weighting) with the
+  classic vector-space model.
+
+- ``embedding_dim_stats`` — per-dimension corpus statistics of the
+  embedding column (the feature-whitening precursor): posexplode →
+  one groupBy on dim (64 uniform keys). Sums and sums-of-squares
+  aggregate in DECIMAL(18,6); mean/std come out of identical double
+  expressions over the exact sums, so the key is fully oracled
+  (DuckDB side zips parallel ``unnest(embedding)`` /
+  ``unnest(range(len(...)))``). At 100 TB this is one
+  map-side-combinable shuffle of 64 keys × partial aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.textops import words
+from stock_data_project_spark.plans.llm import _NORM
+
+_QUERY_MOD = 100  # doc_id % 100 == 0 -> query set
+_TOPK = 5
+# drop terms with df*20 >= N*19 (>= 95% of docs); also forces idf > 0
+_DF_CAP_NUM, _DF_CAP_DEN = 20, 19
+
+
+def _weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, word, w_d): 6dp-rounded tf·idf as DECIMAL(18,6),
+    stopword-class terms (df·5 ≥ N) dropped exactly."""
+    n_docs = docs.select(F.countDistinct("doc_id").alias("_n"))
+    tf = (
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * _DF_CAP_NUM < F.col("_n") * _DF_CAP_DEN)
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("w_d"),
+        )
+    )
+
+
+def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # three consumers (norms, query side, corpus side) hang off the
+    # tokenize+groupBy lineage — persist ONE materialization instead
+    # of recomputing the explode per branch (10.5s → ~4s at sf0.1).
+    # Hash exchanges are value-deterministic so recompute would be
+    # CORRECT (unlike the range-exchange rule), just 3× the scan.
+    # Cache ownership follows rank.py: a long-lived session sweeps
+    # via spark.catalog.clearCache().
+    w = _weights(docs).persist()
+    # squared norms: decimal sums of per-term rounded squares
+    wd = F.col("w_d").cast("double")
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.round(wd * wd, 6).cast("decimal(18,6)")).alias("nrm2_d")
+    )
+    qw = w.filter(F.col("doc_id") % _QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "word", F.col("w_d").alias("qw_d")
+    )
+    dots = (
+        # |Q| = docs/100 → query weights are a broadcast-able slice
+        w.join(F.broadcast(qw), "word")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("qw_d").cast("double") * F.col("w_d").cast("double"), 6
+                ).cast("decimal(18,6)")
+            ).alias("dot_d")
+        )
+    )
+    qn = norms.select(F.col("doc_id").alias("query_id"), F.col("nrm2_d").alias("qn2"))
+    cos = (
+        dots.join(norms, "doc_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("dot_d").cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("nrm2_d").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    rk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "rank", "doc_id", "cosine")
+    )
+
+
+_TFIDF_SQL = f"""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY doc_id, word
+    ), dfreq AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ), n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    w AS (
+        SELECT doc_id, tf.word,
+               CAST(round(tf * ln(CAST(n AS DOUBLE) / df), 6)
+                    AS DECIMAL(18,6)) AS w_d
+        FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n_docs
+        WHERE df * {_DF_CAP_NUM} < n * {_DF_CAP_DEN}
+    ), norms AS (
+        SELECT doc_id,
+               sum(CAST(round(CAST(w_d AS DOUBLE) * CAST(w_d AS DOUBLE), 6)
+                        AS DECIMAL(18,6))) AS nrm2_d
+        FROM w GROUP BY doc_id
+    ), dots AS (
+        SELECT q.doc_id AS query_id, d.doc_id,
+               sum(CAST(round(CAST(q.w_d AS DOUBLE) * CAST(d.w_d AS DOUBLE), 6)
+                        AS DECIMAL(18,6))) AS dot_d
+        FROM w q JOIN w d ON q.word = d.word AND d.doc_id <> q.doc_id
+        WHERE q.doc_id % {_QUERY_MOD} = 0
+        GROUP BY 1, 2
+    ), cos AS (
+        SELECT query_id, dots.doc_id,
+               round(CAST(dot_d AS DOUBLE)
+                     / (sqrt(CAST(qn.nrm2_d AS DOUBLE))
+                        * sqrt(CAST(dn.nrm2_d AS DOUBLE))), 6) AS cosine
+        FROM dots
+        JOIN norms dn ON dn.doc_id = dots.doc_id
+        JOIN norms qn ON qn.doc_id = dots.query_id
+    )
+    SELECT query_id, rank, doc_id, cosine
+    FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, doc_id ASC)
+                       AS INT) AS rank
+        FROM cos
+    )
+    WHERE rank <= {_TOPK}
+"""
+
+
+# ------------------------------------------------------ embedding_dim_stats
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(F.posexplode("embedding").alias("dim", "_v")).select(
+        F.col("dim").cast("int").alias("dim"), F.col("_v").cast("double").alias("v")
+    )
+    agg = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,6)")).alias("s_d"),
+        F.sum(F.round(F.col("v") * F.col("v"), 6).cast("decimal(18,6)")).alias(
+            "ss_d"
+        ),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s_d").cast("double")
+    ss = F.col("ss_d").cast("double")
+    var = (ss - s * s / n) / (n - 1)
+    return agg.select(
+        "dim",
+        "n",
+        F.round(s / n, 6).alias("mean_v"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_v"),
+        "min_v",
+        "max_v",
+    )
+
+
+_DIM_STATS_SQL = """
+    WITH vals AS (
+        SELECT CAST(unnest(range(len(embedding))) AS INT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), agg AS (
+        SELECT dim, count(*) AS n,
+               sum(CAST(v AS DECIMAL(18,6))) AS s_d,
+               sum(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS ss_d,
+               round(min(v), 6) AS min_v,
+               round(max(v), 6) AS max_v
+        FROM vals GROUP BY dim
+    )
+    SELECT dim, n,
+           round(CAST(s_d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v,
+           round(sqrt(greatest((CAST(ss_d AS DOUBLE)
+                                - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                               / (CAST(n AS DOUBLE) - 1), 0.0)), 6) AS std_v,
+           min_v, max_v
+    FROM agg
+"""
+
+
+QUERIES_NEXT = {
+    "tfidf_retrieval": q_tfidf_retrieval,
+    "embedding_dim_stats": q_embedding_dim_stats,
+}
+
+ORACLE_NEXT = {
+    "tfidf_retrieval": _TFIDF_SQL,
+    "embedding_dim_stats": _DIM_STATS_SQL,
+}

@@ -1132,3 +1132,15 @@ from stock_data_project_spark.plans.olap_next6 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT6)
 ORACLE.update(ORACLE_NEXT6)
+
+# r8 build, r9 debut: rfm_segmentation (3× distributed exact ntile),
+# pareto_revenue (decimal cumulative concentration), basket_lift
+# (brand association rules), mad_outliers (exact median/MAD via
+# rank-the-middle — no engine quantile interpolation)
+from stock_data_project_spark.plans.olap_next7 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT7,
+    QUERIES_NEXT as QUERIES_NEXT7,
+)
+
+QUERIES.update(QUERIES_NEXT7)
+ORACLE.update(ORACLE_NEXT7)

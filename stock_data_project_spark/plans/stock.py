@@ -779,3 +779,14 @@ from stock_data_project_spark.plans.stock_next4 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT4)
 ORACLE.update(ORACLE_NEXT4)
+
+# r8 build, r9 debut: trix / adx — the Wilder/EMA recurrence family
+# made FULLY ORACLED via the exact-decimal fold (sql_decayed_revenue
+# recipe with exact one-digit smoothing constants)
+from stock_data_project_spark.plans.stock_next5 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT5,
+    QUERIES_NEXT as QUERIES_NEXT5,
+)
+
+QUERIES.update(QUERIES_NEXT5)
+ORACLE.update(ORACLE_NEXT5)
