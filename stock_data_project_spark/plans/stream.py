@@ -158,3 +158,15 @@ from stock_data_project_spark.plans.stream_next5 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT5)
 ORACLE.update(ORACLE_NEXT5)
+
+# r8 build (late batch), r9 debut: stream_sliding_avg (hopping-window
+# agg with decimal state + exact-integer HALF_UP average) and
+# stream_funnel_state (applyInPandasWithState stage machine whose
+# strict-> advance rule equals the SQL min-ts chain — fully oracled)
+from stock_data_project_spark.plans.stream_next6 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT6,
+    QUERIES_NEXT as QUERIES_NEXT6,
+)
+
+QUERIES.update(QUERIES_NEXT6)
+ORACLE.update(ORACLE_NEXT6)

@@ -9,7 +9,12 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from stock_data_project_spark.plans import llm_next6, olap_next7, stock_next5
+from stock_data_project_spark.plans import (
+    llm_next6,
+    olap_next7,
+    stock_next5,
+    stream_next6,
+)
 from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle_utils import assert_gradable_schema, compare, duckdb_run
 
@@ -17,11 +22,13 @@ ALL_Q = {
     **stock_next5.QUERIES_NEXT,
     **olap_next7.QUERIES_NEXT,
     **llm_next6.QUERIES_NEXT,
+    **stream_next6.QUERIES_NEXT,
 }
 ALL_O = {
     **stock_next5.ORACLE_NEXT,
     **olap_next7.ORACLE_NEXT,
     **llm_next6.ORACLE_NEXT,
+    **stream_next6.ORACLE_NEXT,
 }
 
 
@@ -186,6 +193,77 @@ def test_tfidf_retrieval_ranking_shape(spark):
         by_rank = grp.sort_values("rank")["cosine"].to_numpy()
         assert (np.diff(by_rank) <= 1e-12).all()  # non-increasing
     assert pdf["cosine"].between(-1.000001, 1.000001).all()
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_sliding_windows_cover_each_event_four_times(spark):
+    """size/hop = 4: every event lands in exactly 4 windows, so the
+    emitted n_events sum equals 4× the on-time event count (events
+    whose LAST covering window survives the final-watermark cut
+    contribute 4; partially-cut events contribute their surviving
+    window count — checked against the oracle expansion)."""
+    pdf = stream_next6.stream_sliding_avg(spark, SF_ORACLE).toPandas()
+    expanded = duckdb_run(
+        f"""
+        WITH fw AS (SELECT max(ts) - INTERVAL 47 MINUTE AS final_wm FROM events)
+        SELECT count(*) AS n FROM events, fw,
+               (SELECT unnest([0,1,2,3]) AS k) k
+        WHERE make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                             - CAST(k.k AS BIGINT) * 1800000000)
+              + INTERVAL 2 HOUR <= final_wm
+        """,
+        SF_ORACLE,
+    )["n"][0]
+    assert pdf["n_events"].sum() == expanded
+    # hop alignment: every start sits on a 30-minute boundary
+    assert (pdf["window_start"].dt.minute % 30 == 0).all()
+    assert (pdf["window_start"].dt.second == 0).all()
+
+
+def test_funnel_stage_machine_on_crafted_user(spark):
+    """Pin the strict-> advance semantics on a crafted sequence:
+    click before any view is ignored; a purchase at the SAME ts as
+    the qualifying click does not advance (needs ts > anchor)."""
+    import pandas as pd
+
+    rows = [
+        # user 1: click@1 (ignored), view@2, click@3, purchase@3
+        # (purchase ts == click anchor -> NOT stage 3), purchase@4 -> 3
+        (1, pd.Timestamp("2024-01-01 00:00:01"), "click", 10),
+        (1, pd.Timestamp("2024-01-01 00:00:02"), "view", 11),
+        (1, pd.Timestamp("2024-01-01 00:00:03"), "click", 12),
+        (1, pd.Timestamp("2024-01-01 00:00:03"), "purchase", 13),
+        (1, pd.Timestamp("2024-01-01 00:00:04"), "purchase", 14),
+        # user 2: purchase-only -> stage 0, NULL ts
+        (2, pd.Timestamp("2024-01-01 00:00:05"), "purchase", 15),
+    ]
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("ev", pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "event_id"]))
+    got = con.sql(
+        stream_next6.ORACLE_NEXT["stream_funnel_state"].replace("events", "ev")
+    ).df()
+    got = got.set_index("user_id")
+    assert got.loc[1, "funnel_stage"] == 3
+    assert got.loc[1, "stage_ts"] == pd.Timestamp("2024-01-01 00:00:04")
+    assert got.loc[2, "funnel_stage"] == 0
+    assert pd.isna(got.loc[2, "stage_ts"])
+
+
+def test_funnel_stage_counts_monotone(spark):
+    pdf = stream_next6.stream_funnel_state(spark, SF_ORACLE).toPandas()
+    # stage_ts present exactly for stage >= 1
+    assert (pdf["stage_ts"].notna() == (pdf["funnel_stage"] >= 1)).all()
+    # reaching stage k+1 is rarer than stage k (weakly)
+    counts = pdf["funnel_stage"].value_counts()
+    reached = [
+        (pdf["funnel_stage"] >= k).sum() for k in (1, 2, 3)
+    ]
+    assert reached[0] >= reached[1] >= reached[2]
+    assert counts.sum() == len(pdf)
 
 
 def test_embedding_dim_stats_matches_numpy(spark):
