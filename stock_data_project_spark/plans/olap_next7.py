@@ -61,16 +61,24 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ref))
         .withColumn("recency_days", F.datediff("_ref", "_last").cast("int"))
         .drop("_ref", "_last")
+        # three ntile consumers hang off this frame — one
+        # materialization, not three recomputes of the orders groupBy
+        .persist()
     )
-    scored = distributed_ntile(
-        rfm, 5, [F.asc("recency_days"), F.asc("custkey")], out_col="r_score"
-    )
-    scored = distributed_ntile(
-        scored, 5, [F.desc("frequency"), F.asc("custkey")], out_col="f_score"
-    )
-    scored = distributed_ntile(
-        scored, 5, [F.desc("_monetary_d"), F.asc("custkey")], out_col="m_score"
-    )
+    # three INDEPENDENT ntiles joined back on custkey — CHAINING the
+    # calls wraps each plan around the previous one ~4× per call
+    # (the dedup_clusters plan-growth class: 84 range exchanges in
+    # the chained physical plan vs ~6 here, measured by
+    # tools/plan_audit.py); independent scores also run in parallel
+    def score(metric_col, order_cols, out_col):
+        return distributed_ntile(
+            rfm.select("custkey", metric_col), 5, order_cols, out_col=out_col
+        ).select("custkey", out_col)
+
+    r = score("recency_days", [F.asc("recency_days"), F.asc("custkey")], "r_score")
+    f_ = score("frequency", [F.desc("frequency"), F.asc("custkey")], "f_score")
+    m_ = score("_monetary_d", [F.desc("_monetary_d"), F.asc("custkey")], "m_score")
+    scored = rfm.join(r, "custkey").join(f_, "custkey").join(m_, "custkey")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(
@@ -190,6 +198,9 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), "l_partkey")
         .select("l_orderkey", "p_brand")
         .distinct()
+        # four consumers (n_orders, supports, both pair sides) — one
+        # materialization of the lineitem⋈part distinct
+        .persist()
     )
     n_orders = ob.agg(F.countDistinct("l_orderkey").alias("_n"))
     supp = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("supp"))

@@ -126,6 +126,16 @@ def main() -> None:
         # bm25_rank binds the 1-row (N, avgdl) corpus-stats aggregate
         # — the same constant-cost scalar-bind class
         "bm25_rank",
+        # rfm_segmentation runs distributed_ntile 3× — each carries
+        # the ntile_deciles triangular-offsets BNL (metadata-sized,
+        # test_rank pins it) plus the 1-row ref-date scalar bind
+        "rfm_segmentation",
+        # basket_lift binds the 1-row basket-count scalar; pair and
+        # support joins are hash/broadcast
+        "basket_lift",
+        # tfidf_retrieval binds the 1-row corpus-size scalar inside
+        # the idf weight build (the tfidf_top_terms class)
+        "tfidf_retrieval",
     }
     flagged = [
         k
