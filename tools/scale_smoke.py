@@ -94,6 +94,21 @@ QUERIES = (
     "doc_compression_ratio",
     "ngram_novelty",
     "cumulative_distinct_users",
+    # late-r8 families: decimal-fold Wilder recurrences (state over
+    # a longer replicated calendar), triple distributed ntile,
+    # decimal Pareto cumsum, brand association rules, exact
+    # median/MAD selection, sparse TF-IDF retrieval (the ≥95%-df
+    # postings cap is what the replicated corpus stresses), per-dim
+    # embedding stats. stream_sliding_avg/stream_funnel_state stay
+    # excluded like the other streaming-driven harness keys.
+    "adx",
+    "trix",
+    "rfm_segmentation",
+    "pareto_revenue",
+    "basket_lift",
+    "mad_outliers",
+    "tfidf_retrieval",
+    "embedding_dim_stats",
 )
 
 
