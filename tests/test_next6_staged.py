@@ -195,6 +195,32 @@ def test_tfidf_retrieval_ranking_shape(spark):
     assert pdf["cosine"].between(-1.000001, 1.000001).all()
 
 
+def test_integer_halfup_average_identity():
+    """floor((2p + q) / 2q) in integer 1e-6 units == HALF_UP decimal
+    division — the identity stream_sliding_avg relies on to keep
+    round(sum/n, 6) engine-independent (hypothesis over sums/counts,
+    including the power-of-two counts that land exactly on ties)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, strategies as st
+
+    @given(
+        units=st.integers(min_value=0, max_value=10**15),
+        q=st.one_of(
+            st.integers(min_value=1, max_value=10**6),
+            st.sampled_from([1, 2, 4, 8, 16, 32, 64, 128]),
+        ),
+    )
+    def check(units: int, q: int):
+        got = (2 * units + q) // (2 * q)  # avg in 1e-6 units
+        want = (Decimal(units) / Decimal(q)).quantize(
+            Decimal(1), ROUND_HALF_UP
+        )
+        assert got == int(want), (units, q)
+
+    check()
+
+
 # ------------------------------------------------------------- streaming
 
 
