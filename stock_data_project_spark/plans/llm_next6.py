@@ -36,7 +36,8 @@ from stock_data_project_spark.catalog import load_table
 from stock_data_project_spark.operators.textops import words
 from stock_data_project_spark.plans.llm import _NORM
 
-_QUERY_MOD = 100  # doc_id % 100 == 0 -> query set
+_QUERY_MOD = 100  # doc_id % 100 == 0 -> query candidates
+_QUERY_PANEL = 20  # fixed |Q|: the 20 smallest candidates
 _TOPK = 5
 # drop terms with df*20 >= N*19 (>= 95% of docs); also forces idf > 0
 _DF_CAP_NUM, _DF_CAP_DEN = 20, 19
@@ -84,7 +85,18 @@ def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = w.groupBy("doc_id").agg(
         F.sum(F.round(wd * wd, 6).cast("decimal(18,6)")).alias("nrm2_d")
     )
-    qw = w.filter(F.col("doc_id") % _QUERY_MOD == 0).select(
+    # FIXED query panel: the 20 smallest candidate doc_ids
+    # (orderBy+limit = TakeOrdered, metadata-sized at any corpus
+    # size). A panel that SCALES with the corpus (doc_id % 100 == 0
+    # alone) makes the postings join |corpus|²/100 on a shared-vocab
+    # corpus — measured 1179s at the 30× smoke vs |Q|-bounded here.
+    qids = (
+        docs.filter(F.col("doc_id") % _QUERY_MOD == 0)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(_QUERY_PANEL)
+    )
+    qw = w.join(F.broadcast(qids), "doc_id").select(
         F.col("doc_id").alias("query_id"), "word", F.col("w_d").alias("qw_d")
     )
     dots = (
@@ -146,12 +158,16 @@ _TFIDF_SQL = f"""
                sum(CAST(round(CAST(w_d AS DOUBLE) * CAST(w_d AS DOUBLE), 6)
                         AS DECIMAL(18,6))) AS nrm2_d
         FROM w GROUP BY doc_id
+    ), qids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % {_QUERY_MOD} = 0
+        ORDER BY doc_id LIMIT {_QUERY_PANEL}
     ), dots AS (
         SELECT q.doc_id AS query_id, d.doc_id,
                sum(CAST(round(CAST(q.w_d AS DOUBLE) * CAST(d.w_d AS DOUBLE), 6)
                         AS DECIMAL(18,6))) AS dot_d
         FROM w q JOIN w d ON q.word = d.word AND d.doc_id <> q.doc_id
-        WHERE q.doc_id % {_QUERY_MOD} = 0
+        WHERE q.doc_id IN (SELECT doc_id FROM qids)
         GROUP BY 1, 2
     ), cos AS (
         SELECT query_id, dots.doc_id,
