@@ -194,6 +194,16 @@ _TFIDF_SQL = f"""
 
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # explode-aware fan-out: a packed float-array column is ~64×
+    # smaller on disk than its exploded row count, so
+    # maxPartitionBytes under-splits the scan (a 60×-replicated
+    # corpus arrived as ONE 30 MB split → the 7.7M-row explode ran
+    # single-threaded, 17s; fanned out it's ~2s). Repartition only
+    # when the scan is narrower than the cluster — at real volumes
+    # the scan already splits and the shuffle would be pure cost.
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
     vals = emb.select(F.posexplode("embedding").alias("dim", "_v")).select(
         F.col("dim").cast("int").alias("dim"), F.col("_v").cast("double").alias("v")
     )
