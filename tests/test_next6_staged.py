@@ -95,6 +95,51 @@ def test_adx_bounds_and_dx_identity(spark):
     assert np.allclose(out["dx"].to_numpy(dtype=float), expect, atol=1e-6)
 
 
+def test_adx_trix_flat_series_zero_paths(spark, tmp_path):
+    """A CONSTANT price series drives every division in adx through
+    its zero-denominator path (s_tr = 0 → DI 0/0, DX 0/0) — a branch
+    random testdata never exercises. Expect all-zero indicators, no
+    ANSI error, and Spark/DuckDB agreement on the crafted input."""
+    import duckdb
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for day in range(1, 8):
+        for et in ("flat_a", "flat_b"):
+            for hh in (9, 15):
+                eid += 1
+                rows.append(
+                    (eid, pd.Timestamp(f"2024-02-{day:02d} {hh:02d}:00:00"), 7, et, 42.5, "{}")
+                )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/events.parquet")
+
+    out = stock_next5.q_adx(spark, sf).toPandas()
+    assert len(out) == 14  # 2 series × 7 days
+    for c in ("pdi", "mdi", "dx", "adx"):
+        assert (out[c] == 0.0).all(), c
+    trix = stock_next5.q_trix(spark, sf).toPandas()
+    got = trix["trix"].dropna()
+    assert (got == 0.0).all()
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')")
+    for key, sdf in (("adx", out), ("trix", trix)):
+        odf = con.sql(stock_next5.ORACLE_NEXT[key]).df()
+        assert len(odf) == len(sdf)
+        num = [c for c in odf.columns if c not in ("series_key", "date")]
+        s = sdf.sort_values(["series_key", "date"]).reset_index(drop=True)
+        o = odf.sort_values(["series_key", "date"]).reset_index(drop=True)
+        for c in num:
+            pd.testing.assert_series_equal(
+                s[c].astype(float), o[c].astype(float), check_names=False
+            )
+
+
 def test_decimal_fold_keys_run_with_arrow_disabled(spark):
     """applyInPandas always ships via Arrow, but the GRADING session
     sets arrow.pyspark.enabled=false — pin that trix/adx (and their
