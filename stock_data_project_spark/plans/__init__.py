@@ -26,78 +26,86 @@ from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 # set is reviewable as one diff. Keys beyond the list follow in module
 # order. New keys MUST debut inside the list in their round.
 #
-# r8 window (50), per the SURVEY §5 commitment made in r7: the six
-# r7-built debuts first (llm_next4 semantic_dedup, olap_next5
-# conversion_lag/funnel_attribution/skew_report/bloom_join_prune,
-# stream_next4 stream_late_data — all oracled, parity-proven by
-# tests/test_next4_staged.py + the r7 sf0.1 sweep), then the three
-# named r7 deferrals, then re-grades oldest-evidence-first: the r4
-# stream rows not yet re-graded, the r5 cohort (llm_next, stock_next,
-# olap_next2, stream_ohlc_bars/stream_topk), and the first 13 of the
-# stock family's r5 rows in module order.
-# Named r9 deferrals (r5 stock rows that overflow the 50):
-# daily_return, log_return, rolling_volatility, filter_range,
-# annual_join, ohlc_daily, sma_cross, cumulative_return, drawdown,
-# bollinger, rsi, incremental_watermark.
+# r9 window (50), per the SURVEY §5 commitment made in r8: the
+# twenty-three r8-built debuts first (olap_next6, llm_next5,
+# stock_next4, stream_next5, plus the late-r8 batch stock_next5 /
+# olap_next7 / llm_next6 / stream_next6 — all oracled except the
+# annotated doc_compression_ratio, parity-proven by
+# tests/test_next5_staged.py + test_next6_staged.py and the r8 sf0.1
+# sweep), then the twelve named r8 deferrals (r5-evidence stock rows),
+# then re-grades oldest-evidence-first from the r6 cohort: olap_next3
+# scd2_dim..quantile_rollup, stock_next2 mfi/ulcer_index/linear_interp,
+# llm_next2 frequent_tokens/contamination_flags/bigram_logprob.
+# Named r10 deferrals (r6-evidence keys that overflow the 50):
+# llm_next2 capped_counts, split_counts, bpe_token_count, pack_stats,
+# remix_counts; stream_anomaly, stream_scd2, scd2_late_gate;
+# sql_decayed_revenue; dim_country, macd; olap tpch_q12/q13/q17 +
+# approx_stats; then llm's r6 rows (tfidf_top_terms..doc_winnow,
+# gopher_quality, ngram_repetition, embedding_dedup(_ivf),
+# media_pipeline, dedup_* / ann_* / lang_id / text_quality ...).
 _GRADE_ORDER = [
-    # debuts (built r7)
-    "semantic_dedup",
-    "conversion_lag",
-    "funnel_attribution",
-    "skew_report",
-    "bloom_join_prune",
-    "stream_late_data",
-    # named r7 deferrals (pass r4; driver-smoke-checked each round)
-    "sql_above_avg_orders",
-    "stream_window_counts",
-    "stream_sessionize",
-    # re-grades: r4 stream rows not yet re-graded (module order)
-    "stream_running_stats",
-    "stream_dedup",
-    "stream_enrich",
-    "stream_interval_join",
-    "stream_ingest_dedup",
-    # re-grades: llm_next r5 cohort (module order)
-    "pii_scrub",
-    "line_dedup",
-    "dedup_clusters",
-    "unigram_logprob",
-    "near_dup_removal",
-    "ann_pq",
-    "ann_ivfpq",
-    "dup_span_coverage",
-    # re-grades: stock_next r5 cohort (module order)
-    "atr",
-    "stochastic",
-    "obv",
-    "donchian",
-    "zscore_anomaly",
-    "pivot_points",
-    "vwap",
-    # re-grades: olap_next2 r5 cohort (module order)
-    "grouping_sets_sales",
-    "revenue_share",
-    "monthly_running_revenue",
-    "range_join_clicks",
-    "props_variant",
-    "hll_rollup",
-    # re-grades: stream r5 rows
-    "stream_ohlc_bars",
-    "stream_topk",
-    # re-grades: stock family r5 rows, module order (first 13)
-    "top_movers",
-    "hourly_profile",
-    "weekly_bars",
-    "return_correlation",
-    "rolling_correlation",
-    "gap_fill",
-    "range_window_avg",
-    "market_beta",
-    "wilder_rsi",
-    "adj_close_returns",
-    "dim_date",
-    "dim_entity",
-    "fact_build",
+    # debuts (built r8): olap_next6
+    "skew_salted_revenue",
+    "order_gap_stats",
+    "cumulative_distinct_users",
+    # debuts: llm_next5
+    "token_entropy",
+    "ann_range_search",
+    "quality_percentile_gate",
+    "bm25_rank",
+    "doc_compression_ratio",
+    "ngram_novelty",
+    # debuts: stock_next4
+    "aroon",
+    "cmf",
+    "keltner",
+    # debuts: stream_next5
+    "stream_distinct_users",
+    # debuts (late r8): stock_next5
+    "trix",
+    "adx",
+    # debuts: olap_next7
+    "rfm_segmentation",
+    "pareto_revenue",
+    "basket_lift",
+    "mad_outliers",
+    # debuts: llm_next6
+    "tfidf_retrieval",
+    "embedding_dim_stats",
+    # debuts: stream_next6
+    "stream_sliding_avg",
+    "stream_funnel_state",
+    # named r8 deferrals (pass r5; driver-smoke-checked each round)
+    "daily_return",
+    "log_return",
+    "rolling_volatility",
+    "filter_range",
+    "annual_join",
+    "ohlc_daily",
+    "sma_cross",
+    "cumulative_return",
+    "drawdown",
+    "bollinger",
+    "rsi",
+    "incremental_watermark",
+    # re-grades: olap_next3 r6 cohort (module order)
+    "scd2_dim",
+    "scd2_asof",
+    "session_concurrency",
+    "data_quality_audit",
+    "expectation_gate",
+    "user_influence",
+    "snapshot_delta",
+    "salted_join_revenue",
+    "quantile_rollup",
+    # re-grades: stock_next2 r6 cohort
+    "mfi",
+    "ulcer_index",
+    "linear_interp",
+    # re-grades: llm_next2 r6 cohort (first 3)
+    "frequent_tokens",
+    "contamination_flags",
+    "bigram_logprob",
 ]
 
 _MODULES = (stock, llm, olap, sql_api, stream)
