@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 from stock_data_project_spark.operators.textops import words
 from stock_data_project_spark.plans.llm import _NORM
 
@@ -45,7 +46,8 @@ _DF_CAP_NUM, _DF_CAP_DEN = 20, 19
 
 def _weights(docs: DataFrame) -> DataFrame:
     """(doc_id, word, w_d): 6dp-rounded tf·idf as DECIMAL(18,6),
-    stopword-class terms (df·5 ≥ N) dropped exactly."""
+    stopword-class terms (df·20 ≥ N·19, i.e. in ≥95% of docs)
+    dropped exactly."""
     n_docs = docs.select(F.countDistinct("doc_id").alias("_n"))
     tf = (
         docs.select("doc_id", F.explode(words("text")).alias("word"))
@@ -220,10 +222,15 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.col("s_d").cast("double")
     ss = F.col("ss_d").cast("double")
     var = (ss - s * s / n) / (n - 1)
+    # mean = round(exact 6dp sum / count, 6): the corpus row count can
+    # plausibly be a power of two — exact-integer HALF_UP on both
+    # engines (operators/rounding; sign-safe, embedding sums can be
+    # negative). std_v keeps double math: sqrt output is irrational
+    # off a measure-zero set, not the decimal-tie class.
     return agg.select(
         "dim",
         "n",
-        F.round(s / n, 6).alias("mean_v"),
+        exact_avg6_expr("CAST(s_d * 1000000 AS BIGINT)", "n").alias("mean_v"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_v"),
         "min_v",
         "max_v",
@@ -244,14 +251,16 @@ _DIM_STATS_SQL = """
         FROM vals GROUP BY dim
     )
     SELECT dim, n,
-           round(CAST(s_d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v,
+           {mean_v} AS mean_v,
            round(sqrt(greatest((CAST(ss_d AS DOUBLE)
                                 - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)
                                   / CAST(n AS DOUBLE))
                                / (CAST(n AS DOUBLE) - 1), 0.0)), 6) AS std_v,
            min_v, max_v
     FROM agg
-"""
+""".format(
+    mean_v=exact_avg6_sql("CAST(s_d * 1000000 AS BIGINT)", "n")
+)
 
 
 QUERIES_NEXT = {

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 
 # ------------------------------------------------------- rfm_segmentation
 
@@ -79,11 +80,25 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_ = score("frequency", [F.desc("frequency"), F.asc("custkey")], "f_score")
     m_ = score("_monetary_d", [F.desc("_monetary_d"), F.asc("custkey")], "m_score")
     scored = rfm.join(r, "custkey").join(f_, "custkey").join(m_, "custkey")
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.round(
-            F.sum("_monetary_d").cast("double") / F.count(F.lit(1)), 6
-        ).alias("avg_monetary"),
+    # avg of a 6dp decimal sum over a count: exact-integer HALF_UP
+    # (operators/rounding — the stream_sliding_avg tie class; a
+    # power-of-two segment size puts round(sum/n, 6) exactly on the
+    # 5e-7 tie where the engines disagree). Bounds: segment revenue
+    # ≤ ~2e10 → 2·units ≤ 4e16, well inside BIGINT.
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_monetary_d").alias("_sum_d"),
+        )
+        .withColumn("_units", (F.col("_sum_d") * 1000000).cast("long"))
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            exact_avg6_expr("_units", "n_customers").alias("avg_monetary"),
+        )
     )
 
 
@@ -108,9 +123,13 @@ _RFM_SQL = """
     )
     SELECT r_score, f_score, m_score,
            count(*) AS n_customers,
-           round(CAST(sum(monetary_d) AS DOUBLE) / count(*), 6) AS avg_monetary
+           {avg_monetary} AS avg_monetary
     FROM scored GROUP BY 1, 2, 3
-"""
+""".format(
+    avg_monetary=exact_avg6_sql(
+        "CAST(sum(monetary_d) * 1000000 AS BIGINT)", "count(*)"
+    )
+)
 
 
 # --------------------------------------------------------- pareto_revenue
@@ -219,18 +238,20 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "brand_b")
         .crossJoin(F.broadcast(n_orders))
     )
-    pc = F.col("pair_count").cast("double")
+    # ratios of BIGINT counts rounded via exact-integer HALF_UP
+    # (operators/rounding): support/conf denominators can plausibly be
+    # powers of two, the round(p/q, 6) engine-tie class. Bounds at
+    # graded SFs: lift numerator pc·n ≤ ~2.3e10 → 2·units ≤ 4.5e16
+    # inside BIGINT; a 100 TB run would move lift units to
+    # DECIMAL(38,0) (support/conf stay BIGINT at any scale since
+    # pc ≤ q there).
     return out.select(
         "brand_a",
         "brand_b",
         "pair_count",
-        F.round(pc / F.col("_n").cast("double"), 6).alias("support"),
-        F.round(pc / F.col("_sa").cast("double"), 6).alias("conf_a_to_b"),
-        F.round(
-            (pc * F.col("_n").cast("double"))
-            / (F.col("_sa").cast("double") * F.col("_sb").cast("double")),
-            6,
-        ).alias("lift"),
+        exact_avg6_expr("pair_count * 1000000", "_n").alias("support"),
+        exact_avg6_expr("pair_count * 1000000", "_sa").alias("conf_a_to_b"),
+        exact_avg6_expr("pair_count * _n * 1000000", "_sa * _sb").alias("lift"),
     )
 
 
@@ -250,18 +271,18 @@ _BASKET_SQL = """
         GROUP BY 1, 2
     )
     SELECT brand_a, brand_b, pair_count,
-           round(CAST(pair_count AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
-               AS support,
-           round(CAST(pair_count AS DOUBLE) / CAST(sa.supp AS DOUBLE), 6)
-               AS conf_a_to_b,
-           round((CAST(pair_count AS DOUBLE) * CAST(n_orders AS DOUBLE))
-                 / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE)), 6)
-               AS lift
+           {support} AS support,
+           {conf} AS conf_a_to_b,
+           {lift} AS lift
     FROM pairs
     JOIN supp sa ON sa.p_brand = brand_a
     JOIN supp sb ON sb.p_brand = brand_b
     CROSS JOIN n
-"""
+""".format(
+    support=exact_avg6_sql("pair_count * 1000000", "n_orders"),
+    conf=exact_avg6_sql("pair_count * 1000000", "sa.supp"),
+    lift=exact_avg6_sql("pair_count * n_orders * 1000000", "sa.supp * sb.supp"),
+)
 
 
 # ------------------------------------------------------------ mad_outliers
@@ -297,22 +318,29 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = ev.join(med, keys).withColumn("_dev", F.abs(F.col("value") - F.col("med")))
     mad = _exact_median(dev, keys, "_dev", "event_id", "mad")
     flagged = dev.join(mad, keys)
-    return flagged.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.max("med"), 6).alias("median_value"),
-        F.round(F.max("mad"), 6).alias("mad"),
-        F.sum(
-            F.when(F.col("_dev") > 3.0 * F.col("mad"), F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_outliers"),
-        F.round(
+    # outlier_rate = round(n_outliers/n_rows, 6) via exact-integer
+    # HALF_UP (operators/rounding): a power-of-two group size is the
+    # engine-tie class. Bounds: n_outliers·1e6 ≤ ~6e11 at sf0.1.
+    return (
+        flagged.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
             F.sum(
                 F.when(F.col("_dev") > 3.0 * F.col("mad"), F.lit(1)).otherwise(
                     F.lit(0)
                 )
-            ).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("outlier_rate"),
+            ).alias("n_outliers"),
+        )
+        .select(
+            *keys,
+            "n_rows",
+            "median_value",
+            "mad",
+            "n_outliers",
+            exact_avg6_expr("n_outliers * 1000000", "n_rows").alias("outlier_rate"),
+        )
     )
 
 
@@ -353,11 +381,16 @@ _MAD_SQL = """
            round(max(mad), 6) AS mad,
            CAST(sum(CASE WHEN dv > 3.0 * mad.mad THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outliers,
-           round(CAST(sum(CASE WHEN dv > 3.0 * mad.mad THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS outlier_rate
+           {rate} AS outlier_rate
     FROM dev JOIN mad USING (event_type, week)
     GROUP BY 1, 2
-"""
+""".format(
+    rate=exact_avg6_sql(
+        "CAST(sum(CASE WHEN dv > 3.0 * mad.mad THEN 1 ELSE 0 END)"
+        " AS BIGINT) * 1000000",
+        "count(*)",
+    )
+)
 
 
 QUERIES_NEXT = {

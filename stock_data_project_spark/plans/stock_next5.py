@@ -91,7 +91,11 @@ def q_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ROC subtracts through zero: a ~−1e-9 move rounds to −0.0 in
         # DuckDB (std-round keeps the sign) but +0.0 via Spark's
         # BigDecimal — normalize AFTER the round on both sides.
-        (F.round(100.0 * (e3d - prev) / prev, 6) + 0.0).alias("trix"),
+        # try_divide: if a smoothed e3 ever hits 0 (all-zero-close
+        # prefix), Spark double 0/0 is NaN while DuckDB /0 is NULL —
+        # NULL on both sides, matching the adx DI/DX layer (oracle
+        # divides by nullif(prev, 0)).
+        (F.round(F.try_divide(100.0 * (e3d - prev), prev), 6) + 0.0).alias("trix"),
     )
 
 
@@ -121,7 +125,7 @@ _TRIX_SQL = f"""
     )
     SELECT series_key, date,
            round(100.0 * (CAST(e3 AS DOUBLE) - lag(CAST(e3 AS DOUBLE)) OVER w)
-                 / lag(CAST(e3 AS DOUBLE)) OVER w, 6) + 0.0 AS trix
+                 / nullif(lag(CAST(e3 AS DOUBLE)) OVER w, 0), 6) + 0.0 AS trix
     FROM rec
     WINDOW w AS (PARTITION BY series_key ORDER BY rn)
 """

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 
 _DROPS = 4
 _SLIDE_DELAY = "47 minutes"
@@ -122,19 +123,25 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal sum divided by a count lands exactly on the 5e-7 tie
     # whenever the count is a power of two (measured: 3 of 549
     # windows at sf0.01), where Spark's BigDecimal round and DuckDB's
-    # double round disagree. HALF_UP of p/q for p,q > 0 is
-    # floor((2p + q) / (2q)) — both engines evaluate it in BIGINT
-    # (values are non-negative; sums ≤ 1e9 so 2p fits with room).
+    # double round disagree. operators/rounding.exact_avg6_expr is
+    # the SIGN-SAFE form (negates before the integral divide, so
+    # Spark's truncating `div` == DuckDB's flooring `//`): events.value
+    # happens to be non-negative in current testdata but that is not a
+    # pinned invariant (r8 ADVICE). Bounds: sums ≤ 1e9 → 2·units fits.
     withu = out.withColumn("_units", (F.col("_sum_d") * 1000000).cast("long"))
-    avg_units = F.expr("(2 * _units + _nv) div (2 * _nv)")
     return withu.select(
         "window_start",
         "n_events",
-        F.when(
-            F.col("_nv") > 0, avg_units.cast("double") / F.lit(1000000.0)
-        ).alias("avg_value"),
+        F.when(F.col("_nv") > 0, exact_avg6_expr("_units", "_nv")).alias(
+            "avg_value"
+        ),
     )
 
+
+_SLIDE_AVG_EXPR = exact_avg6_sql(
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)",
+    "count(value)",
+)
 
 _SLIDING_SQL = f"""
     WITH fw AS (
@@ -148,9 +155,7 @@ _SLIDING_SQL = f"""
     SELECT window_start,
            count(*) AS n_events,
            CASE WHEN count(value) > 0 THEN
-               CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
-                              AS BIGINT) + count(value))
-                    // (2 * count(value)) AS DOUBLE) / 1000000.0
+               {_SLIDE_AVG_EXPR}
            END AS avg_value
     FROM ex, fw
     WHERE window_start + INTERVAL 2 HOUR <= final_wm

@@ -241,29 +241,82 @@ def test_tfidf_retrieval_ranking_shape(spark):
 
 
 def test_integer_halfup_average_identity():
-    """floor((2p + q) / 2q) in integer 1e-6 units == HALF_UP decimal
-    division — the identity stream_sliding_avg relies on to keep
-    round(sum/n, 6) engine-independent (hypothesis over sums/counts,
-    including the power-of-two counts that land exactly on ties)."""
+    """The sign-safe branch logic of operators/rounding.exact_avg6
+    (negate-then-floor, HALF_UP away from zero) == HALF_UP decimal
+    division — the identity stream_sliding_avg / rfm_segmentation /
+    mad_outliers / basket_lift / embedding_dim_stats rely on to keep
+    round(p/q, 6) engine-independent (hypothesis over sums/counts,
+    including the power-of-two counts that land exactly on ties,
+    and NEGATIVE numerators — the r8 ADVICE sign-safety gap)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     from hypothesis import given, strategies as st
 
     @given(
-        units=st.integers(min_value=0, max_value=10**15),
+        units=st.integers(min_value=-(10**15), max_value=10**15),
         q=st.one_of(
             st.integers(min_value=1, max_value=10**6),
             st.sampled_from([1, 2, 4, 8, 16, 32, 64, 128]),
         ),
     )
     def check(units: int, q: int):
-        got = (2 * units + q) // (2 * q)  # avg in 1e-6 units
+        # the exact CASE the helper emits on both engines (operands
+        # kept non-negative so floor // == Spark's truncating div)
+        if units < 0:
+            got = -((-2 * units + q) // (2 * q))
+        else:
+            got = (2 * units + q) // (2 * q)
         want = (Decimal(units) / Decimal(q)).quantize(
             Decimal(1), ROUND_HALF_UP
         )
         assert got == int(want), (units, q)
 
     check()
+
+
+def test_exact_avg6_spark_matches_duckdb(spark):
+    """Drive the ACTUAL helper expressions (Spark column + DuckDB SQL)
+    over crafted (units, count) pairs that include exact ties with
+    negative and positive numerators, and assert bit-identical
+    doubles."""
+    import duckdb
+
+    from stock_data_project_spark.operators.rounding import (
+        exact_avg6_expr,
+        exact_avg6_sql,
+    )
+
+    rows = [
+        (1, 16),  # 0.0625e-6 band
+        (5, 8),  # exact .5 tie in units: 5/8 = 0.625
+        (-5, 8),
+        (3, 2),  # 1.5 -> 2 (HALF_UP), -1.5 -> -2 (away from zero)
+        (-3, 2),
+        (10**15, 128),
+        (-(10**15), 128),
+        (0, 7),
+        (999999500000, 1000000),  # 999999.5 units -> ties at 6dp
+        (-999999500000, 1000000),
+    ]
+    sdf = spark.createDataFrame(rows, "p long, q long").select(
+        "p", "q", exact_avg6_expr("p", "q").alias("avg6")
+    )
+    got = {(r["p"], r["q"]): r["avg6"] for r in sdf.collect()}
+    con = duckdb.connect()
+    expr = exact_avg6_sql("p", "q")
+    for p, q in rows:
+        (want,) = con.sql(
+            f"SELECT {expr} FROM (SELECT CAST({p} AS BIGINT) p,"
+            f" CAST({q} AS BIGINT) q)"
+        ).fetchone()
+        import struct
+
+        assert struct.pack("<d", got[(p, q)]) == struct.pack("<d", want), (
+            p,
+            q,
+            got[(p, q)],
+            want,
+        )
 
 
 # ------------------------------------------------------------- streaming
