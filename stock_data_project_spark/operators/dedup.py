@@ -249,20 +249,25 @@ def simhash_values(
     return agg.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_candidates(
-    df: DataFrame,
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    hash_col: str = "simhash",
     id_col: str = "doc_id",
-    text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit hash into 4 16-bit
-    chunks; by pigeonhole, a pair at hamming ≤ 3 has at least one
-    untouched band, so same-band collision finds every such pair.
-    Wide (16-bit) bands matter on correlated corpora: 8-bit bands
-    measured a 17× candidate blowup (6.8M vs 0.4M pairs at sf0.1)
-    because common-token-dominated simhashes share low bytes.
-    Candidates are verified by exact popcount hamming distance."""
+    """(doc_id_a, doc_id_b, hamming) pairs at hamming ≤ ``max_hamming``
+    over any 64-bit-hash column — the hamming-band LSH shared by
+    SimHash text dedup and pHash image dedup (operators/phash.py).
+
+    Band the hash into ``bands`` equal chunks; by pigeonhole, a pair
+    at hamming ≤ max_hamming has at least one untouched band, so
+    same-band collision finds every such pair. Wide (16-bit) bands
+    matter on correlated corpora: 8-bit bands measured a 17×
+    candidate blowup (6.8M vs 0.4M pairs at sf0.1) because
+    common-token-dominated simhashes share low bytes. Candidates are
+    verified by exact popcount hamming distance."""
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole recall needs bands > max_hamming "
@@ -270,24 +275,26 @@ def simhash_candidates(
             f"hamming {max_hamming} could flip one bit in every band and "
             f"silently never collide"
         )
-    band_bits = SIMHASH_BITS // bands
-    sh = simhash_values(df, id_col, text_col)
+    band_bits = bits // bands
+    sh = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("_h64")
+    )
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("simhash", b * band_bits)
+                F.shiftright("_h64", b * band_bits)
                 .bitwiseAND(F.lit((1 << band_bits) - 1))
                 .alias("band_val"),
             )
             for b in range(bands)
         ]
     )
-    banded = sh.select("doc_id", "simhash", F.explode(band_arr).alias("bk")).select(
-        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val")
+    banded = sh.select("doc_id", "_h64", F.explode(band_arr).alias("bk")).select(
+        "doc_id", "_h64", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(F.col("a._h64").bitwiseXOR(F.col("b._h64")))
     # hamming is verified per collision row and the early filter cuts
     # the pair-dedup aggregation down to true near-dups only
     scored = (
@@ -305,6 +312,24 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return scored.groupBy("doc_id_a", "doc_id_b").agg(F.min("hamming").alias("hamming"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit SimHash → the shared
+    hamming-band LSH (banded_hamming_pairs)."""
+    return banded_hamming_pairs(
+        simhash_values(df, id_col, text_col),
+        hash_col="simhash",
+        id_col="doc_id",
+        max_hamming=max_hamming,
+        bands=bands,
+    )
 
 
 def ngram_repetition(

@@ -632,3 +632,15 @@ from stock_data_project_spark.plans.llm_next6 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT6)
 ORACLE.update(ORACLE_NEXT6)
+
+# r9 build, r10 debut: image_phash_dedup (8×8-DCT pHash + hamming-band
+# LSH over planted BMP near-dup groups — the multimodal×dedup
+# intersection, fully oracled) and audio_spectral (per-window
+# RMS/zero-crossing/peak over real WAV round-trips, fully oracled)
+from stock_data_project_spark.plans.llm_next7 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT7,
+    QUERIES_NEXT as QUERIES_NEXT7,
+)
+
+QUERIES.update(QUERIES_NEXT7)
+ORACLE.update(ORACLE_NEXT7)

@@ -1,0 +1,154 @@
+"""Multimodal-dedup + audio-analysis keys built in r9, staged for the
+r10 driver window — the two family intersections the r8 verdict named
+as the frontier gaps (image perceptual-hash near-dup; audio spectral
+features beyond fixed-width stats).
+
+- ``image_phash_dedup`` — perceptual-hash image near-duplicate pairs:
+  deterministic BMP payloads with PLANTED near-dup groups (same
+  low-frequency DCT skeleton per ``doc_id div 100`` group — sources
+  are assigned round-robin mod 20, so the 5 src0 docs per 100-id
+  block form one group; member-specific high-frequency texture +
+  affine normalization — see operators/phash._synth_pixels for the
+  provable-margin argument),
+  decoded by the REAL codec (operators/codecs.decode_bmp), hashed by
+  the classic 8×8-DCT pHash, and paired by the SimHash hamming-band
+  LSH (operators/dedup.banded_hamming_pairs: 4×16-bit bands,
+  pigeonhole-exact recall at hamming ≤ 3). FULLY ORACLED the way
+  semantic_dedup is: the construction makes the recovered pairs
+  exactly the planted within-group pairs, which are pure doc_id
+  arithmetic DuckDB replays — so the oracle checks end-to-end that
+  encode → decode → DCT → threshold → band → verify has BOTH
+  perfect recall (margins ≥ ~50 gray-levels vs ≤ 0.5 rounding noise
+  within a group) and perfect precision (independent cross-group
+  skeletons sit ~32/64 bits apart; P(≤3) ≈ 1e-13 per pair).
+
+  Scale: hashing is map-only (no shuffle); the pair search is one
+  band-key shuffle + bucket-local joins — the standard LSH plan. At
+  100 TB: more/wider bands and coarser groups change constants, not
+  the shape; the hash is 8 bytes/image regardless of image size.
+
+- ``audio_spectral`` — per-window RMS / zero-crossing / peak over
+  REAL WAV payloads (encode_wav → decode_wav round trip,
+  operators/audio.py): deterministic PCM (sample k =
+  (doc_id·7919 + k·104729) mod 65536 − 32768) is integer arithmetic
+  DuckDB regenerates verbatim, so every windowed signal is exact —
+  and RMS is derived in SQL expressions from the exact Σs² (sqrt of
+  an integer/256 can never land on a 6dp decimal tie: a tie needs an
+  odd numerator over 2⁷, whose square is never integral/256 — so
+  round(double, 6) is safely identical on both engines).
+
+  Scale: map-only kernel emitting (docs × windows) rows, no shuffle;
+  window stats are row-local so the explode-vs-collection rule picks
+  the kernel (no aggregation is fed).
+
+Reference parity: the reference (tiisnel/stock_data_project,
+fetch_stocks.py price ingest + streamlit reader) has no media
+pipeline; these keys are the training-data-pipeline mandate
+(multimodal columns as first-class operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.audio import (
+    PCM_MOD,
+    PCM_MULT_DOC,
+    PCM_MULT_K,
+    PCM_SHIFT,
+    spectral_features,
+    with_synthetic_wav_payload,
+)
+from stock_data_project_spark.operators.phash import (
+    phash_candidates,
+    phash_hashes,
+    with_synthetic_image_payload,
+)
+
+# group in doc_id units: sources are round-robin (src{doc_id % 20}),
+# so a 100-id block holds exactly 5 src0 docs — one planted group
+_PH_GROUP = 100
+_PH_MAX_HAMMING = 3
+_PH_BANDS = 4
+
+_AU_SAMPLES = 2048
+_AU_WINDOW = 256
+
+
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    payloads = with_synthetic_image_payload(docs, group_size=_PH_GROUP)
+    hashes = phash_hashes(payloads)
+    pairs = phash_candidates(
+        hashes, max_hamming=_PH_MAX_HAMMING, bands=_PH_BANDS
+    )
+    # hamming stays in-repo (not SQL-reproducible); the graded
+    # observable is the exact pair set
+    return pairs.select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+    )
+
+
+_PHASH_SQL = f"""
+    WITH img AS (
+        SELECT doc_id FROM documents WHERE source = 'src0'
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM img a JOIN img b
+      ON a.doc_id // {_PH_GROUP} = b.doc_id // {_PH_GROUP}
+     AND a.doc_id < b.doc_id
+"""
+
+
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src1")
+    wavs = with_synthetic_wav_payload(docs, n_samples=_AU_SAMPLES)
+    feats = spectral_features(wavs, window=_AU_WINDOW)
+    return feats.select(
+        "doc_id",
+        "window_idx",
+        "n_samples",
+        "zero_crossings",
+        "peak",
+        "sum_sq",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.lit(float(_AU_WINDOW))), 6
+        ).alias("rms"),
+    )
+
+
+_AUDIO_SQL = f"""
+    WITH au AS (
+        SELECT doc_id FROM documents WHERE source = 'src1'
+    ), samp AS (
+        SELECT doc_id, CAST(k AS BIGINT) AS k,
+               ((doc_id * {PCM_MULT_DOC} + CAST(k AS BIGINT) * {PCM_MULT_K})
+                % {PCM_MOD}) - {PCM_SHIFT} AS s
+        FROM au, (SELECT unnest(range({_AU_SAMPLES})) AS k)
+    ), win AS (
+        SELECT doc_id, CAST(k // {_AU_WINDOW} AS INT) AS window_idx, k, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS ps
+        FROM samp
+    )
+    SELECT doc_id, window_idx,
+           count(*) AS n_samples,
+           CAST(sum(CASE WHEN k % {_AU_WINDOW} <> 0 AND s * ps < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(max(abs(s)) AS BIGINT) AS peak,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           round(sqrt(CAST(sum(s * s) AS BIGINT) / {_AU_WINDOW}.0), 6) AS rms
+    FROM win GROUP BY 1, 2
+"""
+
+
+QUERIES_NEXT = {
+    "image_phash_dedup": q_image_phash_dedup,
+    "audio_spectral": q_audio_spectral,
+}
+
+ORACLE_NEXT = {
+    "image_phash_dedup": _PHASH_SQL,
+    "audio_spectral": _AUDIO_SQL,
+}
