@@ -170,3 +170,15 @@ from stock_data_project_spark.plans.stream_next6 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT6)
 ORACLE.update(ORACLE_NEXT6)
+
+# r9 build, r10 debut: stream_dedup_watermark — bounded-state
+# streaming dedup via dropDuplicatesWithinWatermark, probe-pinned
+# engine semantics (late gate first, no expiry extension, eviction at
+# expireAt ≤ wm) collapsed to a DISTINCT-on-time oracle
+from stock_data_project_spark.plans.stream_next7 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT7,
+    QUERIES_NEXT as QUERIES_NEXT7,
+)
+
+QUERIES.update(QUERIES_NEXT7)
+ORACLE.update(ORACLE_NEXT7)
