@@ -99,6 +99,13 @@ HEADLINE = (
     "mad_outliers",
     "tfidf_retrieval",
     "embedding_dim_stats",
+    # r9-built (r10-window debuts): pHash image near-dup over planted
+    # BMP groups, per-window audio spectral features
+    # (stream_dedup_watermark is streaming-driven and stays out of the
+    # bench/audit headline like every other stream_* key — its plan
+    # is pinned by tests/test_next8_staged.py)
+    "image_phash_dedup",
+    "audio_spectral",
 )
 
 

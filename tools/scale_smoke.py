@@ -109,6 +109,16 @@ QUERIES = (
     "mad_outliers",
     "tfidf_retrieval",
     "embedding_dim_stats",
+    # r9 families: pHash image near-dup (map-only hashing + banded
+    # LSH; replica blocks plant their own groups — 5000 % 20 == 0 and
+    # 5000 % 100 == 0 keep source/round-robin and group arithmetic
+    # consistent under the doc_id shift, so planted pair mass scales
+    # LINEARLY with N) and per-window audio spectral features
+    # (map-only WAV round-trip kernel).
+    # stream_dedup_watermark stays excluded like the other
+    # streaming-driven harness keys.
+    "image_phash_dedup",
+    "audio_spectral",
 )
 
 
