@@ -91,3 +91,94 @@ def test_dedup_watermark_no_watermark_ties(spark):
             """
         ).fetchone()
         assert n_ties == 0, (sf, n_ties)
+
+
+# ---------------------------------------------------- engine-semantic pins
+
+
+def _feed_ddw(spark, tmp_path, drops, delay="30 minutes", name="ddw_pin"):
+    """Tiny harness: feed crafted (key, ts) drops through ONE
+    dropDuplicatesWithinWatermark query, one micro-batch per drop."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    root = str(tmp_path)
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    stages = []
+    for i, d in enumerate(drops):
+        p = os.path.join(root, f"s{i}")
+        spark.createDataFrame(
+            [(k, pd.Timestamp(t).to_pydatetime()) for k, t in d],
+            "k string, ts timestamp",
+        ).coalesce(1).write.parquet(p)
+        stages.append(
+            os.path.join(p, next(f for f in os.listdir(p) if f.endswith(".parquet")))
+        )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(stages[0]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(in_dir)
+    )
+    out = stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["k"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        for i, s in enumerate(stages):
+            shutil.copy(s, os.path.join(in_dir, f"drop_{i}.parquet"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return sorted((r["k"], str(r["ts"])) for r in spark.table(name).collect())
+
+
+def test_ddw_late_gate_precedes_dedup_and_eviction_is_inclusive(spark, tmp_path):
+    """The r9 probe, pinned: (a) rows older than the batch-entry
+    watermark are discarded even when their key's state is LIVE
+    (k2); (b) an exact-boundary expiry (expireAt == wm) is evicted —
+    k1's state is gone after drop 0's trailing batch, yet its same-ts
+    replay is late, so it still never re-emits."""
+    drops = [
+        [("k1", "2024-01-01 00:00:00.5"), ("k2", "2024-01-01 00:05:00.5"),
+         ("adv1", "2024-01-01 01:00:00.5")],
+        # wm entering = 00:30:00.5 (k1 expiry tie -> evicted)
+        [("k1", "2024-01-01 00:00:00.5"),   # evicted AND late -> dropped
+         ("k2", "2024-01-01 00:05:00.5"),   # state live BUT late -> dropped
+         ("k3", "2024-01-01 00:45:00.5")],  # on-time fresh -> admitted
+    ]
+    got = _feed_ddw(spark, tmp_path, drops, name="ddw_pin_a")
+    assert got == sorted(
+        [
+            ("adv1", "2024-01-01 01:00:00.500000"),
+            ("k1", "2024-01-01 00:00:00.500000"),
+            ("k2", "2024-01-01 00:05:00.500000"),
+            ("k3", "2024-01-01 00:45:00.500000"),
+        ]
+    )
+
+
+def test_ddw_duplicate_does_not_extend_expiration(spark, tmp_path):
+    """A non-late duplicate must NOT push out the first event's
+    expiration: e1@00:00 is duplicated at 00:20 (state live, on
+    time), the watermark then passes 00:30 (first-event expiry), and
+    a third on-time arrival at 00:45 is RE-ADMITTED — it would have
+    been dropped if the 00:20 duplicate had extended state to 00:50."""
+    drops = [
+        [("e1", "2024-01-01 00:00:00.5"), ("adv1", "2024-01-01 00:10:00.5")],
+        [("e1", "2024-01-01 00:20:00.5"), ("adv2", "2024-01-01 00:40:00.5")],
+        [("adv3", "2024-01-01 01:05:00.5")],  # wm -> 00:35:00.5
+        [("e1", "2024-01-01 00:45:00.5"), ("adv4", "2024-01-01 01:10:00.5")],
+    ]
+    got = _feed_ddw(spark, tmp_path, drops, name="ddw_pin_b")
+    e1_rows = [t for k, t in got if k == "e1"]
+    assert e1_rows == [
+        "2024-01-01 00:00:00.500000",
+        "2024-01-01 00:45:00.500000",
+    ]
