@@ -106,6 +106,7 @@ HEADLINE = (
     # is pinned by tests/test_next8_staged.py)
     "image_phash_dedup",
     "audio_spectral",
+    "video_scene_cuts",
 )
 
 

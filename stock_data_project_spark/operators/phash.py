@@ -158,33 +158,31 @@ def phash_candidates(
 
 _BASE_SEED = 1_000_003
 _MEMBER_SEED = 2_000_003
+_SHOT_SEED = 3_000_003
 _HF_TERMS = 128  # high-frequency texture coefficients per image
 
 
-def _synth_pixels(doc_id: int, group_size: int) -> np.ndarray:
-    """Deterministic 32×32 grayscale image with PLANTED near-dup
-    structure: all docs in the same ``doc_id div group_size`` group
-    share one low-frequency DCT skeleton (the part pHash measures);
-    each member adds its own high-frequency texture (coefficients
-    strictly outside the 8×8 block) plus per-image affine
-    normalization and uint8 rounding.
+def _spec_pixels(skeleton_seed: int, texture_seed: int) -> np.ndarray:
+    """Deterministic 32×32 grayscale image built in the DCT domain:
+    a low-frequency skeleton (the part pHash measures) from
+    ``skeleton_seed`` plus a high-frequency texture (coefficients
+    strictly outside the 8×8 block) from ``texture_seed``, then
+    per-image affine normalization and uint8 rounding.
 
-    Why the construction is provably hash-exact within a group: the
-    63 non-DC block coefficients are drawn at magnitude ≥ 50 away
-    from zero while rounding-to-uint8 perturbs any coefficient by
-    ≲ 0.5 — a 100× margin, so member bits can never flip. pHash is
-    affine-invariant (median threshold), so the per-image
-    normalization is also invisible. Across groups the block signs
-    are independent → expected hamming ≈ 32.
-    """
-    g = doc_id // group_size
-    rs_g = np.random.RandomState(_BASE_SEED + g)
+    Why two images sharing a skeleton are provably hash-identical
+    (±rounding): the 63 non-DC block coefficients are drawn at
+    magnitude ≥ 50 away from zero while rounding-to-uint8 perturbs
+    any coefficient by ≲ 0.5 — a 100× margin, so texture can never
+    flip a bit. pHash is affine-invariant (median threshold), so the
+    per-image normalization is also invisible. Across skeletons the
+    block signs are independent → expected hamming ≈ 32."""
+    rs_g = np.random.RandomState(skeleton_seed)
     spec = np.zeros((PHASH_SIZE, PHASH_SIZE))
     block = rs_g.choice([-1.0, 1.0], PHASH_BITS) * rs_g.uniform(50.0, 150.0, PHASH_BITS)
     spec[:PHASH_BLOCK, :PHASH_BLOCK] = block.reshape(PHASH_BLOCK, PHASH_BLOCK)
     spec[0, 0] = 0.0  # brightness comes from the affine shift below
 
-    rs_m = np.random.RandomState(_MEMBER_SEED + doc_id)
+    rs_m = np.random.RandomState(texture_seed)
     hi = rs_m.randint(PHASH_BLOCK, PHASH_SIZE, size=(_HF_TERMS, 2))
     spec[hi[:, 0], hi[:, 1]] += rs_m.uniform(-30.0, 30.0, _HF_TERMS)
 
@@ -192,6 +190,15 @@ def _synth_pixels(doc_id: int, group_size: int) -> np.ndarray:
     lo, hi_v = float(px.min()), float(px.max())
     a = 200.0 / max(hi_v - lo, 1e-9)
     return np.rint(a * (px - lo) + 27.0).astype(np.uint8)
+
+
+def _synth_pixels(doc_id: int, group_size: int) -> np.ndarray:
+    """Near-dup-group still image: docs in the same ``doc_id div
+    group_size`` group share one skeleton; each member gets its own
+    texture (see _spec_pixels for the margin argument)."""
+    return _spec_pixels(
+        _BASE_SEED + doc_id // group_size, _MEMBER_SEED + doc_id
+    )
 
 
 def with_synthetic_image_payload(
@@ -224,3 +231,123 @@ def with_synthetic_image_payload(
             ]
         ),
     )
+
+
+# --------------------------------------------- video temporal segmentation
+
+_VID_FRAMES = 8
+_CUT_BASE = 2
+_CUT_SPAN = 5  # cut frame = _CUT_BASE + (doc_id div 20) % _CUT_SPAN
+
+
+def synth_video_frames(doc_id: int) -> list[np.ndarray]:
+    """Deterministic 8-frame grayscale 'video' with ONE planted shot
+    cut at frame 2 + (doc_id div 20) % 5 — pure doc_id arithmetic an
+    oracle replays. Frames within a shot share a DCT skeleton (pHash
+    hamming 0-2 between consecutive frames); the cut swaps skeletons
+    (hamming ≈ 32)."""
+    cut = _CUT_BASE + (doc_id // 20) % _CUT_SPAN
+    frames = []
+    for f in range(_VID_FRAMES):
+        shot = 0 if f < cut else 1
+        frames.append(
+            _spec_pixels(
+                _SHOT_SEED + 2 * doc_id + shot,
+                _MEMBER_SEED + _VID_FRAMES * doc_id + f,
+            )
+        )
+    return frames
+
+
+def with_synthetic_video_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): REAL animated GIFs (operators/codecs
+    encode_gif — stdlib LZW, global palette; grayscale frames keep
+    ≤201 distinct colors, inside the format's 256) around the planted
+    shot structure."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stock_data_project_spark.operators.codecs import encode_gif
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_gif(synth_video_frames(int(did)), delay_ms=100)
+                        for did in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("cut_frame", T.IntegerType()),
+    ]
+)
+
+
+def video_scene_cuts(media: DataFrame, threshold: int = 10) -> DataFrame:
+    """(doc_id, cut_frame) shot boundaries: decode every frame of an
+    animated GIF/APNG payload (REAL decoders, operators/codecs),
+    pHash each frame, and report frame i as a cut when
+    hamming(phash(f_i), phash(f_{i-1})) > threshold — the classic
+    cheap scene-cut detector, here on the perceptual hash instead of
+    a pixel histogram so re-encodes/brightness drift between frames
+    don't false-positive. Map-only Arrow kernel: one output row per
+    detected cut, memory bounded by batch_rows × frames. Undecodable
+    or single-frame payloads emit nothing."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stock_data_project_spark.operators.codecs import (
+            decode_apng,
+            decode_gif,
+            is_apng,
+            sniff_media,
+        )
+
+        for pdf in batches:
+            ids, cuts = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = b"" if p is None else bytes(p)
+                if is_apng(raw):
+                    decode = decode_apng
+                elif sniff_media(raw) == "gif":
+                    decode = decode_gif
+                else:
+                    continue
+                try:
+                    frames, _delays = decode(raw)
+                except ValueError:
+                    continue
+                prev = None
+                for i, fr in enumerate(frames):
+                    h = phash64(fr)
+                    if prev is not None:
+                        d = bin((h ^ prev) & ((1 << 64) - 1)).count("1")
+                        if d > threshold:
+                            ids.append(did)
+                            cuts.append(i)
+                    prev = h
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.array(ids, dtype="Int64"),
+                        "cut_frame": pd.array(cuts, dtype="Int32"),
+                    }
+                )
+
+    return media.mapInPandas(kernel, schema=_CUT_SCHEMA)

@@ -41,6 +41,17 @@ features beyond fixed-width stats).
   window stats are row-local so the explode-vs-collection rule picks
   the kernel (no aggregation is fed).
 
+- ``video_scene_cuts`` — temporal segmentation over REAL animated
+  GIFs (stdlib LZW decode, every frame): per-frame pHash,
+  consecutive-frame hamming > 10 = shot cut. One planted cut per
+  src2 doc at frame 2 + (doc_id div 20) % 5 (shots share a DCT
+  skeleton within, swap skeletons across — the image_phash_dedup
+  margin argument applied temporally), so the recovered (doc, frame)
+  set is pure doc_id arithmetic and the key is FULLY oracled. This
+  closes the video column's graded-key gap honestly: the animation
+  formats the repo genuinely decodes are exercised end-to-end, while
+  inter-frame-compressed codecs remain the documented stub seam.
+
 Reference parity: the reference (tiisnel/stock_data_project,
 fetch_stocks.py price ingest + streamlit reader) has no media
 pipeline; these keys are the training-data-pipeline mandate
@@ -62,9 +73,13 @@ from stock_data_project_spark.operators.audio import (
     with_synthetic_wav_payload,
 )
 from stock_data_project_spark.operators.phash import (
+    _CUT_BASE,
+    _CUT_SPAN,
     phash_candidates,
     phash_hashes,
+    video_scene_cuts,
     with_synthetic_image_payload,
+    with_synthetic_video_payload,
 )
 
 # group in doc_id units: sources are round-robin (src{doc_id % 20}),
@@ -167,12 +182,39 @@ _AUDIO_SQL = f"""
 """
 
 
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal segmentation over REAL animated GIFs: one planted
+    shot cut per src2 doc at frame 2 + (doc_id div 20) % 5; the
+    operator (decode every frame → per-frame pHash → consecutive
+    hamming > 10 = cut, operators/phash.video_scene_cuts) must
+    recover exactly that set — within-shot consecutive frames share
+    a DCT skeleton (hamming ≤ 2), the cut swaps skeletons (~32).
+    FULLY oracled: the recovered (doc, frame) set is pure doc_id
+    arithmetic."""
+    docs = _fan_out(
+        spark,
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src2")
+        .select("doc_id"),
+    )
+    return video_scene_cuts(with_synthetic_video_payload(docs), threshold=10)
+
+
+_VIDEO_SQL = f"""
+    SELECT doc_id,
+           CAST({_CUT_BASE} + (doc_id // 20) % {_CUT_SPAN} AS INT) AS cut_frame
+    FROM documents WHERE source = 'src2'
+"""
+
+
 QUERIES_NEXT = {
     "image_phash_dedup": q_image_phash_dedup,
     "audio_spectral": q_audio_spectral,
+    "video_scene_cuts": q_video_scene_cuts,
 }
 
 ORACLE_NEXT = {
     "image_phash_dedup": _PHASH_SQL,
     "audio_spectral": _AUDIO_SQL,
+    "video_scene_cuts": _VIDEO_SQL,
 }

@@ -200,3 +200,39 @@ def test_audio_rms_never_ties_at_6dp(spark):
         exact = (Decimal(int(r["sum_sq"])) / Decimal(256)).sqrt()
         tie = (exact * Decimal(10**6)) % 1 == Decimal("0.5")
         assert not tie
+
+
+# ------------------------------------------------------------------ video
+
+
+def test_video_frames_within_shot_near_across_cut_far():
+    from stock_data_project_spark.operators.phash import synth_video_frames
+
+    for doc_id in (2, 42, 122, 1002):
+        frames = synth_video_frames(doc_id)
+        cut = 2 + (doc_id // 20) % 5
+        hs = [phash64(f) for f in frames]
+        for i in range(1, len(hs)):
+            d = _hamming(hs[i - 1], hs[i])
+            if i == cut:
+                assert d >= 15, (doc_id, i, d)
+            else:
+                assert d <= 2, (doc_id, i, d)
+
+
+def test_video_scene_cuts_roundtrip_and_undecodable(spark):
+    from stock_data_project_spark.operators.phash import (
+        video_scene_cuts,
+        with_synthetic_video_payload,
+    )
+
+    ids = spark.createDataFrame([(2,), (42,), (122,)], "doc_id long")
+    got = sorted(
+        (r["doc_id"], r["cut_frame"])
+        for r in video_scene_cuts(with_synthetic_video_payload(ids)).collect()
+    )
+    assert got == [(2, 2 + 0), (42, 2 + 2), (122, 2 + (122 // 20) % 5)]
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"not a gif"))], "doc_id long, payload binary"
+    )
+    assert video_scene_cuts(junk).count() == 0

@@ -119,6 +119,7 @@ QUERIES = (
     # streaming-driven harness keys.
     "image_phash_dedup",
     "audio_spectral",
+    "video_scene_cuts",
 )
 
 
