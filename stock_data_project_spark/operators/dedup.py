@@ -58,14 +58,20 @@ def word_shingles(text_col: str = "text", k: int = 3) -> Column:
 
 
 def shingle_rows(
-    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """DISTINCT (id, shingle) rows — bit-identical to
-    ``explode(array_distinct(word_shingles(text, k)))`` but built
-    with CODEGEN window leads instead of interpreted ``zip_with``:
-    posexplode the tokens, ``lead(w, i)`` × (k−1) over the per-doc
-    window, ``concat_ws`` (which skips the NULL leads past the doc
-    end — that is exactly the short-doc whole-text fallback).
+    """(id, shingle) rows — bit-identical to
+    ``explode(array_distinct(word_shingles(text, k)))`` (or plain
+    ``explode(word_shingles(...))`` with ``distinct=False``) but
+    built with CODEGEN window leads instead of interpreted
+    ``zip_with``: posexplode the tokens, ``lead(w, i)`` × (k−1) over
+    the per-doc window, ``concat_ws`` (which skips the NULL leads
+    past the doc end — that is exactly the short-doc whole-text
+    fallback).
 
     Why: Spark evaluates array HOFs interpreted, per element, and the
     k−1 zip_with passes each materialize a full concatenated-string
@@ -75,12 +81,18 @@ def shingle_rows(
     parallelizes; use the array form only where a per-doc ARRAY is
     genuinely needed downstream (e.g. minhash's k=3 signatures, where
     the interpreted cost is 3× smaller and the array feeds codegen
-    ``min`` aggregates directly)."""
+    ``min`` aggregates directly).
+
+    ``distinct=False`` skips the trailing (id, shingle) shuffle —
+    right when a downstream broadcast join prunes the rows before any
+    dedup matters (ngram_contamination: the join hits are tiny, so
+    count_distinct after the join beats a full-corpus distinct
+    before it)."""
     tok = df.select(F.col(id_col), F.posexplode(words(text_col)).alias("pos", "w"))
     win = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("w", i).over(win).alias(f"_l{i}") for i in range(1, k)]
     n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    return (
+    out = (
         tok.withColumn("_n", n)
         .select(
             F.col(id_col),
@@ -93,8 +105,8 @@ def shingle_rows(
             | ((F.col("_n") < k) & (F.col("pos") == 0))
         )
         .select(id_col, "sh")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -588,15 +600,20 @@ def ngram_contamination(
     contamination still matches exactly.
     """
     bench_grams = (
+        # metadata-sized by design — the interpreted array build is
+        # irrelevant here and avoids requiring an id column
         benchmark.select(
             F.explode(word_shingles(bench_text_col, n)).alias("_gram")
         )
         .distinct()
     )
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, n)).alias("_gram"),
-    )
+    # corpus side: CODEGEN shingle rows (the interpreted-HOF rule —
+    # k−1 zip_with passes measured 42.2→5.75s at the 30× smoke when
+    # converted); distinct=False because the broadcast join prunes to
+    # the tiny hit set before count_distinct dedups
+    doc_grams = shingle_rows(
+        docs, k=n, id_col=id_col, text_col=text_col, distinct=False
+    ).withColumnRenamed("sh", "_gram")
     return (
         doc_grams.join(F.broadcast(bench_grams), "_gram")
         .groupBy(id_col)
