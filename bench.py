@@ -107,6 +107,7 @@ HEADLINE = (
     "image_phash_dedup",
     "audio_spectral",
     "video_scene_cuts",
+    "audio_fingerprint_dedup",
 )
 
 

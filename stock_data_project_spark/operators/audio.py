@@ -142,3 +142,143 @@ def with_synthetic_wav_payload(docs: DataFrame, n_samples: int = 2048) -> DataFr
             ]
         ),
     )
+
+
+# -------------------------------------------- spectral audio fingerprint
+
+AFP_BITS = 64
+AFP_WINDOW = 2048
+_AFP_GROUP_SEED = 4_000_003
+_AFP_MEMBER_SEED = 5_000_003
+
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit spectral fingerprint of a PCM clip (Haitsma & Kalker
+    2002's energy-threshold family, single-frame form): magnitudes of
+    rfft bins 1..64 over the first 2048 samples, bit b set iff
+    |X_{b+1}| strictly exceeds the bin-magnitude median. Median
+    thresholding makes the fingerprint invariant under uniform gain
+    (the pHash affine argument, one-sided), so volume normalization
+    between near-duplicate encodes never flips bits."""
+    s = np.asarray(samples, dtype=np.float64).reshape(-1)[:AFP_WINDOW]
+    if s.shape[0] < AFP_WINDOW:
+        s = np.pad(s, (0, AFP_WINDOW - s.shape[0]))
+    mags = np.abs(np.fft.rfft(s))[1 : AFP_BITS + 1]
+    med = float(np.median(mags))
+    h = 0
+    for i, m in enumerate(mags):
+        if m > med:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(doc_id, afp) from a (doc_id, payload) frame: decode_wav (the
+    REAL stdlib decoder) → spectral fingerprint. Undecodable rows are
+    dropped. Map-only Arrow kernel, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stock_data_project_spark.operators.codecs import decode_wav
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = b"" if p is None else bytes(p)
+                try:
+                    _rate, samples = decode_wav(raw)
+                except ValueError:
+                    continue
+                ids.append(did)
+                hashes.append(audio_fingerprint64(samples))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.array(ids, dtype="Int64"),
+                        "afp": pd.array(hashes, dtype="Int64"),
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("afp", T.LongType()),
+            ]
+        ),
+    )
+
+
+def synth_group_pcm(doc_id: int, group_size: int = 100) -> np.ndarray:
+    """Deterministic int16 clip with PLANTED near-dup structure: all
+    docs in the same ``doc_id div group_size`` group share a spectral
+    skeleton — 32 'loud' (amp 2000-3000) and 32 'quiet' (amp 100-600)
+    of the fingerprint's 64 bins, exact integer-bin cosines — while
+    each member adds its own content STRICTLY above bin 64
+    (orthogonal over the full 2048-sample window, so it cannot leak
+    into fingerprint bins) plus per-clip peak normalization and int16
+    rounding.
+
+    Margin argument (the _spec_pixels twin): the loud/quiet gap is
+    ≥ 1400 raw (≥ ~500 after worst-case normalization) while int16
+    rounding perturbs a bin magnitude by σ ≈ 16 — a ~30σ margin, so
+    member bits can never flip; gain normalization is invisible to
+    the median threshold. Across groups the loud-bin subsets are
+    independent → expected hamming ≈ 32."""
+    rs_g = np.random.RandomState(_AFP_GROUP_SEED + doc_id // group_size)
+    loud = np.zeros(AFP_BITS, dtype=bool)
+    loud[rs_g.permutation(AFP_BITS)[: AFP_BITS // 2]] = True
+    amps = np.where(
+        loud,
+        rs_g.uniform(2000.0, 3000.0, AFP_BITS),
+        rs_g.uniform(100.0, 600.0, AFP_BITS),
+    )
+    phases = rs_g.uniform(0.0, 2.0 * np.pi, AFP_BITS)
+
+    rs_m = np.random.RandomState(_AFP_MEMBER_SEED + doc_id)
+    mbins = rs_m.randint(AFP_BITS + 1, AFP_WINDOW // 2, 32)
+    mamps = rs_m.uniform(200.0, 800.0, 32)
+    mphases = rs_m.uniform(0.0, 2.0 * np.pi, 32)
+
+    t = np.arange(AFP_WINDOW, dtype=np.float64)
+    sig = np.zeros(AFP_WINDOW)
+    for b in range(AFP_BITS):
+        sig += amps[b] * np.cos(2.0 * np.pi * (b + 1) * t / AFP_WINDOW + phases[b])
+    for b, a, ph in zip(mbins, mamps, mphases):
+        sig += a * np.cos(2.0 * np.pi * b * t / AFP_WINDOW + ph)
+    a = 30000.0 / max(float(np.abs(sig).max()), 1e-9)
+    return np.rint(a * sig).astype(np.int16)
+
+
+def with_synthetic_group_wav_payload(
+    docs: DataFrame, group_size: int = 100
+) -> DataFrame:
+    """(doc_id, payload): REAL WAV containers around the planted
+    near-dup-group PCM (synth_group_pcm) — the audio twin of
+    operators/phash.with_synthetic_image_payload."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stock_data_project_spark.operators.codecs import encode_wav
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav(synth_group_pcm(int(did), group_size))
+                        for did in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )

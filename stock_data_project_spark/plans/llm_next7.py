@@ -69,7 +69,9 @@ from stock_data_project_spark.operators.audio import (
     PCM_MULT_DOC,
     PCM_MULT_K,
     PCM_SHIFT,
+    audio_fingerprints,
     spectral_features,
+    with_synthetic_group_wav_payload,
     with_synthetic_wav_payload,
 )
 from stock_data_project_spark.operators.phash import (
@@ -182,6 +184,47 @@ _AUDIO_SQL = f"""
 """
 
 
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-fingerprint audio near-dup pairs — the audio twin of
+    image_phash_dedup, completing the dedup matrix across text /
+    embedding / image / audio: planted-group WAV payloads (shared
+    loud/quiet spectral skeleton per doc_id-div-100 group of 5 src1
+    docs; member content strictly above bin 64 is exactly orthogonal
+    to the fingerprint bins over the full window —
+    operators/audio.synth_group_pcm for the ~30σ margin argument) →
+    REAL decode_wav → Haitsma-Kalker-style 64-bit fingerprint →
+    the shared hamming-band LSH. FULLY oracled: recovered pairs ==
+    planted within-group pairs == pure doc_id arithmetic."""
+    from stock_data_project_spark.operators.dedup import banded_hamming_pairs
+
+    docs = _fan_out(
+        spark,
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src1")
+        .select("doc_id"),
+    )
+    fps = audio_fingerprints(
+        with_synthetic_group_wav_payload(docs, group_size=_PH_GROUP)
+    )
+    pairs = banded_hamming_pairs(
+        fps, hash_col="afp", max_hamming=_PH_MAX_HAMMING, bands=_PH_BANDS
+    )
+    return pairs.select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+    )
+
+
+_AFP_SQL = f"""
+    WITH au AS (
+        SELECT doc_id FROM documents WHERE source = 'src1'
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM au a JOIN au b
+      ON a.doc_id // {_PH_GROUP} = b.doc_id // {_PH_GROUP}
+     AND a.doc_id < b.doc_id
+"""
+
+
 def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal segmentation over REAL animated GIFs: one planted
     shot cut per src2 doc at frame 2 + (doc_id div 20) % 5; the
@@ -210,11 +253,13 @@ _VIDEO_SQL = f"""
 QUERIES_NEXT = {
     "image_phash_dedup": q_image_phash_dedup,
     "audio_spectral": q_audio_spectral,
+    "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "video_scene_cuts": q_video_scene_cuts,
 }
 
 ORACLE_NEXT = {
     "image_phash_dedup": _PHASH_SQL,
     "audio_spectral": _AUDIO_SQL,
+    "audio_fingerprint_dedup": _AFP_SQL,
     "video_scene_cuts": _VIDEO_SQL,
 }

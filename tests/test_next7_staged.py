@@ -236,3 +236,46 @@ def test_video_scene_cuts_roundtrip_and_undecodable(spark):
         [(9, bytearray(b"not a gif"))], "doc_id long, payload binary"
     )
     assert video_scene_cuts(junk).count() == 0
+
+
+# -------------------------------------------------- audio fingerprint
+
+
+def test_audio_fingerprint_gain_invariance_and_margins():
+    from stock_data_project_spark.operators.audio import (
+        audio_fingerprint64,
+        synth_group_pcm,
+    )
+
+    s = synth_group_pcm(21)
+    h = audio_fingerprint64(s)
+    # gain invariance (the median-threshold property)
+    assert audio_fingerprint64(s.astype(np.float64) * 0.25) == h
+    # planted margins: same group (1, 21, 41) identical; cross far
+    for other, same in ((1, True), (41, True), (121, False), (1021, False)):
+        d = _hamming(h, audio_fingerprint64(synth_group_pcm(other)))
+        assert (d == 0) if same else (d >= 15), (other, d)
+
+
+def test_audio_fingerprints_wav_roundtrip_and_undecodable(spark):
+    from stock_data_project_spark.operators.audio import (
+        audio_fingerprint64,
+        audio_fingerprints,
+        synth_group_pcm,
+        with_synthetic_group_wav_payload,
+    )
+
+    ids = spark.createDataFrame([(1,), (21,), (121,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["afp"]
+        for r in audio_fingerprints(
+            with_synthetic_group_wav_payload(ids)
+        ).collect()
+    }
+    # WAV round trip must not move a single bit
+    for did in (1, 21, 121):
+        assert got[did] == audio_fingerprint64(synth_group_pcm(did))
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"not audio"))], "doc_id long, payload binary"
+    )
+    assert audio_fingerprints(junk).count() == 0

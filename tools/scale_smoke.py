@@ -120,6 +120,7 @@ QUERIES = (
     "image_phash_dedup",
     "audio_spectral",
     "video_scene_cuts",
+    "audio_fingerprint_dedup",
 )
 
 
