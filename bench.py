@@ -108,6 +108,8 @@ HEADLINE = (
     "audio_spectral",
     "video_scene_cuts",
     "audio_fingerprint_dedup",
+    "entity_resolution",
+    "winsorized_stats",
 )
 
 

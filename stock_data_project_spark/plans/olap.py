@@ -1144,3 +1144,14 @@ from stock_data_project_spark.plans.olap_next7 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT7)
 ORACLE.update(ORACLE_NEXT7)
+
+# r9 build, r10 debut: entity_resolution (blocked ER with native
+# levenshtein verify on both engines) and winsorized_stats (exact-
+# position percentile capping + exact-integer winsorized mean)
+from stock_data_project_spark.plans.olap_next8 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT8,
+    QUERIES_NEXT as QUERIES_NEXT8,
+)
+
+QUERIES.update(QUERIES_NEXT8)
+ORACLE.update(ORACLE_NEXT8)

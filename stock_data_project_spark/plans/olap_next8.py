@@ -1,0 +1,162 @@
+"""OLAP keys built in r9, staged for the r10 driver window.
+
+- ``entity_resolution`` — blocked pairwise entity matching, the
+  standard ER shape (Fellegi-Sunter blocking + compare): candidate
+  pairs = customers sharing the (nationkey, mktsegment) block,
+  verified by edit distance on the name (``levenshtein`` is native
+  JVM-side in Spark AND built into DuckDB — the comparison itself is
+  engine-replayable, no UDF anywhere). Output is per-block candidate
+  and match counts. Scale: blocking bounds the self-join exactly like
+  the LSH band joins (never all-pairs across blocks); a 100 TB
+  deployment swaps the equality block for q-gram/MinHash blocking
+  (operators/dedup machinery) and keeps this verify stage unchanged.
+
+- ``winsorized_stats`` — robust per-segment balance statistics with
+  exact-position percentile capping: p01/p99 = the value at ordered
+  position ceil(q·n) (integer arithmetic: (q·n + 99) div 100 — no
+  engine quantile interpolation anywhere, the mad_outliers rule),
+  values clamped to [p01, p99], and the winsorized mean computed in
+  DECIMAL sums + the exact-integer HALF_UP average
+  (operators/rounding; c_acctbal can be negative → the sign-safe
+  branch matters). The grain (segment × nation) keeps window
+  partitions bounded; the unbounded-group plan is the KLL sketch
+  (quantile_rollup) — this is the exact complement, like
+  mad_outliers is for the median.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
+
+_ER_MAX_LEV = 2
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("nationkey"),
+        F.col("a.c_mktsegment").alias("mktsegment"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("lev"),
+    )
+    return pairs.groupBy("nationkey", "mktsegment").agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(
+            F.when(F.col("lev") <= _ER_MAX_LEV, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_matched_pairs"),
+        F.min("lev").cast("int").alias("min_lev"),
+    )
+
+
+_ER_SQL = f"""
+    SELECT a.c_nationkey AS nationkey,
+           a.c_mktsegment AS mktsegment,
+           count(*) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN levenshtein(a.c_name, b.c_name) <= {_ER_MAX_LEV}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_pairs,
+           CAST(min(levenshtein(a.c_name, b.c_name)) AS INT) AS min_lev
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    GROUP BY 1, 2
+"""
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("bal"), F.asc("c_custkey"))
+    ranked = cust.withColumn("_rn", F.row_number().over(w))
+    cnt = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_n"))
+    # exact-position percentiles: pos_q = ceil(q·n) in integer
+    # arithmetic — deterministic on both engines, no interpolation
+    lo_pos = F.expr("(1 * _n + 99) div 100")
+    hi_pos = F.expr("(99 * _n + 99) div 100")
+    bounds = (
+        ranked.join(cnt, "c_mktsegment")
+        .filter((F.col("_rn") == lo_pos) | (F.col("_rn") == hi_pos))
+        .groupBy("c_mktsegment")
+        .agg(F.min("bal").alias("p01"), F.max("bal").alias("p99"))
+    )
+    capped = cust.join(F.broadcast(bounds), "c_mktsegment").select(
+        "c_mktsegment",
+        F.least(F.greatest(F.col("bal"), F.col("p01")), F.col("p99"))
+        .cast("decimal(18,6)")
+        .alias("w_d"),
+        "p01",
+        "p99",
+    )
+    return (
+        capped.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("w_d").alias("_sum_d"),
+            F.round(F.min("p01"), 2).alias("p01"),
+            F.round(F.min("p99"), 2).alias("p99"),
+        )
+        .withColumn("_units", (F.col("_sum_d") * 1000000).cast("long"))
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "p01",
+            "p99",
+            exact_avg6_expr("_units", "n_customers").alias("winsorized_mean"),
+        )
+    )
+
+
+_WINSOR_SQL = """
+    WITH cust AS (
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+        FROM customer
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY bal ASC, c_custkey ASC) AS rn,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM cust
+    ), bounds AS (
+        SELECT c_mktsegment, min(bal) AS p01, max(bal) AS p99
+        FROM ranked
+        WHERE rn = (1 * n + 99) // 100 OR rn = (99 * n + 99) // 100
+        GROUP BY 1
+    ), capped AS (
+        SELECT cust.c_mktsegment,
+               CAST(least(greatest(bal, p01), p99) AS DECIMAL(18,6)) AS w_d,
+               p01, p99
+        FROM cust JOIN bounds USING (c_mktsegment)
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(min(p01), 2) AS p01,
+           round(min(p99), 2) AS p99,
+           {mean} AS winsorized_mean
+    FROM capped GROUP BY 1
+""".format(
+    mean=exact_avg6_sql("CAST(sum(w_d) * 1000000 AS BIGINT)", "count(*)")
+)
+
+
+QUERIES_NEXT = {
+    "entity_resolution": q_entity_resolution,
+    "winsorized_stats": q_winsorized_stats,
+}
+
+ORACLE_NEXT = {
+    "entity_resolution": _ER_SQL,
+    "winsorized_stats": _WINSOR_SQL,
+}

@@ -182,3 +182,54 @@ def test_ddw_duplicate_does_not_extend_expiration(spark, tmp_path):
         "2024-01-01 00:00:00.500000",
         "2024-01-01 00:45:00.500000",
     ]
+
+
+# ------------------------------------------------------- olap_next8 keys
+
+
+def test_olap_next8_keys_are_oracled_and_pass_parity(spark):
+    from stock_data_project_spark.plans import olap_next8
+
+    assert set(olap_next8.QUERIES_NEXT) == set(olap_next8.ORACLE_NEXT)
+    for key, fn in olap_next8.QUERIES_NEXT.items():
+        df = fn(spark, SF_ORACLE)
+        assert_gradable_schema(df, key)
+        assert df.count() > 0, key
+        compare(df, duckdb_run(olap_next8.ORACLE_NEXT[key], SF_ORACLE))
+
+
+def test_entity_resolution_invariants(spark):
+    from stock_data_project_spark.plans import olap_next8
+
+    pdf = olap_next8.q_entity_resolution(spark, SF_ORACLE).toPandas()
+    # matches are a subset of candidates; min_lev consistent with the
+    # match flag (a block with matches has min_lev <= threshold)
+    assert (pdf["n_matched_pairs"] <= pdf["n_candidate_pairs"]).all()
+    has_match = pdf["n_matched_pairs"] > 0
+    assert (pdf.loc[has_match, "min_lev"] <= 2).all()
+    assert (pdf.loc[~has_match, "min_lev"] > 2).all()
+    # blocking exhaustiveness: total candidates == sum over blocks of
+    # C(block_size, 2), recomputed independently
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/customer.parquet')"
+    )
+    (want,) = con.sql(
+        """SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) FROM (
+               SELECT count(*) AS n FROM customer
+               GROUP BY c_nationkey, c_mktsegment)"""
+    ).fetchone()
+    assert int(pdf["n_candidate_pairs"].sum()) == want
+
+
+def test_winsorized_stats_invariants(spark):
+    from stock_data_project_spark.plans import olap_next8
+
+    pdf = olap_next8.q_winsorized_stats(spark, SF_ORACLE).toPandas()
+    assert (pdf["p01"] <= pdf["p99"]).all()
+    # the winsorized mean must sit inside the capping bounds
+    assert (pdf["winsorized_mean"] >= pdf["p01"] - 1e-9).all()
+    assert (pdf["winsorized_mean"] <= pdf["p99"] + 1e-9).all()

@@ -121,6 +121,8 @@ QUERIES = (
     "audio_spectral",
     "video_scene_cuts",
     "audio_fingerprint_dedup",
+    "entity_resolution",
+    "winsorized_stats",
 )
 
 
