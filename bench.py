@@ -110,6 +110,7 @@ HEADLINE = (
     "audio_fingerprint_dedup",
     "entity_resolution",
     "winsorized_stats",
+    "chunk_documents",
 )
 
 

@@ -644,3 +644,14 @@ from stock_data_project_spark.plans.llm_next7 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT7)
 ORACLE.update(ORACLE_NEXT7)
+
+# r9 build, r10 debut: chunk_documents (sliding-window token chunking
+# for training prep — zero-shuffle native collection exprs, md5 chunk
+# identity oracled exactly)
+from stock_data_project_spark.plans.llm_next8 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT8,
+    QUERIES_NEXT as QUERIES_NEXT8,
+)
+
+QUERIES.update(QUERIES_NEXT8)
+ORACLE.update(ORACLE_NEXT8)

@@ -233,3 +233,26 @@ def test_winsorized_stats_invariants(spark):
     # the winsorized mean must sit inside the capping bounds
     assert (pdf["winsorized_mean"] >= pdf["p01"] - 1e-9).all()
     assert (pdf["winsorized_mean"] <= pdf["p99"] + 1e-9).all()
+
+
+def test_chunk_documents_parity_and_coverage(spark):
+    from stock_data_project_spark.plans import llm_next8
+
+    df = llm_next8.q_chunk_documents(spark, SF_ORACLE)
+    assert_gradable_schema(df, "chunk_documents")
+    compare(df, duckdb_run(llm_next8.ORACLE_NEXT["chunk_documents"], SF_ORACLE))
+    pdf = df.toPandas()
+    # indices contiguous from 0, and every chunk size matches the
+    # exact sliding-window identity n_chunk_tokens = min(64, n − i·48)
+    # where n is the doc's token count (recovered as the max covered
+    # end position)
+    for _, grp in pdf.groupby("doc_id"):
+        idxs = sorted(grp["chunk_idx"])
+        assert idxs == list(range(len(idxs)))
+        n = int((grp["chunk_idx"] * 48 + grp["n_chunk_tokens"]).max())
+        for _, r in grp.iterrows():
+            assert r["n_chunk_tokens"] == min(64, n - r["chunk_idx"] * 48)
+        # chunk count matches ceil(n / stride)
+        assert len(grp) == -(-n // 48)
+    assert (pdf["n_chunk_tokens"] >= 1).all()
+    assert (pdf["n_chunk_tokens"] <= 64).all()

@@ -123,6 +123,7 @@ QUERIES = (
     "audio_fingerprint_dedup",
     "entity_resolution",
     "winsorized_stats",
+    "chunk_documents",
 )
 
 
