@@ -77,22 +77,21 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The conditional's denominator c1(w1) = Σ_w2 c2(w1, w2) rolls up
     from the bigram count table (vocab²-sized) — no second corpus
-    scan."""
+    scan. Bigram construction is the CODEGEN lead-over-window form
+    (the interpreted-HOF rule: the zip_with-of-slices build fed the
+    same aggregations 2.25× slower at the 30× smoke, 10.95→4.86s,
+    bit-identical counts)."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    w = words("text")
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(words("text")).alias("pos", "_w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
     bigrams = (
-        docs.filter(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.explode(
-                F.zip_with(
-                    F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))),
-                    F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                )
-            ).alias("bg"),
-        )
-        .filter(F.col("bg").isNotNull())
+        tok.withColumn("_nx", F.lead("_w").over(win))
+        .filter(F.col("_nx").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "_w", "_nx").alias("bg"))
     )
     c2 = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     c1 = (
