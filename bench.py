@@ -111,6 +111,9 @@ HEADLINE = (
     "entity_resolution",
     "winsorized_stats",
     "chunk_documents",
+    "cci",
+    "force_index",
+    "ease_of_movement",
 )
 
 

@@ -790,3 +790,14 @@ from stock_data_project_spark.plans.stock_next5 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT5)
 ORACLE.update(ORACLE_NEXT5)
+
+# r9 build, r10 debut: cci (exact-integer mean-deviation via bounded
+# rn-range self-join), force_index / ease_of_movement (SMA-flavor
+# window indicators)
+from stock_data_project_spark.plans.stock_next6 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT6,
+    QUERIES_NEXT as QUERIES_NEXT6,
+)
+
+QUERIES.update(QUERIES_NEXT6)
+ORACLE.update(ORACLE_NEXT6)

@@ -124,6 +124,9 @@ QUERIES = (
     "entity_resolution",
     "winsorized_stats",
     "chunk_documents",
+    "cci",
+    "force_index",
+    "ease_of_movement",
 )
 
 
