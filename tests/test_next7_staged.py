@@ -1,8 +1,10 @@
-"""r9-built keys staged for the r10 window (llm_next7: image pHash
-near-dup, audio spectral features): the SAME value-level DuckDB
-comparison the driver runs, plus the operators' semantic pins —
-pHash affine-invariance / perturbation-robustness / separation, the
-banded-LSH recall guard, and the audio kernel vs direct numpy."""
+"""r9-built media keys staged for the r10 window (llm_next7: image
+pHash near-dup, audio spectral features, audio fingerprint near-dup,
+video scene cuts): the SAME value-level DuckDB comparison the driver
+runs, plus the operators' semantic pins — pHash affine-invariance /
+perturbation-robustness / separation, the banded-LSH recall guard,
+the audio kernels vs direct numpy, fingerprint gain-invariance, and
+the GIF round-trip."""
 
 from __future__ import annotations
 

@@ -1,9 +1,12 @@
-"""r9-built streaming key staged for the r10 window
-(stream_next7.stream_dedup_watermark): driver-identical parity plus
-the operator's reason-to-exist — the BOUNDED state — asserted from
-the progress metrics (in-repo only; state metrics are partial-layout-
-dependent and never graded), and the watermark-tie absence the
-119-minute delay choice relies on."""
+"""r9-built non-media keys staged for the r10 window
+(stream_next7.stream_dedup_watermark, olap_next8 entity_resolution /
+winsorized_stats, llm_next8 chunk_documents, stock_next6
+cci/force_index/ease_of_movement): driver-identical parity plus each
+operator's semantic pins — for the streaming dedup, the BOUNDED
+state asserted from progress metrics (in-repo only; state metrics
+are partial-layout-dependent and never graded), the watermark-tie
+absence the 119-minute delay relies on, and the probe-pinned engine
+semantics a Spark upgrade must not silently change."""
 
 from __future__ import annotations
 
