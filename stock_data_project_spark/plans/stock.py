@@ -801,3 +801,14 @@ from stock_data_project_spark.plans.stock_next6 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT6)
 ORACLE.update(ORACLE_NEXT6)
+
+# r9 build, r11 debut: ultimate_oscillator / vortex (window-sum ratio
+# indicators), ichimoku (windowed midpoints, displaced), heikin_ashi
+# (the candle-transform recurrence via the exact-decimal fold)
+from stock_data_project_spark.plans.stock_next7 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT7,
+    QUERIES_NEXT as QUERIES_NEXT7,
+)
+
+QUERIES.update(QUERIES_NEXT7)
+ORACLE.update(ORACLE_NEXT7)
