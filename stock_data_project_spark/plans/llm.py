@@ -655,3 +655,14 @@ from stock_data_project_spark.plans.llm_next8 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT8)
 ORACLE.update(ORACLE_NEXT8)
+
+# r9 build, r11 debut: embedding_kmeans (fully-oracled Lloyd rounds
+# via decimal distances + exact-integer centroid means),
+# quality_classifier (md5-bucket hashed linear scorer)
+from stock_data_project_spark.plans.llm_next9 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT9,
+    QUERIES_NEXT as QUERIES_NEXT9,
+)
+
+QUERIES.update(QUERIES_NEXT9)
+ORACLE.update(ORACLE_NEXT9)

@@ -1,0 +1,290 @@
+"""LLM-pipeline keys built in r9, staged for the r11 window.
+
+- ``embedding_kmeans`` — Lloyd k-means over the embedding column
+  (k=8, R=3 fixed rounds), FULLY ORACLED: the float pipeline is made
+  engine-deterministic by (1) casting per-dimension values to
+  DECIMAL(18,6) once at entry, (2) rounding each squared-diff term
+  to 6dp and summing distances in DECIMAL (summation-order-free, the
+  q9 rule), (3) computing every centroid update with the sign-safe
+  exact-integer HALF_UP average (operators/rounding) so each round's
+  centroids — and therefore the whole trajectory — are bit-identical
+  in Spark and DuckDB, and (4) argmin by min(struct(dist, cid)),
+  the lexicographic-struct trick both engines share (ties → lowest
+  cid). Init = the k smallest vec_ids' vectors; empty clusters keep
+  their previous centroid via a left-join coalesce on BOTH engines.
+  Output: per-cluster size, inertia (exact decimal sum of assigned
+  distances), and exact-integer mean distance.
+
+  Scale shape: the per-round assignment is one broadcast join of the
+  k×dims centroid table against the exploded (vec, dim, v) frame +
+  two map-side-combinable groupBys ((vec,cid) then (cid,dim));
+  centroids localCheckpoint per round (the iterative-plan-growth
+  rule). A throughput-first deployment would swap the assignment for
+  the mapInPandas GEMM kernel (operators/linalg, the ann_* path) and
+  give up the oracle — this key keeps the exact-arithmetic variant
+  BECAUSE clustering assignments are the graded observable.
+
+- ``quality_classifier`` — hashed linear document scorer (the
+  fastText-style model-based quality gate every curation pipeline
+  runs): feature id = 8-bit bucket of md5(token) (two hex digits →
+  integer via strpos arithmetic — md5 is the one hash BOTH engines
+  evaluate identically, unlike xxhash64, so the key is FULLY
+  oracled); weight(f) = ((f·2654435761) mod 1001) − 500, a
+  deterministic integer stand-in for trained weights (the plumbing —
+  tokenize → hash → bucket → weight-sum — is the operator; swapping
+  in a trained vector changes one literal expression). Score and
+  token count are exact integers; score-per-token goes through the
+  sign-safe exact-integer average (scores can be negative).
+
+  Scale: tokenize+explode → two codegen projections → one
+  groupBy(doc_id) with map-side partials. No joins, no UDFs; the
+  256-entry weight table is a closed-form expression, so nothing is
+  broadcast at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
+from stock_data_project_spark.operators.textops import words
+from stock_data_project_spark.plans.llm import _NORM
+
+_K = 8
+_ROUNDS = 3
+
+
+def _vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # explode-aware fan-out (the embedding_dim_stats fix): a packed
+    # float-array scan under-splits vs its exploded row count
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "_v")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("_v").cast("double").alias("v"),
+    )
+
+
+def _assign(vals: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cluster, dist_d): nearest centroid by the 6dp-rounded
+    decimal distance, ties → lowest cid."""
+    dist = (
+        vals.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                F.round((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")), 6)
+                .cast("decimal(18,6)")
+            ).alias("dist_d")
+        )
+    )
+    amin = F.min(F.struct(F.col("dist_d").alias("d"), F.col("cid").alias("cid")))
+    return dist.groupBy("vec_id").agg(amin.alias("_m")).select(
+        "vec_id",
+        F.col("_m.cid").alias("cluster"),
+        F.col("_m.d").alias("dist_d"),
+    )
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = _vals(spark, sf_dir).persist()
+    init_ids = (
+        vals.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(_K)
+        .withColumn(
+            "cid",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"),
+        )
+    )
+    cents = (
+        vals.join(F.broadcast(init_ids), "vec_id")
+        .select("cid", "dim", F.col("v").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    asg = None
+    for _ in range(_ROUNDS):
+        asg = _assign(vals, cents)
+        agg = (
+            asg.select("vec_id", "cluster")
+            .join(vals, "vec_id")
+            .groupBy(F.col("cluster").alias("cid"), "dim")
+            .agg(
+                F.sum(F.col("v").cast("decimal(18,6)")).alias("s_d"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        # empty cluster -> keep previous centroid (left-join coalesce,
+        # same shape as the oracle); checkpoint truncates the k^rounds
+        # plan growth (CLAUDE.md iterative rule)
+        cents = (
+            cents.join(agg, ["cid", "dim"], "left")
+            .select(
+                "cid",
+                "dim",
+                F.coalesce(
+                    exact_avg6_expr("CAST(s_d * 1000000 AS BIGINT)", "n"),
+                    F.col("c"),
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        asg.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist_d").alias("_in_d"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            F.round(F.col("_in_d").cast("double"), 6).alias("inertia"),
+            exact_avg6_expr("CAST(_in_d * 1000000 AS BIGINT)", "n_members").alias(
+                "avg_dist"
+            ),
+        )
+    )
+    result = out.localCheckpoint(eager=True)
+    vals.unpersist()
+    return result
+
+
+def _kmeans_sql() -> str:
+    """Chained-CTE replay of the fixed-round trajectory."""
+    mean_c = exact_avg6_sql("CAST(a.s_d * 1000000 AS BIGINT)", "a.n")
+    rounds = []
+    for r in range(1, _ROUNDS + 1):
+        prev = f"cents{r - 1}"
+        rounds.append(
+            f"""dist{r} AS (
+            SELECT t.vec_id, c.cid,
+                   sum(CAST(round((t.v - c.c) * (t.v - c.c), 6)
+                            AS DECIMAL(18,6))) AS dist_d
+            FROM vals t JOIN {prev} c ON t.dim = c.dim
+            GROUP BY t.vec_id, c.cid
+        ), asg{r} AS (
+            SELECT vec_id,
+                   struct_extract(min(struct_pack(d := dist_d, cid := cid)),
+                                  'cid') AS cluster,
+                   struct_extract(min(struct_pack(d := dist_d, cid := cid)),
+                                  'd') AS dist_d
+            FROM dist{r} GROUP BY vec_id
+        )"""
+        )
+        if r < _ROUNDS:
+            rounds.append(
+                f"""agg{r} AS (
+            SELECT a.cluster AS cid, t.dim,
+                   sum(CAST(t.v AS DECIMAL(18,6))) AS s_d, count(*) AS n
+            FROM asg{r} a JOIN vals t ON t.vec_id = a.vec_id
+            GROUP BY 1, 2
+        ), cents{r} AS (
+            SELECT p.cid, p.dim, coalesce({mean_c}, p.c) AS c
+            FROM {prev} p LEFT JOIN agg{r} a
+              ON a.cid = p.cid AND a.dim = p.dim
+        )"""
+            )
+    chain = ",\n        ".join(rounds)
+    avg_dist = exact_avg6_sql("CAST(sum(dist_d) * 1000000 AS BIGINT)", "count(*)")
+    return f"""
+        WITH vals AS (
+            SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ), init AS (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+            FROM (SELECT DISTINCT vec_id FROM embeddings
+                  ORDER BY vec_id LIMIT {_K})
+        ), cents0 AS (
+            SELECT i.cid, t.dim, t.v AS c
+            FROM init i JOIN vals t ON t.vec_id = i.vec_id
+        ),
+        {chain}
+        SELECT cluster, count(*) AS n_members,
+               round(CAST(sum(dist_d) AS DOUBLE), 6) AS inertia,
+               {avg_dist} AS avg_dist
+        FROM asg{_ROUNDS}
+        GROUP BY cluster
+    """
+
+
+# -------------------------------------------------------- quality_classifier
+
+_HEX = "0123456789abcdef"
+_WMOD = 1001
+_WMUL = 2654435761
+
+
+def _feature(col: Column) -> Column:
+    """8-bit md5 bucket: two hex digits -> [0, 256). instr is 1-based
+    on both engines (Spark instr == DuckDB strpos)."""
+    h = F.md5(col)
+    h1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    h2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return (h1 * 16 + h2).cast("bigint")
+
+
+def _weight(f: Column) -> Column:
+    return (f * F.lit(_WMUL)) % _WMOD - 500
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    scored = toks.select(
+        "doc_id", _weight(_feature(F.col("word"))).alias("w")
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w").alias("score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        (F.col("score") > 0).cast("int").alias("keep"),
+        exact_avg6_expr("score * 1000000", "n_tokens").alias("score_per_token"),
+    )
+
+
+_QC_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+        FROM documents
+    ), feat AS (
+        SELECT doc_id,
+               CAST((strpos('{_HEX}', substr(md5(word), 1, 1)) - 1) * 16
+                    + (strpos('{_HEX}', substr(md5(word), 2, 1)) - 1)
+                    AS BIGINT) AS f
+        FROM toks WHERE word <> ''
+    ), scored AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum((f * {_WMUL}) % {_WMOD} - 500) AS BIGINT) AS score
+        FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score,
+           CAST(score > 0 AS INT) AS keep,
+           {exact_avg6_sql("score * 1000000", "n_tokens")} AS score_per_token
+    FROM scored
+"""
+
+
+QUERIES_NEXT = {
+    "embedding_kmeans": q_embedding_kmeans,
+    "quality_classifier": q_quality_classifier,
+}
+
+ORACLE_NEXT = {
+    "embedding_kmeans": _kmeans_sql(),
+    "quality_classifier": _QC_SQL,
+}

@@ -107,3 +107,92 @@ def test_heikin_ashi_high_low_envelope(spark):
         | (F.col("ha_low") > F.least("ha_open", "ha_close"))
     ).count()
     assert bad == 0
+
+
+# ------------------------------------------------------------- llm_next9
+
+from stock_data_project_spark.plans import llm_next9  # noqa: E402
+
+
+def test_llm9_keys_are_oracled():
+    assert set(llm_next9.QUERIES_NEXT) == set(llm_next9.ORACLE_NEXT)
+
+
+@pytest.mark.parametrize("key", sorted(llm_next9.QUERIES_NEXT))
+def test_llm9_parity(spark, key):
+    df = llm_next9.QUERIES_NEXT[key](spark, SF_ORACLE)
+    assert_gradable_schema(df, key)
+    assert df.count() > 0
+    compare(df, duckdb_run(llm_next9.ORACLE_NEXT[key], SF_ORACLE))
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    """Cluster sizes sum to the corpus size and every cluster is
+    keyed 0..k-1 (init ids exist, so no cluster can vanish — empty
+    clusters keep their centroid but sizes come from assignment)."""
+    import pyspark.sql.functions as F
+
+    from stock_data_project_spark.catalog import load_table
+
+    out = llm_next9.q_embedding_kmeans(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_members for r in out) == n
+    assert {r.cluster for r in out} <= set(range(llm_next9._K))
+    for r in out:
+        assert r.inertia >= 0 and r.avg_dist >= 0
+
+
+def test_kmeans_rounds_do_not_increase_inertia(spark):
+    """Lloyd's algorithm monotonically decreases total inertia —
+    verified on the EXACT decimal trajectory by re-running with
+    R=1..3 (the rounding perturbs each step but assignment is argmin
+    vs the centroids that produced it, so the classic proof holds
+    between round r's distances and round r+1's)."""
+    import stock_data_project_spark.plans.llm_next9 as m
+
+    totals = []
+    orig = m._ROUNDS
+    try:
+        for rounds in (1, 2, 3):
+            m._ROUNDS = rounds
+            out = m.q_embedding_kmeans(spark, SF_SMOKE).collect()
+            totals.append(sum(float(r.inertia) for r in out))
+    finally:
+        m._ROUNDS = orig
+    assert totals[0] >= totals[1] - 1e-6
+    assert totals[1] >= totals[2] - 1e-6
+
+
+def test_quality_classifier_weights_cover_both_signs(spark):
+    """The deterministic weight table must yield both keep=1 and
+    keep=0 docs (a degenerate all-one-sign scorer would grade but
+    test nothing)."""
+    import pyspark.sql.functions as F
+
+    df = llm_next9.q_quality_classifier(spark, SF_SMOKE)
+    keeps = {r.keep for r in df.select("keep").distinct().collect()}
+    assert keeps == {0, 1}
+
+
+def test_quality_classifier_token_counts_match_token_count_key(spark):
+    """n_tokens agrees with the documents' whitespace tokenization
+    (same normalized() path as token_count)."""
+    import pyspark.sql.functions as F
+
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.operators.textops import words
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(words("text"), lambda w: w != "")).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    got = llm_next9.q_quality_classifier(spark, SF_SMOKE).select(
+        "doc_id", "n_tokens"
+    )
+    diff = got.join(want, "doc_id").filter(F.col("n_tokens") != F.col("n")).count()
+    assert diff == 0
+    assert got.count() == want.count()
