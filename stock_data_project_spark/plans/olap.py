@@ -1155,3 +1155,14 @@ from stock_data_project_spark.plans.olap_next8 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT8)
 ORACLE.update(ORACLE_NEXT8)
+
+# r9 build, r11 debut: kcore_decomposition (bounded-round peel over
+# the co-purchase graph), item_similarity (co-purchase Jaccard via
+# the exact-integer rounding identity)
+from stock_data_project_spark.plans.olap_next9 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT9,
+    QUERIES_NEXT as QUERIES_NEXT9,
+)
+
+QUERIES.update(QUERIES_NEXT9)
+ORACLE.update(ORACLE_NEXT9)

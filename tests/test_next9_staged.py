@@ -196,3 +196,89 @@ def test_quality_classifier_token_counts_match_token_count_key(spark):
     diff = got.join(want, "doc_id").filter(F.col("n_tokens") != F.col("n")).count()
     assert diff == 0
     assert got.count() == want.count()
+
+
+# ------------------------------------------------------------ olap_next9
+
+from stock_data_project_spark.plans import olap_next9  # noqa: E402
+
+
+def test_olap9_keys_are_oracled():
+    assert set(olap_next9.QUERIES_NEXT) == set(olap_next9.ORACLE_NEXT)
+
+
+@pytest.mark.parametrize("key", sorted(olap_next9.QUERIES_NEXT))
+def test_olap9_parity(spark, key):
+    df = olap_next9.QUERIES_NEXT[key](spark, SF_ORACLE)
+    assert_gradable_schema(df, key)
+    assert df.count() > 0
+    compare(df, duckdb_run(olap_next9.ORACLE_NEXT[key], SF_ORACLE))
+
+
+def _simulate_kcore(edges, k, rounds):
+    import collections
+
+    E = set(edges)
+    for _ in range(rounds):
+        deg = collections.Counter()
+        for a, b in E:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, c in deg.items() if c >= k}
+        E2 = {(a, b) for a, b in E if a in keep and b in keep}
+        if E2 == E:
+            break
+        E = E2
+    deg = collections.Counter()
+    for a, b in E:
+        deg[a] += 1
+        deg[b] += 1
+    return dict(deg)
+
+
+@pytest.mark.parametrize("sf", [SF_SMOKE, SF_ORACLE])
+def test_kcore_matches_python_simulation(spark, sf):
+    """The graded R-round peel equals an independent in-memory
+    simulation — robust to testdata regeneration (no fixpoint claim
+    needed; both bound at R identically)."""
+    edges = [
+        (r.a, r.b)
+        for r in olap_next9._copurchase_edges(spark, sf).select("a", "b").collect()
+    ]
+    want = _simulate_kcore(edges, olap_next9._K, olap_next9._ROUNDS)
+    got = {
+        r.node: r.degree
+        for r in olap_next9.q_kcore_decomposition(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_kcore_peels_crafted_chain_off_clique(spark):
+    """A 4-clique with a pendant chain: the 2-core is exactly the
+    clique (chain peels one node per round — exercises multi-round
+    convergence and the early-exit)."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "a long, b long")
+    import stock_data_project_spark.plans.olap_next9 as m
+
+    orig = m._copurchase_edges
+    m._copurchase_edges = lambda s, d: edges.withColumn(
+        "support", edges.a * 0 + 2
+    )
+    try:
+        got = {r.node: r.degree for r in m.q_kcore_decomposition(spark, "x").collect()}
+    finally:
+        m._copurchase_edges = orig
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_item_similarity_bounds_and_symmetric_df(spark):
+    """jaccard in (0, 1]; support <= min(df_a, df_b)."""
+    import pyspark.sql.functions as F
+
+    df = olap_next9.q_item_similarity(spark, SF_SMOKE)
+    assert df.filter((F.col("jaccard") <= 0) | (F.col("jaccard") > 1)).count() == 0
+    assert df.filter(
+        F.col("support") > F.least("df_a", "df_b")
+    ).count() == 0
