@@ -182,3 +182,13 @@ from stock_data_project_spark.plans.stream_next7 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT7)
 ORACLE.update(ORACLE_NEXT7)
+
+# r9 build, r11 debut: stream-stream LEFT OUTER interval join —
+# outer-null emission at the min-of-sides ms-truncated watermark
+from stock_data_project_spark.plans.stream_next8 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT8,
+    QUERIES_NEXT as QUERIES_NEXT8,
+)
+
+QUERIES.update(QUERIES_NEXT8)
+ORACLE.update(ORACLE_NEXT8)

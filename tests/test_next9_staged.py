@@ -282,3 +282,72 @@ def test_item_similarity_bounds_and_symmetric_df(spark):
     assert df.filter(
         F.col("support") > F.least("df_a", "df_b")
     ).count() == 0
+
+
+# ----------------------------------------------------------- stream_next8
+
+from stock_data_project_spark.plans import stream_next8  # noqa: E402
+
+
+def test_stream8_key_is_oracled():
+    assert set(stream_next8.QUERIES_NEXT) == set(stream_next8.ORACLE_NEXT)
+
+
+def test_stream_left_join_parity(spark):
+    df = stream_next8.stream_left_join(spark, SF_ORACLE)
+    assert_gradable_schema(df, "stream_left_join")
+    assert df.count() > 0
+    compare(df, duckdb_run(stream_next8.ORACLE_NEXT["stream_left_join"], SF_ORACLE))
+
+
+def test_stream_left_join_null_rows_respect_horizon(spark):
+    """Every null-extended view sits strictly below the final
+    watermark horizon; every unmatched view above it is withheld —
+    and no view's expiry TIES the ms-truncated watermark (the
+    measure-zero assumption the strict-< oracle relies on)."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        )
+        (n_ties,) = con.sql(
+            f"""
+            WITH fwm AS (
+                SELECT least(
+                    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+                     WHERE event_type = 'view'),
+                    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+                     WHERE event_type = 'click')
+                ) - CAST({stream_next8._SLJ_DELAY_US} AS BIGINT) AS wm
+            )
+            SELECT count(*) FROM events, fwm
+            WHERE event_type = 'view'
+              AND epoch_us(ts) + {stream_next8._SLJ_INTERVAL_US} = fwm.wm
+            """
+        ).fetchone()
+        assert n_ties == 0, (sf, n_ties)
+
+    out = stream_next8.stream_left_join(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    (wm_us,) = con.sql(
+        f"""SELECT least(
+            (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+             WHERE event_type = 'view'),
+            (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+             WHERE event_type = 'click')
+        ) - CAST({stream_next8._SLJ_DELAY_US} AS BIGINT)"""
+    ).fetchone()
+    nulls = out.filter(F.col("click_id").isNull())
+    above = nulls.filter(
+        F.unix_micros("view_ts") + stream_next8._SLJ_INTERVAL_US >= wm_us
+    ).count()
+    assert above == 0
