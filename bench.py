@@ -114,6 +114,19 @@ HEADLINE = (
     "cci",
     "force_index",
     "ease_of_movement",
+    # late-r9 builds (r11-window debuts): window-sum oscillators +
+    # candle-transform recurrence, fully-oracled Lloyd k-means +
+    # hashed linear scorer, bounded k-core peel + co-purchase Jaccard
+    # (stream_left_join is streaming-driven, out of bench like every
+    # stream_* key — pinned by tests/test_next9_staged.py)
+    "ultimate_oscillator",
+    "vortex",
+    "ichimoku",
+    "heikin_ashi",
+    "embedding_kmeans",
+    "quality_classifier",
+    "kcore_decomposition",
+    "item_similarity",
 )
 
 

@@ -127,6 +127,22 @@ QUERIES = (
     "cci",
     "force_index",
     "ease_of_movement",
+    # late-r9 families: window-sum oscillators + candle recurrence
+    # (state over the extended replicated calendar), fully-oracled
+    # Lloyd k-means (N× corpus through the per-round broadcast
+    # join), hashed linear scorer (map-only), k-core peel +
+    # co-purchase Jaccard (the orderkey shift multiplies SUPPORT on
+    # the same part node set — a densifying graph, the harder
+    # direction). stream_left_join stays excluded like the other
+    # streaming-driven harness keys.
+    "ultimate_oscillator",
+    "vortex",
+    "ichimoku",
+    "heikin_ashi",
+    "embedding_kmeans",
+    "quality_classifier",
+    "kcore_decomposition",
+    "item_similarity",
 )
 
 
