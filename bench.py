@@ -123,6 +123,7 @@ HEADLINE = (
     "vortex",
     "ichimoku",
     "heikin_ashi",
+    "parabolic_sar",
     "embedding_kmeans",
     "quality_classifier",
     "kcore_decomposition",

@@ -228,11 +228,102 @@ def q_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ parabolic_sar
+
+_PSAR_AF0 = Decimal("0.02")
+_PSAR_AFMAX = Decimal("0.2")
+
+
+def q_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder's Parabolic SAR — the BRANCHY stateful recurrence
+    (trend flips, clamped step, accelerating factor) run entirely in
+    exact decimal so both engines replay the identical trajectory:
+
+    state at rn=2 (after two bars): trend = up iff close2 ≥ close1;
+    ep/sar = the two bars' extreme pair; af = 0.02. Per step:
+    sar_raw = round(sar + af·(ep − sar), 6); clamp against the two
+    PRIOR lows (up) / highs (down); reversal when the new bar crosses
+    the clamped sar → sar := old ep, ep := new extreme, af := 0.02;
+    otherwise extend (new extreme bumps af by 0.02 up to 0.2). Every
+    quantity is DECIMAL(18,6) (af exact 2dp), every product rounded
+    per step — no division, no float: the heikin_ashi/trix recipe on
+    a recurrence with four state variables and data-dependent
+    branches. Emits (sar, trend) from rn=2."""
+    import pandas as pd
+
+    bars = _bars_rn(spark, sf_dir).select(
+        "series_key",
+        "date",
+        "rn",
+        F.col("high").cast("decimal(18,6)").alias("h_d"),
+        F.col("low").cast("decimal(18,6)").alias("l_d"),
+        F.col("close").cast("decimal(18,6)").alias("c_d"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        n = len(pdf)
+        out_sar, out_trend, out_idx = [], [], []
+        if n >= 2:
+            h, l, c = pdf["h_d"], pdf["l_d"], pdf["c_d"]
+            up = c[1] >= c[0]
+            ep = max(h[0], h[1]) if up else min(l[0], l[1])
+            sar = min(l[0], l[1]) if up else max(h[0], h[1])
+            af = _PSAR_AF0
+            out_sar.append(sar)
+            out_trend.append(1 if up else -1)
+            out_idx.append(1)
+            for t in range(2, n):
+                sar_raw = (sar + af * (ep - sar)).quantize(
+                    _SIX, ROUND_HALF_UP
+                )
+                if up:
+                    sar_c = min(sar_raw, l[t - 1], l[t - 2])
+                    if l[t] < sar_c:  # reversal to down
+                        up, sar, ep, af = False, ep, l[t], _PSAR_AF0
+                    else:
+                        sar = sar_c
+                        if h[t] > ep:
+                            ep, af = h[t], min(af + _PSAR_AF0, _PSAR_AFMAX)
+                else:
+                    sar_c = max(sar_raw, h[t - 1], h[t - 2])
+                    if h[t] > sar_c:  # reversal to up
+                        up, sar, ep, af = True, ep, h[t], _PSAR_AF0
+                    else:
+                        sar = sar_c
+                        if l[t] < ep:
+                            ep, af = l[t], min(af + _PSAR_AF0, _PSAR_AFMAX)
+                out_sar.append(sar)
+                out_trend.append(1 if up else -1)
+                out_idx.append(t)
+        sel = pdf.iloc[out_idx]
+        return pd.DataFrame(
+            {
+                "series_key": sel["series_key"].values,
+                "date": sel["date"].values,
+                "psar_d": out_sar,
+                "trend": out_trend,
+            }
+        )
+
+    folded = bars.groupBy("series_key").applyInPandas(
+        fold,
+        "series_key string, date timestamp, psar_d decimal(18,6), trend int",
+    )
+    return folded.select(
+        "series_key",
+        "date",
+        F.round(F.col("psar_d").cast("double"), 6).alias("psar"),
+        "trend",
+    )
+
+
 QUERIES_NEXT = {
     "ultimate_oscillator": q_ultimate_oscillator,
     "vortex": q_vortex,
     "ichimoku": q_ichimoku,
     "heikin_ashi": q_heikin_ashi,
+    "parabolic_sar": q_parabolic_sar,
 }
 
 _UO_RATIO = {
@@ -257,7 +348,71 @@ _HA_OPEN_NEXT = (
     " AS DECIMAL(18,6))"
 )
 
+# ---- parabolic_sar oracle fragments (recursive CTE, 4 state vars)
+_PS_RAW = "CAST(round(r.sar + r.af * (r.ep - r.sar), 6) AS DECIMAL(18,6))"
+_PS_UP = f"least({_PS_RAW}, s.pl1, s.pl2)"
+_PS_DN = f"greatest({_PS_RAW}, s.ph1, s.ph2)"
+_PS_REV_UP = f"(s.l_d < {_PS_UP})"
+_PS_REV_DN = f"(s.h_d > {_PS_DN})"
+_PS_AF0 = "CAST(0.02 AS DECIMAL(18,6))"
+_PS_BUMP = "CAST(least(r.af + CAST(0.02 AS DECIMAL(18,6)), CAST(0.2 AS DECIMAL(18,6))) AS DECIMAL(18,6))"
+
+_PSAR_SQL = f"""
+    WITH RECURSIVE {_SEQ}, sd AS (
+        SELECT series_key, date, rn,
+               CAST(high AS DECIMAL(18,6)) AS h_d,
+               CAST(low AS DECIMAL(18,6)) AS l_d,
+               CAST(close AS DECIMAL(18,6)) AS c_d,
+               lag(CAST(low AS DECIMAL(18,6)), 1) OVER w AS pl1,
+               lag(CAST(low AS DECIMAL(18,6)), 2) OVER w AS pl2,
+               lag(CAST(high AS DECIMAL(18,6)), 1) OVER w AS ph1,
+               lag(CAST(high AS DECIMAL(18,6)), 2) OVER w AS ph2,
+               lag(CAST(close AS DECIMAL(18,6)), 1) OVER w AS pc1
+        FROM seq
+        WINDOW w AS (PARTITION BY series_key ORDER BY rn)
+    ), rec(series_key, date, rn, trend, sar, ep, af) AS (
+        SELECT series_key, date, rn,
+               CASE WHEN c_d >= pc1 THEN 1 ELSE -1 END,
+               CAST(CASE WHEN c_d >= pc1 THEN least(l_d, pl1)
+                         ELSE greatest(h_d, ph1) END AS DECIMAL(18,6)),
+               CAST(CASE WHEN c_d >= pc1 THEN greatest(h_d, ph1)
+                         ELSE least(l_d, pl1) END AS DECIMAL(18,6)),
+               {_PS_AF0}
+        FROM sd WHERE rn = 2
+        UNION ALL
+        SELECT s.series_key, s.date, s.rn,
+               CASE WHEN r.trend = 1
+                    THEN CASE WHEN {_PS_REV_UP} THEN -1 ELSE 1 END
+                    ELSE CASE WHEN {_PS_REV_DN} THEN 1 ELSE -1 END END,
+               CAST(CASE WHEN r.trend = 1
+                    THEN CASE WHEN {_PS_REV_UP} THEN r.ep ELSE {_PS_UP} END
+                    ELSE CASE WHEN {_PS_REV_DN} THEN r.ep ELSE {_PS_DN} END
+                    END AS DECIMAL(18,6)),
+               CAST(CASE WHEN r.trend = 1
+                    THEN CASE WHEN {_PS_REV_UP} THEN s.l_d
+                              ELSE greatest(r.ep, s.h_d) END
+                    ELSE CASE WHEN {_PS_REV_DN} THEN s.h_d
+                              ELSE least(r.ep, s.l_d) END
+                    END AS DECIMAL(18,6)),
+               CAST(CASE WHEN r.trend = 1
+                    THEN CASE WHEN {_PS_REV_UP} THEN {_PS_AF0}
+                              WHEN s.h_d > r.ep THEN {_PS_BUMP}
+                              ELSE r.af END
+                    ELSE CASE WHEN {_PS_REV_DN} THEN {_PS_AF0}
+                              WHEN s.l_d < r.ep THEN {_PS_BUMP}
+                              ELSE r.af END
+                    END AS DECIMAL(18,6))
+        FROM rec r JOIN sd s
+          ON s.series_key = r.series_key AND s.rn = r.rn + 1
+    )
+    SELECT series_key, date,
+           round(CAST(sar AS DOUBLE), 6) AS psar,
+           CAST(trend AS INT) AS trend
+    FROM rec
+"""
+
 ORACLE_NEXT = {
+    "parabolic_sar": _PSAR_SQL,
     "ultimate_oscillator": f"""
         WITH {_SEQ}, bt AS (
             SELECT series_key, date, rn,

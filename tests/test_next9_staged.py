@@ -351,3 +351,81 @@ def test_stream_left_join_null_rows_respect_horizon(spark):
         F.unix_micros("view_ts") + stream_next8._SLJ_INTERVAL_US >= wm_us
     ).count()
     assert above == 0
+
+
+# -------------------------------------------------------- parabolic_sar
+
+
+def test_parabolic_sar_parity(spark):
+    df = stock_next7.q_parabolic_sar(spark, SF_ORACLE)
+    assert_gradable_schema(df, "parabolic_sar")
+    assert df.count() > 0
+    compare(df, duckdb_run(stock_next7.ORACLE_NEXT["parabolic_sar"], SF_ORACLE))
+
+
+def test_parabolic_sar_exercises_reversals(spark):
+    """Both flip directions must occur on the graded data — a
+    flip-free series would leave the reversal branches untested."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = stock_next7.q_parabolic_sar(spark, SF_ORACLE)
+    w = Window.partitionBy("series_key").orderBy("date")
+    flips = df.withColumn("pt", F.lag("trend").over(w)).filter(
+        F.col("pt").isNotNull() & (F.col("pt") != F.col("trend"))
+    )
+    dirs = {r.trend for r in flips.select("trend").distinct().collect()}
+    assert dirs == {1, -1}
+
+
+def test_parabolic_sar_flat_series_never_reverses(spark):
+    """Constant bars: trend stays up (close2 >= close1), sar pins to
+    the price, af never bumps — the recurrence fixpoint."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from stock_data_project_spark.operators.series import daily_bars
+
+    ev = spark.createDataFrame(
+        [
+            ("flat", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 7.25, i)
+            for i in range(10)
+        ],
+        "event_type string, ts timestamp, value double, event_id long",
+    )
+    bars = daily_bars(ev).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("series_key").orderBy("date"))
+    )
+    import stock_data_project_spark.plans.stock_next7 as m
+
+    orig = m._bars_rn
+    m._bars_rn = lambda s, d: bars
+    try:
+        out = m.q_parabolic_sar(spark, "ignored").collect()
+    finally:
+        m._bars_rn = orig
+    assert len(out) == 9
+    for r in out:
+        assert r.trend == 1
+        assert r.psar == pytest.approx(7.25)
+
+
+def test_parabolic_sar_stays_outside_price_range(spark):
+    """Invariant: in an uptrend the SAR sits at/below the bar's low
+    region only after clamping — concretely, sar <= high always and
+    a reversal bar resets sar to the finished trend's extreme, which
+    bounds sar within the series' [min low, max high]."""
+    import pyspark.sql.functions as F
+
+    from stock_data_project_spark.plans.stock_next4 import _bars_rn
+
+    bars = _bars_rn(spark, SF_SMOKE).groupBy("series_key").agg(
+        F.min("low").alias("lo"), F.max("high").alias("hi")
+    )
+    df = stock_next7.q_parabolic_sar(spark, SF_SMOKE).join(bars, "series_key")
+    bad = df.filter(
+        (F.col("psar") < F.col("lo")) | (F.col("psar") > F.col("hi"))
+    ).count()
+    assert bad == 0

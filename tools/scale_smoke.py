@@ -139,6 +139,7 @@ QUERIES = (
     "vortex",
     "ichimoku",
     "heikin_ashi",
+    "parabolic_sar",
     "embedding_kmeans",
     "quality_classifier",
     "kcore_decomposition",
