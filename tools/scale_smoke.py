@@ -224,6 +224,18 @@ def replicate(spark, out_dir: str, n: int) -> dict[str, int]:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    # optional subset (comma list): re-measure one family cleanly
+    # without paying for the whole sweep — contention with any
+    # concurrent Spark job inflates timings (SURVEY §4 contention
+    # A/B), so targeted re-runs need to be cheap enough to run solo
+    subset = os.environ.get("SPARK_GRAFT_SMOKE_KEYS")
+    global QUERIES
+    if subset:
+        wanted = [k.strip() for k in subset.split(",") if k.strip()]
+        unknown = set(wanted) - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"unknown smoke keys: {sorted(unknown)}")
+        QUERIES = tuple(wanted)
     spark = get_spark("scale_smoke", extra_conf={"spark.ui.showConsoleProgress": "false"})
     out_dir = tempfile.mkdtemp(prefix="scale_smoke_")
     try:
@@ -241,6 +253,11 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[k](spark, out_dir).write.mode("overwrite").format("noop").save()
             timings[k] = round(time.perf_counter() - t0, 2)
+        if subset:
+            # targeted re-measure: skip the lib extras
+            print(json.dumps({"replication": n, "prep_sec": prep,
+                              "rows": counts, "queries_sec": timings}))
+            return
         # the opt-in RAW path: quadratic true-pair output on this
         # duplicate-heavy corpus BY CONSTRUCTION (n copies of every
         # text) — timed to keep the hazard ratio vs the collapse-first
