@@ -126,6 +126,8 @@ HEADLINE = (
     "parabolic_sar",
     "embedding_kmeans",
     "quality_classifier",
+    "embedding_outliers",
+    "source_mix_report",
     "kcore_decomposition",
     "item_similarity",
 )

@@ -93,7 +93,10 @@ def _assign(vals: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, dist_d) after the fixed Lloyd rounds —
+    the shared trajectory behind embedding_kmeans and
+    embedding_outliers (checkpointed: callers branch off it)."""
     vals = _vals(spark, sf_dir).persist()
     init_ids = (
         vals.select("vec_id")
@@ -111,8 +114,10 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     asg = None
-    for _ in range(_ROUNDS):
+    for r in range(_ROUNDS):
         asg = _assign(vals, cents)
+        if r == _ROUNDS - 1:
+            break  # the last update would be unused
         agg = (
             asg.select("vec_id", "cluster")
             .join(vals, "vec_id")
@@ -137,7 +142,14 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    out = (
+    result = asg.localCheckpoint(eager=True)
+    vals.unpersist()
+    return result
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asg = _final_assignment(spark, sf_dir)
+    return (
         asg.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -152,25 +164,57 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    result = out.localCheckpoint(eager=True)
-    vals.unpersist()
-    return result
 
 
-def _kmeans_sql() -> str:
-    """Chained-CTE replay of the fixed-round trajectory."""
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-centroid outlier pruning (the embedding-space
+    quality gate next to SemDeDup's near-dup prune): a vector is an
+    outlier when its distance exceeds 1.05× its cluster's mean
+    distance — tested as 20 · dist_d · n > 21 · Σdist_d in EXACT
+    decimal/integer arithmetic, so the flag has no float boundary at
+    all (the synthetic embeddings are near-uniform: the dist/mean
+    ratio spans only 0.70-1.10, so the classic 2× rule selects
+    nothing — the 1.05 threshold flags the real ~5% tail; on natural
+    data the threshold is the tunable). Emits only the flagged
+    vectors with their cluster context."""
+    asg = _final_assignment(spark, sf_dir)
+    stats = asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dist_d").alias("sum_d"),
+    )
+    return (
+        asg.join(F.broadcast(stats), "cluster")
+        .filter(20 * F.col("dist_d") * F.col("n") > 21 * F.col("sum_d"))
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(F.col("dist_d").cast("double"), 6).alias("dist"),
+            exact_avg6_expr("CAST(sum_d * 1000000 AS BIGINT)", "n").alias(
+                "cluster_mean_dist"
+            ),
+        )
+    )
+
+
+def _kmeans_chain() -> str:
+    """WITH-prefix replaying the fixed-round trajectory (shared by
+    the kmeans and outliers oracles)."""
     mean_c = exact_avg6_sql("CAST(a.s_d * 1000000 AS BIGINT)", "a.n")
     rounds = []
+    # AS MATERIALIZED throughout: each round references its
+    # predecessor ~3 times and DuckDB inlines plain CTEs per
+    # reference (the kcore 5^R lesson, milder here but still ~3^R
+    # re-evaluations of the scan)
     for r in range(1, _ROUNDS + 1):
         prev = f"cents{r - 1}"
         rounds.append(
-            f"""dist{r} AS (
+            f"""dist{r} AS MATERIALIZED (
             SELECT t.vec_id, c.cid,
                    sum(CAST(round((t.v - c.c) * (t.v - c.c), 6)
                             AS DECIMAL(18,6))) AS dist_d
             FROM vals t JOIN {prev} c ON t.dim = c.dim
             GROUP BY t.vec_id, c.cid
-        ), asg{r} AS (
+        ), asg{r} AS MATERIALIZED (
             SELECT vec_id,
                    struct_extract(min(struct_pack(d := dist_d, cid := cid)),
                                   'cid') AS cluster,
@@ -181,21 +225,20 @@ def _kmeans_sql() -> str:
         )
         if r < _ROUNDS:
             rounds.append(
-                f"""agg{r} AS (
+                f"""agg{r} AS MATERIALIZED (
             SELECT a.cluster AS cid, t.dim,
                    sum(CAST(t.v AS DECIMAL(18,6))) AS s_d, count(*) AS n
             FROM asg{r} a JOIN vals t ON t.vec_id = a.vec_id
             GROUP BY 1, 2
-        ), cents{r} AS (
+        ), cents{r} AS MATERIALIZED (
             SELECT p.cid, p.dim, coalesce({mean_c}, p.c) AS c
             FROM {prev} p LEFT JOIN agg{r} a
               ON a.cid = p.cid AND a.dim = p.dim
         )"""
             )
     chain = ",\n        ".join(rounds)
-    avg_dist = exact_avg6_sql("CAST(sum(dist_d) * 1000000 AS BIGINT)", "count(*)")
     return f"""
-        WITH vals AS (
+        WITH vals AS MATERIALIZED (
             SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS dim,
                    CAST(unnest(embedding) AS DOUBLE) AS v
             FROM embeddings
@@ -204,16 +247,36 @@ def _kmeans_sql() -> str:
                    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
             FROM (SELECT DISTINCT vec_id FROM embeddings
                   ORDER BY vec_id LIMIT {_K})
-        ), cents0 AS (
+        ), cents0 AS MATERIALIZED (
             SELECT i.cid, t.dim, t.v AS c
             FROM init i JOIN vals t ON t.vec_id = i.vec_id
         ),
-        {chain}
+        {chain}"""
+
+
+def _kmeans_sql() -> str:
+    avg_dist = exact_avg6_sql("CAST(sum(dist_d) * 1000000 AS BIGINT)", "count(*)")
+    return f"""{_kmeans_chain()}
         SELECT cluster, count(*) AS n_members,
                round(CAST(sum(dist_d) AS DOUBLE), 6) AS inertia,
                {avg_dist} AS avg_dist
         FROM asg{_ROUNDS}
         GROUP BY cluster
+    """
+
+
+def _outliers_sql() -> str:
+    mean_d = exact_avg6_sql("CAST(s.sum_d * 1000000 AS BIGINT)", "s.n")
+    return f"""{_kmeans_chain()},
+        stats AS (
+            SELECT cluster, count(*) AS n, sum(dist_d) AS sum_d
+            FROM asg{_ROUNDS} GROUP BY cluster
+        )
+        SELECT a.vec_id, a.cluster,
+               round(CAST(a.dist_d AS DOUBLE), 6) AS dist,
+               {mean_d} AS cluster_mean_dist
+        FROM asg{_ROUNDS} a JOIN stats s ON s.cluster = a.cluster
+        WHERE 20 * a.dist_d * s.n > 21 * s.sum_d
     """
 
 
@@ -279,12 +342,84 @@ _QC_SQL = f"""
 """
 
 
+# -------------------------------------------------------- source_mix_report
+
+
+def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing report every corpus build prints before
+    training: per-source doc/token/char volume, mean tokens per doc,
+    and the source's share of total tokens — all counts exact
+    integers, both ratios through the exact-integer HALF_UP identity.
+    One tokenize scan + two tiny groupBys + a broadcast scalar; at
+    100 TB this is a map-side-combinable shuffle of ~|sources| keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    toks = (
+        docs.select("source", F.explode(words("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    total = toks.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        per_doc.join(toks, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "n_chars_total",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars_total",
+            exact_avg6_expr("n_tokens * 1000000", "n_docs").alias(
+                "avg_tokens_per_doc"
+            ),
+            exact_avg6_expr("n_tokens * 1000000", "_tot").alias("token_share"),
+        )
+    )
+
+
+_MIX_SQL = f"""
+    WITH per_doc AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        FROM documents GROUP BY source
+    ), toks AS (
+        SELECT source, count(*) AS n_tokens
+        FROM (SELECT source, unnest(string_split({_NORM}, ' ')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY source
+    ), total AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM toks)
+    SELECT p.source, p.n_docs,
+           coalesce(t.n_tokens, 0) AS n_tokens,
+           p.n_chars_total,
+           {exact_avg6_sql("coalesce(t.n_tokens, 0) * 1000000", "p.n_docs")}
+               AS avg_tokens_per_doc,
+           {exact_avg6_sql("coalesce(t.n_tokens, 0) * 1000000", "tot")}
+               AS token_share
+    FROM per_doc p LEFT JOIN toks t ON t.source = p.source
+    CROSS JOIN total
+"""
+
+
 QUERIES_NEXT = {
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_outliers": q_embedding_outliers,
     "quality_classifier": q_quality_classifier,
+    "source_mix_report": q_source_mix_report,
 }
 
 ORACLE_NEXT = {
     "embedding_kmeans": _kmeans_sql(),
+    "embedding_outliers": _outliers_sql(),
     "quality_classifier": _QC_SQL,
+    "source_mix_report": _MIX_SQL,
 }

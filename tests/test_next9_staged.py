@@ -429,3 +429,50 @@ def test_parabolic_sar_stays_outside_price_range(spark):
         (F.col("psar") < F.col("lo")) | (F.col("psar") > F.col("hi"))
     ).count()
     assert bad == 0
+
+
+# ---------------------------------- embedding_outliers / source_mix_report
+
+
+@pytest.mark.parametrize("key", ["embedding_outliers", "source_mix_report"])
+def test_llm9b_parity(spark, key):
+    df = llm_next9.QUERIES_NEXT[key](spark, SF_ORACLE)
+    assert_gradable_schema(df, key)
+    assert df.count() > 0
+    compare(df, duckdb_run(llm_next9.ORACLE_NEXT[key], SF_ORACLE))
+
+
+def test_outliers_are_the_far_tail(spark):
+    """Every flagged vector's dist strictly exceeds its cluster mean
+    (by the 1.05 factor), and the flagged set is a minority."""
+    import pyspark.sql.functions as F
+
+    out = llm_next9.q_embedding_outliers(spark, SF_SMOKE)
+    n_out = out.count()
+    assert 0 < n_out
+    from stock_data_project_spark.catalog import load_table
+
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert n_out < 0.25 * n
+    bad = out.filter(F.col("dist") <= F.col("cluster_mean_dist")).count()
+    assert bad == 0
+
+
+def test_source_mix_shares_sum_to_one(spark):
+    """Token shares are exact-integer roundings of n_tokens/total —
+    their sum is 1 ± 20·5e-7 (one rounding step per source)."""
+    import pyspark.sql.functions as F
+
+    df = llm_next9.q_source_mix_report(spark, SF_SMOKE)
+    total_share = df.agg(F.sum("token_share")).collect()[0][0]
+    n_src = df.count()
+    assert abs(total_share - 1.0) <= n_src * 5e-7
+    tok = df.agg(F.sum("n_tokens")).collect()[0][0]
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.operators.textops import words
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = docs.select(F.explode(words("text")).alias("w")).filter(
+        F.col("w") != ""
+    ).count()
+    assert tok == want

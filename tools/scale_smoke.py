@@ -142,6 +142,8 @@ QUERIES = (
     "parabolic_sar",
     "embedding_kmeans",
     "quality_classifier",
+    "embedding_outliers",
+    "source_mix_report",
     "kcore_decomposition",
     "item_similarity",
 )
