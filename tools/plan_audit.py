@@ -136,6 +136,9 @@ def main() -> None:
         # tfidf_retrieval binds the 1-row corpus-size scalar inside
         # the idf weight build (the tfidf_top_terms class)
         "tfidf_retrieval",
+        # source_mix_report binds the 1-row total-token scalar for
+        # the token_share denominator — same constant-cost class
+        "source_mix_report",
     }
     flagged = [
         k
