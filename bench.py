@@ -128,6 +128,7 @@ HEADLINE = (
     "quality_classifier",
     "embedding_outliers",
     "source_mix_report",
+    "retrieval_ndcg",
     "kcore_decomposition",
     "item_similarity",
 )

@@ -410,11 +410,147 @@ _MIX_SQL = f"""
 """
 
 
+# ---------------------------------------------------------- retrieval_ndcg
+
+# NDCG@5 discount weights 1/log2(rank+1), PINNED as 6dp literals
+# computed once here and inlined into BOTH engines' expressions —
+# neither engine ever evaluates log2, so transcendental-function
+# bit-parity never enters the key. Ideal-DCG prefix sums are exact
+# decimal sums of the same literals.
+import math as _math
+from decimal import Decimal as _D
+
+_NDCG_K = 5
+_NDCG_W = [round(1.0 / _math.log2(i + 1), 6) for i in range(1, _NDCG_K + 1)]
+_NDCG_CUMW = []
+_acc = _D(0)
+for _w in _NDCG_W:
+    _acc += _D(str(_w))
+    _NDCG_CUMW.append(str(_acc))
+del _acc, _w
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the tfidf_retrieval output —
+    the offline eval step every retrieval/RAG pipeline runs at scale:
+    binary relevance = language match between query and retrieved
+    doc; DCG@5 with the pinned literal discounts; ideal DCG from the
+    corpus-wide relevant count (capped at k); NDCG through the
+    exact-integer rounded-ratio identity. Everything downstream of
+    the (already fully-oracled) retrieval is exact decimal/integer,
+    so the eval composes without adding any float surface."""
+    from stock_data_project_spark.plans.llm_next6 import q_tfidf_retrieval
+
+    ret = q_tfidf_retrieval(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    qlang = docs.select(
+        F.col("doc_id").alias("query_id"), F.col("lang").alias("q_lang")
+    )
+    ret_l = (
+        ret.join(F.broadcast(qlang), "query_id")
+        .join(docs, "doc_id")
+        .withColumn("rel", (F.col("lang") == F.col("q_lang")).cast("int"))
+    )
+    w_arr = F.array(
+        *[F.lit(w).cast("decimal(18,6)") for w in _NDCG_W]
+    )
+    dcg = ret_l.groupBy("query_id", "q_lang").agg(
+        F.sum(
+            F.when(F.col("rel") == 1, F.element_at(w_arr, F.col("rank")))
+            .otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("dcg_d"),
+        F.count(F.lit(1)).alias("n_retrieved"),
+    )
+    # corpus-wide relevant count per query lang (minus the query doc
+    # itself, which retrieval excludes)
+    lang_n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    cum_arr = F.array(*[F.lit(c).cast("decimal(18,6)") for c in _NDCG_CUMW])
+    out = (
+        dcg.join(
+            F.broadcast(lang_n), dcg["q_lang"] == lang_n["lang"]
+        )
+        .withColumn("n_relevant", (F.col("n_lang") - 1).cast("bigint"))
+        .withColumn(
+            "idcg_d",
+            F.when(
+                F.col("n_relevant") >= 1,
+                F.element_at(cum_arr, F.least(F.col("n_relevant"), F.lit(_NDCG_K)).cast("int")),
+            ),
+        )
+    )
+    return out.select(
+        "query_id",
+        "n_retrieved",
+        "n_relevant",
+        F.round(F.col("dcg_d").cast("double"), 6).alias("dcg"),
+        F.when(
+            F.col("idcg_d").isNotNull(),
+            exact_avg6_expr(
+                "CAST(dcg_d * 1000000 AS BIGINT) * 1000000",
+                "CAST(idcg_d * 1000000 AS BIGINT)",
+            ),
+        ).alias("ndcg"),
+    )
+
+
+def _ndcg_sql() -> str:
+    from stock_data_project_spark.plans.llm_next6 import _TFIDF_SQL
+
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN CAST({w} AS DECIMAL(18,6))"
+        for i, w in enumerate(_NDCG_W)
+    )
+    cum_case = " ".join(
+        f"WHEN {i + 1} THEN CAST({c} AS DECIMAL(18,6))"
+        for i, c in enumerate(_NDCG_CUMW)
+    )
+    ratio = exact_avg6_sql(
+        "CAST(dcg_d * 1000000 AS BIGINT) * 1000000",
+        "CAST(idcg_d * 1000000 AS BIGINT)",
+    )
+    return f"""
+        WITH ret AS MATERIALIZED (
+            SELECT * FROM ({_TFIDF_SQL})
+        ), dl AS (
+            SELECT doc_id, lang FROM documents
+        ), rel AS (
+            SELECT r.query_id, r.rank,
+                   CASE WHEN d.lang = q.lang THEN 1 ELSE 0 END AS rel
+            FROM ret r
+            JOIN dl d ON d.doc_id = r.doc_id
+            JOIN dl q ON q.doc_id = r.query_id
+        ), dcg AS (
+            SELECT query_id,
+                   sum(CASE WHEN rel = 1
+                            THEN CASE rank {w_case} END
+                            ELSE CAST(0 AS DECIMAL(18,6)) END) AS dcg_d,
+                   count(*) AS n_retrieved
+            FROM rel GROUP BY query_id
+        ), lang_n AS (
+            SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+        ), idcg AS (
+            SELECT dcg.*,
+                   CAST(ln.n_lang - 1 AS BIGINT) AS n_relevant,
+                   CASE WHEN ln.n_lang - 1 >= 1
+                        THEN CASE least(ln.n_lang - 1, {_NDCG_K}) {cum_case} END
+                   END AS idcg_d
+            FROM dcg
+            JOIN dl q ON q.doc_id = dcg.query_id
+            JOIN lang_n ln ON ln.lang = q.lang
+        )
+        SELECT query_id, n_retrieved, n_relevant,
+               round(CAST(dcg_d AS DOUBLE), 6) AS dcg,
+               CASE WHEN idcg_d IS NOT NULL THEN {ratio} END AS ndcg
+        FROM idcg
+    """
+
+
 QUERIES_NEXT = {
     "embedding_kmeans": q_embedding_kmeans,
     "embedding_outliers": q_embedding_outliers,
     "quality_classifier": q_quality_classifier,
     "source_mix_report": q_source_mix_report,
+    "retrieval_ndcg": q_retrieval_ndcg,
 }
 
 ORACLE_NEXT = {
@@ -422,4 +558,5 @@ ORACLE_NEXT = {
     "embedding_outliers": _outliers_sql(),
     "quality_classifier": _QC_SQL,
     "source_mix_report": _MIX_SQL,
+    "retrieval_ndcg": _ndcg_sql(),
 }

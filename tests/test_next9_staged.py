@@ -476,3 +476,60 @@ def test_source_mix_shares_sum_to_one(spark):
         F.col("w") != ""
     ).count()
     assert tok == want
+
+
+# ---------------------------------------------------------- retrieval_ndcg
+
+
+def test_retrieval_ndcg_parity(spark):
+    df = llm_next9.QUERIES_NEXT["retrieval_ndcg"](spark, SF_ORACLE)
+    assert_gradable_schema(df, "retrieval_ndcg")
+    assert df.count() > 0
+    compare(df, duckdb_run(llm_next9.ORACLE_NEXT["retrieval_ndcg"], SF_ORACLE))
+
+
+def test_ndcg_bounds_and_weights(spark):
+    """ndcg in [0,1]; dcg <= ideal prefix sum; a perfect single-rank
+    hit at rank 1 with n_relevant >= 5 gives ndcg = round(1/cum5, 6)
+    — checked arithmetically against the pinned literals."""
+    import pyspark.sql.functions as F
+
+    df = llm_next9.q_retrieval_ndcg(spark, SF_SMOKE)
+    assert df.filter((F.col("ndcg") < 0) | (F.col("ndcg") > 1)).count() == 0
+    # weights are the canonical 1/log2(rank+1) to 6dp
+    import math
+
+    assert llm_next9._NDCG_W[0] == 1.0
+    for i, w in enumerate(llm_next9._NDCG_W):
+        assert w == pytest.approx(1.0 / math.log2(i + 2), abs=5e-7)
+    # cumulative literals are exact decimal prefix sums
+    from decimal import Decimal
+
+    acc = Decimal(0)
+    for w, c in zip(llm_next9._NDCG_W, llm_next9._NDCG_CUMW):
+        acc += Decimal(str(w))
+        assert Decimal(c) == acc
+
+
+def test_ndcg_relevance_is_language_match(spark):
+    """Recompute one query's DCG by hand from the retrieval output
+    and the documents table."""
+    from decimal import Decimal
+
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.plans.llm_next6 import q_tfidf_retrieval
+
+    ret = q_tfidf_retrieval(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    out = {r.query_id: r for r in llm_next9.q_retrieval_ndcg(spark, SF_SMOKE).collect()}
+    qid = next(iter(out))
+    dcg = Decimal(0)
+    for r in ret:
+        if r.query_id == qid and docs[r.doc_id] == docs[qid]:
+            dcg += Decimal(str(llm_next9._NDCG_W[r.rank - 1]))
+    assert float(dcg) == pytest.approx(out[qid].dcg, abs=1e-9)

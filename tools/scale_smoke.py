@@ -144,6 +144,7 @@ QUERIES = (
     "quality_classifier",
     "embedding_outliers",
     "source_mix_report",
+    "retrieval_ndcg",
     "kcore_decomposition",
     "item_similarity",
 )
