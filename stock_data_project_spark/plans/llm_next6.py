@@ -73,7 +73,14 @@ def _weights(docs: DataFrame) -> DataFrame:
 
 
 def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from stock_data_project_spark.plans.llm_next7 import _fan_out
+
+    # tokenize+explode under-splits when the documents scan arrives
+    # in few large row-groups (the packed-array class — observed as
+    # a 100s-vs-10s smoke swing across replica writes); partitioning
+    # can't change results here: every downstream agg is hash-keyed
+    # and every float is decimal-summed (no range exchange to desync)
+    docs = _fan_out(spark, load_table(spark, sf_dir, "documents"))
     # three consumers (norms, query side, corpus side) hang off the
     # tokenize+groupBy lineage — persist ONE materialization instead
     # of recomputing the explode per branch (10.5s → ~4s at sf0.1).
