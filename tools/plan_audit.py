@@ -139,6 +139,9 @@ def main() -> None:
         # source_mix_report binds the 1-row total-token scalar for
         # the token_share denominator — same constant-cost class
         "source_mix_report",
+        # retrieval_ndcg wraps tfidf_retrieval and inherits its 1-row
+        # corpus-size scalar bind
+        "retrieval_ndcg",
     }
     flagged = [
         k
