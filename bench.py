@@ -131,6 +131,10 @@ HEADLINE = (
     "retrieval_ndcg",
     "kcore_decomposition",
     "item_similarity",
+    "ks_statistic",
+    "gini_coefficient",
+    "benford_deviation",
+    "categorical_association",
 )
 
 

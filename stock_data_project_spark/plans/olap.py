@@ -1166,3 +1166,14 @@ from stock_data_project_spark.plans.olap_next9 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT9)
 ORACLE.update(ORACLE_NEXT9)
+
+# r9 build, r11 debut: the statistical data-audit family — exact
+# integer KS two-sample test, per-segment Gini, Benford first-digit
+# audit, chi-square categorical association
+from stock_data_project_spark.plans.olap_next10 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT10,
+    QUERIES_NEXT as QUERIES_NEXT10,
+)
+
+QUERIES.update(QUERIES_NEXT10)
+ORACLE.update(ORACLE_NEXT10)

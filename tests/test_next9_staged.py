@@ -533,3 +533,94 @@ def test_ndcg_relevance_is_language_match(spark):
         if r.query_id == qid and docs[r.doc_id] == docs[qid]:
             dcg += Decimal(str(llm_next9._NDCG_W[r.rank - 1]))
     assert float(dcg) == pytest.approx(out[qid].dcg, abs=1e-9)
+
+
+# ------------------------------------------------------------ olap_next10
+
+from stock_data_project_spark.plans import olap_next10  # noqa: E402
+
+
+def test_olap10_keys_are_oracled():
+    assert set(olap_next10.QUERIES_NEXT) == set(olap_next10.ORACLE_NEXT)
+
+
+@pytest.mark.parametrize("key", sorted(olap_next10.QUERIES_NEXT))
+def test_olap10_parity(spark, key):
+    df = olap_next10.QUERIES_NEXT[key](spark, SF_ORACLE)
+    assert_gradable_schema(df, key)
+    assert df.count() > 0
+    compare(df, duckdb_run(olap_next10.ORACLE_NEXT[key], SF_ORACLE))
+
+
+def test_ks_matches_scipy_style_reference(spark):
+    """Independent in-memory KS over the same cents samples."""
+    row = olap_next10.q_ks_statistic(spark, SF_SMOKE).collect()[0]
+    a = sorted(
+        r.cents
+        for r in olap_next10._seg_cents(
+            spark, SF_SMOKE, olap_next10._KS_SEG_A
+        ).collect()
+    )
+    b = sorted(
+        r.cents
+        for r in olap_next10._seg_cents(
+            spark, SF_SMOKE, olap_next10._KS_SEG_B
+        ).collect()
+    )
+    n, m = len(a), len(b)
+    assert (row.n, row.m) == (n, m)
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, v) * m - bisect.bisect_right(b, v) * n)
+        for v in set(a) | set(b)
+    )
+    assert row.d_num == d_num
+    assert 0 <= row.ks <= 1
+
+
+def test_gini_bounds_and_uniform_zero(spark):
+    """G in [0, 1); a crafted equal-revenue segment ginis to ~0
+    ((n-1)-free exactness: 2Σi·x = (n+1)Σx when all x equal)."""
+    import pyspark.sql.functions as F
+
+    df = olap_next10.q_gini_coefficient(spark, SF_SMOKE)
+    assert df.filter((F.col("gini") < 0) | (F.col("gini") >= 1)).count() == 0
+    # exactness pin: equal values -> numerator exactly 0
+    n, x = 7, 12345
+    a = 2 * sum(i * x for i in range(1, n + 1)) - (n + 1) * n * x
+    assert a == 0
+
+
+def test_benford_shares_and_digits(spark):
+    import pyspark.sql.functions as F
+
+    df = olap_next10.q_benford_deviation(spark, SF_SMOKE)
+    rows = df.collect()
+    assert all(1 <= r.digit <= 9 for r in rows)
+    total_share = sum(r.obs_share for r in rows)
+    assert abs(total_share - 1.0) <= 9 * 5e-7
+    # pinned literals are the canonical log10(1 + 1/d)
+    import math
+
+    for d, w in olap_next10._BENFORD_EXP.items():
+        assert w == pytest.approx(math.log10(1 + 1 / d), abs=5e-7)
+
+
+def test_chi2_cells_reconstruct_totals(spark):
+    """Observed cell counts sum to the corpus size; every expected
+    value is positive; chi2 >= 0."""
+    import pyspark.sql.functions as F
+
+    from stock_data_project_spark.catalog import load_table
+
+    df = olap_next10.q_categorical_association(spark, SF_SMOKE)
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    agg = df.agg(
+        F.sum("observed").alias("tot"),
+        F.min("expected").alias("emin"),
+        F.min("chi2_cell").alias("cmin"),
+    ).collect()[0]
+    assert agg.tot == n
+    assert agg.emin > 0
+    assert agg.cmin >= 0

@@ -147,6 +147,10 @@ QUERIES = (
     "retrieval_ndcg",
     "kcore_decomposition",
     "item_similarity",
+    "ks_statistic",
+    "gini_coefficient",
+    "benford_deviation",
+    "categorical_association",
 )
 
 
