@@ -177,18 +177,30 @@ def main() -> None:
         mid = len(ok) // 2
         return round(ok[mid] if len(ok) % 2 else (ok[mid - 1] + ok[mid]) / 2, 3)
 
-    timings = {name: median(samples[name]) for name in HEADLINE}
+    # cost-descending map order: the driver records only a 2000-char
+    # TAIL of stdout, which truncates the JSON mid-map from the FRONT —
+    # sorting cheapest-first puts the expensive (interesting) keys at
+    # the end where they always survive truncation (r9 verdict item 8:
+    # 9 of 91 keys fell off the r9 record)
+    timings = {
+        name: median(samples[name])
+        for name in sorted(
+            HEADLINE, key=lambda n: (median(samples[n]) is None, median(samples[n]) or 0.0)
+        )
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # "value" (the headline total) placed AFTER the map so it also
+    # survives the tail window
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
-                "value": round(sum(v for v in timings.values() if v is not None), 3),
                 "unit": "sec",
-                "queries": timings,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "queries": timings,
+                "value": round(sum(v for v in timings.values() if v is not None), 3),
             }
         )
     )

@@ -26,86 +26,85 @@ from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 # set is reviewable as one diff. Keys beyond the list follow in module
 # order. New keys MUST debut inside the list in their round.
 #
-# r9 window (50), per the SURVEY §5 commitment made in r8: the
-# twenty-three r8-built debuts first (olap_next6, llm_next5,
-# stock_next4, stream_next5, plus the late-r8 batch stock_next5 /
-# olap_next7 / llm_next6 / stream_next6 — all oracled except the
-# annotated doc_compression_ratio, parity-proven by
-# tests/test_next5_staged.py + test_next6_staged.py and the r8 sf0.1
-# sweep), then the twelve named r8 deferrals (r5-evidence stock rows),
-# then re-grades oldest-evidence-first from the r6 cohort: olap_next3
-# scd2_dim..quantile_rollup, stock_next2 mfi/ulcer_index/linear_interp,
-# llm_next2 frequent_tokens/contamination_flags/bigram_logprob.
-# Named r10 deferrals (r6-evidence keys that overflow the 50):
-# llm_next2 capped_counts, split_counts, bpe_token_count, pack_stats,
-# remix_counts; stream_anomaly, stream_scd2, scd2_late_gate;
-# sql_decayed_revenue; dim_country, macd; olap tpch_q12/q13/q17 +
-# approx_stats; then llm's r6 rows (tfidf_top_terms..doc_winnow,
-# gopher_quality, ngram_repetition, embedding_dedup(_ivf),
-# media_pipeline, dedup_* / ann_* / lang_id / text_quality ...).
+# r10 window (50), per the SURVEY §5 commitment made in r9: the eleven
+# r9-built debuts first (llm_next7 media keys, llm_next8
+# chunk_documents, olap_next8 entity_resolution/winsorized_stats,
+# stock_next6 cci/force_index/ease_of_movement, stream_next7
+# stream_dedup_watermark — all fully oracled, parity-proven at
+# sf0.001/0.01/0.1 by tests/test_next7_staged.py +
+# test_next8_staged.py), then the fifteen named r9 deferrals
+# (r6-evidence), then llm's nineteen r6-evidence rows in module order,
+# then re-grades oldest-evidence-first: williams_r (r7), the two r5
+# rows the r9 commitment overlooked (customers_with_orders,
+# distinct_parts_per_supplier — oldest evidence in the registry), and
+# the first two olap r7 rows.
+# Named r11 deferrals (r7-evidence keys that overflow the 50, in
+# module order after the two included): olap sessionize..pivot_returnflag,
+# olap_next tpch_q2/q8/q9/q11/q15/q16/q20/q21, sql_segment_revenue,
+# sql_star_query, stream_quantile, stock_next3 ema_cross/roc_momentum,
+# llm_next3 stratified_sample/topk_rollup, olap_next4
+# tpch_q18/cohort_ltv/frequent_pairs/triangle_count.
 _GRADE_ORDER = [
-    # debuts (built r8): olap_next6
-    "skew_salted_revenue",
-    "order_gap_stats",
-    "cumulative_distinct_users",
-    # debuts: llm_next5
-    "token_entropy",
-    "ann_range_search",
-    "quality_percentile_gate",
-    "bm25_rank",
-    "doc_compression_ratio",
-    "ngram_novelty",
-    # debuts: stock_next4
-    "aroon",
-    "cmf",
-    "keltner",
-    # debuts: stream_next5
-    "stream_distinct_users",
-    # debuts (late r8): stock_next5
-    "trix",
-    "adx",
-    # debuts: olap_next7
-    "rfm_segmentation",
-    "pareto_revenue",
-    "basket_lift",
-    "mad_outliers",
-    # debuts: llm_next6
-    "tfidf_retrieval",
-    "embedding_dim_stats",
-    # debuts: stream_next6
-    "stream_sliding_avg",
-    "stream_funnel_state",
-    # named r8 deferrals (pass r5; driver-smoke-checked each round)
-    "daily_return",
-    "log_return",
-    "rolling_volatility",
-    "filter_range",
-    "annual_join",
-    "ohlc_daily",
-    "sma_cross",
-    "cumulative_return",
-    "drawdown",
-    "bollinger",
-    "rsi",
-    "incremental_watermark",
-    # re-grades: olap_next3 r6 cohort (module order)
-    "scd2_dim",
-    "scd2_asof",
-    "session_concurrency",
-    "data_quality_audit",
-    "expectation_gate",
-    "user_influence",
-    "snapshot_delta",
-    "salted_join_revenue",
-    "quantile_rollup",
-    # re-grades: stock_next2 r6 cohort
-    "mfi",
-    "ulcer_index",
-    "linear_interp",
-    # re-grades: llm_next2 r6 cohort (first 3)
-    "frequent_tokens",
-    "contamination_flags",
-    "bigram_logprob",
+    # debuts (built r9): llm_next7 media family
+    "image_phash_dedup",
+    "audio_spectral",
+    "audio_fingerprint_dedup",
+    "video_scene_cuts",
+    # debuts: llm_next8
+    "chunk_documents",
+    # debuts: olap_next8
+    "entity_resolution",
+    "winsorized_stats",
+    # debuts: stock_next6
+    "cci",
+    "force_index",
+    "ease_of_movement",
+    # debuts: stream_next7
+    "stream_dedup_watermark",
+    # named r9 deferrals (r6 evidence): llm_next2
+    "capped_counts",
+    "split_counts",
+    "bpe_token_count",
+    "pack_stats",
+    "remix_counts",
+    # named r9 deferrals: streaming r6 cohort
+    "stream_anomaly",
+    "stream_scd2",
+    "scd2_late_gate",
+    # named r9 deferrals: sql_api / stock / olap r6 rows
+    "sql_decayed_revenue",
+    "dim_country",
+    "macd",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q17",
+    "approx_stats",
+    # named r9 deferrals: llm r6 rows (module order)
+    "tfidf_top_terms",
+    "clean_corpus",
+    "embedding_dedup",
+    "embedding_dedup_ivf",
+    "media_pipeline",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "doc_winnow",
+    "gopher_quality",
+    "ngram_repetition",
+    # re-grades oldest-evidence-first
+    "williams_r",
+    "customers_with_orders",
+    "distinct_parts_per_supplier",
+    "rollup_sales",
+    "customers_no_orders",
 ]
 
 _MODULES = (stock, llm, olap, sql_api, stream)

@@ -666,3 +666,14 @@ from stock_data_project_spark.plans.llm_next9 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT9)
 ORACLE.update(ORACLE_NEXT9)
+
+# r10 build, r12 debut: ann_recall_eval (planted-identical groups make
+# IVF recall@k provable doc_id arithmetic — the approximate path's
+# quality, driver-graded)
+from stock_data_project_spark.plans.llm_next10 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT10,
+    QUERIES_NEXT as QUERIES_NEXT10,
+)
+
+QUERIES.update(QUERIES_NEXT10)
+ORACLE.update(ORACLE_NEXT10)

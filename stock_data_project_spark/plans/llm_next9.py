@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.memo import session_memo
 from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 from stock_data_project_spark.operators.textops import words
 from stock_data_project_spark.plans.llm import _NORM
@@ -96,7 +97,21 @@ def _assign(vals: DataFrame, cents: DataFrame) -> DataFrame:
 def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster, dist_d) after the fixed Lloyd rounds —
     the shared trajectory behind embedding_kmeans and
-    embedding_outliers (checkpointed: callers branch off it)."""
+    embedding_outliers (checkpointed: callers branch off it).
+
+    Session-memoized by (sf_dir, k, rounds) — the r9 verdict measured
+    both consumers paying the identical 3-round loop (4.0s + 3.4s at
+    sf0.1); the checkpointed assignment is input-deterministic, so the
+    second consumer should pay branch cost only (the ann_ivf fit-memo
+    pattern, operators/memo.py)."""
+    return session_memo(
+        spark,
+        ("kmeans_final_assignment", sf_dir, _K, _ROUNDS),
+        lambda: _final_assignment_uncached(spark, sf_dir),
+    )
+
+
+def _final_assignment_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = _vals(spark, sf_dir).persist()
     init_ids = (
         vals.select("vec_id")
@@ -420,7 +435,13 @@ _MIX_SQL = f"""
 import math as _math
 from decimal import Decimal as _D
 
-_NDCG_K = 5
+from stock_data_project_spark.plans.llm_next6 import _TOPK as _NDCG_K
+
+# The NDCG cutoff IS the retrieval top-k: ranks come from
+# llm_next6's tfidf_retrieval-style top-k, and the ANSI element_at
+# below indexes w_arr by that rank — a larger _TOPK without a
+# matching weight table would throw at runtime. Import the coupling
+# so a future _TOPK change propagates instead of failing in ANSI.
 _NDCG_W = [round(1.0 / _math.log2(i + 1), 6) for i in range(1, _NDCG_K + 1)]
 _NDCG_CUMW = []
 _acc = _D(0)

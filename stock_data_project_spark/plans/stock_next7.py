@@ -12,8 +12,11 @@ grades (atr/stochastic/cci/...), all FULLY oracled.
   Window sums are the frame-ordered window-aggregate family (proven
   parity since r5's bollinger/rolling_volatility); flat horizons
   (Σtr = 0) yield NULL via try_divide / nullif on both engines.
-  First row per series has no prev close → bp/tr NULL, skipped
-  identically by both engines' window sums.
+  First row per series has no prev close → the NULL lag is absorbed
+  by NULL-skipping least/greatest identically on both engines (Spark
+  F.least/F.greatest and DuckDB least/greatest both skip NULL
+  arguments), so the first row contributes bp = close − low and
+  tr = high − low on both sides.
 
 - ``vortex`` — Vortex Indicator (n=14): VM+ = |high − prev low|,
   VM− = |low − prev high|, VI± = Σ(VM±, 14) / Σ(TR, 14) with the
