@@ -192,3 +192,14 @@ from stock_data_project_spark.plans.stream_next8 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT8)
 ORACLE.update(ORACLE_NEXT8)
+
+# r10 build, r12 debut: stream-stream FULL OUTER interval join —
+# null-extended emission on BOTH sides' watermark expiry (view
+# horizon view_ts+30min, click horizon click_ts, each strict <)
+from stock_data_project_spark.plans.stream_next9 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT9,
+    QUERIES_NEXT as QUERIES_NEXT9,
+)
+
+QUERIES.update(QUERIES_NEXT9)
+ORACLE.update(ORACLE_NEXT9)
