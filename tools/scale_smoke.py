@@ -151,6 +151,12 @@ QUERIES = (
     "gini_coefficient",
     "benford_deviation",
     "categorical_association",
+    # r10 build. NOTE: replication duplicates anchor vectors across
+    # replicas, so groups tie at sim 1.0 cross-replica and the smoke's
+    # recall VALUES are not the planted 1.0 — this entry times the
+    # plan shape (group join + ivf fit/search); the provable-recall
+    # grade runs on the unreplicated testdata only.
+    "ann_recall_eval",
 )
 
 
