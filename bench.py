@@ -136,9 +136,14 @@ HEADLINE = (
     "benford_deviation",
     "categorical_association",
     # r10 builds (r12-window debuts): provable-recall grade of the IVF
-    # path (stream_full_join is streaming-driven, out of bench like
-    # every stream_* key — pinned by tests/test_next10_staged.py)
+    # path, exact-decimal return autocorrelation, additive seasonal
+    # decomposition, pairwise Welch t-test (stream_full_join is
+    # streaming-driven, out of bench like every stream_* key — pinned
+    # by tests/test_next10_staged.py)
     "ann_recall_eval",
+    "acf_returns",
+    "seasonal_decompose",
+    "welch_ttest",
 )
 
 

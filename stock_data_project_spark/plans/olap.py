@@ -1177,3 +1177,13 @@ from stock_data_project_spark.plans.olap_next10 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT10)
 ORACLE.update(ORACLE_NEXT10)
+
+# r10 build, r12 debut: welch_ttest — pairwise Welch t / df between
+# customer segments via the exact-integer variance recipe
+from stock_data_project_spark.plans.olap_next11 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT11,
+    QUERIES_NEXT as QUERIES_NEXT11,
+)
+
+QUERIES.update(QUERIES_NEXT11)
+ORACLE.update(ORACLE_NEXT11)

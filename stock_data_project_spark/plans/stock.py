@@ -812,3 +812,14 @@ from stock_data_project_spark.plans.stock_next7 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT7)
 ORACLE.update(ORACLE_NEXT7)
+
+# r10 build, r12 debut: acf_returns (exact-decimal autocorrelation of
+# the return series) and seasonal_decompose (centered-MA trend + dow
+# seasonal + residual, all through the exact-integer average)
+from stock_data_project_spark.plans.stock_next8 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT8,
+    QUERIES_NEXT as QUERIES_NEXT8,
+)
+
+QUERIES.update(QUERIES_NEXT8)
+ORACLE.update(ORACLE_NEXT8)

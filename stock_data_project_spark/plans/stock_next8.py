@@ -1,0 +1,235 @@
+"""Stock-analytics keys built in r10, staged for the r12 window.
+
+Reference parity note: the reference derives pct_change metrics over
+daily bars (fetch_stocks.py L213-216); these keys extend the graded
+indicator family with the two classical series DIAGNOSTICS every
+quant pipeline runs on top of returns — both FULLY oracled.
+
+- ``acf_returns`` — autocorrelation of the daily-return series at
+  lags 1..3 per series: acf_k = Σ d_t·d_{t−k} / Σ d_t², d = r − r̄.
+  Cross-engine exactness: returns are 6dp decimals; the mean is the
+  exact-integer HALF_UP average (operators/rounding) so both engines
+  center on the IDENTICAL 6dp value; centered values are
+  DECIMAL(15,6) and their lag-products DECIMAL(31,12) — decimal sums
+  are order-independent, so the aggregates are bit-equal without any
+  per-term rounding; only the final ratio is evaluated in double
+  (same expression shape both engines) and rounded, with the
+  ``+ 0.0`` sign normalization (a near-zero numerator can round to
+  −0.0, the williams_r byte-hash class). Lag products past the
+  series head are NULL and skipped identically by both engines'
+  sums. Decimal widths: |d| < 1e9 by construction (returns are
+  nullif-guarded ratios of same-scale closes), asserted in tests.
+
+- ``seasonal_decompose`` — classical additive decomposition per
+  series: trend = centered 7-day moving average (full windows only —
+  edges NULL), seasonal = per-(series, day-of-week) mean of the
+  detrended residue, residual = close − trend − seasonal. Day of
+  week computed as epoch-day mod 7 (0 = Thursday) — pure integer
+  arithmetic, immune to the engines' dow()-origin disagreement.
+  Both means go through the exact-integer average; the final
+  residual is double arithmetic over identical 6dp inputs with the
+  same expression shape, rounded + sign-normalized.
+
+Scale shape: one hash exchange on series_key serves every window and
+the final groupBys (same-key aggregations reuse the partitioning);
+no joins, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.returns import with_daily_return
+from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
+from stock_data_project_spark.operators.series import daily_bars
+from stock_data_project_spark.plans.stock import _BARS, _RET
+
+_ACF_LAGS = (1, 2, 3)
+_SD_WIN = 7  # centered MA width (odd)
+
+
+def q_acf_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = with_daily_return(daily_bars(load_table(spark, sf_dir, "events")))
+    r = bars.filter(F.col("daily_return").isNotNull()).select(
+        "series_key",
+        "date",
+        F.col("daily_return").cast("decimal(18,6)").alias("r_d"),
+    )
+    wp = Window.partitionBy("series_key")
+    wo = Window.partitionBy("series_key").orderBy("date")
+    centered = (
+        r.withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "s_units",
+            F.sum(F.expr("CAST(r_d * 1000000 AS BIGINT)")).over(wp),
+        )
+        .withColumn(
+            "d",
+            (
+                F.col("r_d")
+                - exact_avg6_expr("s_units", "n").cast("decimal(18,6)")
+            ).cast("decimal(15,6)"),
+        )
+    )
+    for k in _ACF_LAGS:
+        centered = centered.withColumn(f"d{k}", F.lag("d", k).over(wo))
+    acfs = [
+        (
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("d") * F.col(f"d{k}")).cast("double"),
+                    F.nullif(F.sum(F.col("d") * F.col("d")).cast("double"), F.lit(0.0)),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias(f"acf{k}")
+        for k in _ACF_LAGS
+    ]
+    return centered.groupBy("series_key").agg(
+        F.count(F.lit(1)).alias("n_obs"), *acfs
+    )
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(load_table(spark, sf_dir, "events")).select(
+        "series_key", "date", "close"
+    )
+    w7 = (
+        Window.partitionBy("series_key")
+        .orderBy("date")
+        .rowsBetween(-(_SD_WIN // 2), _SD_WIN // 2)
+    )
+    trended = (
+        bars.withColumn("c_d", F.col("close").cast("decimal(18,6)"))
+        .withColumn("cnt7", F.count(F.lit(1)).over(w7))
+        .withColumn(
+            "sum7_units",
+            F.sum(F.expr("CAST(c_d * 1000000 AS BIGINT)")).over(w7),
+        )
+        .withColumn(
+            "trend",
+            F.when(
+                F.col("cnt7") == _SD_WIN,
+                exact_avg6_expr("sum7_units", str(_SD_WIN)),
+            ),
+        )
+        .withColumn(
+            "det_d",
+            F.col("c_d") - F.col("trend").cast("decimal(18,6)"),
+        )
+        .withColumn(
+            "dow",
+            F.expr("CAST((unix_micros(date) div 86400000000) % 7 AS INT)"),
+        )
+    )
+    wdow = Window.partitionBy("series_key", "dow")
+    out = (
+        trended.withColumn("n_det", F.count("det_d").over(wdow))
+        .withColumn(
+            "det_units",
+            F.sum(F.expr("CAST(det_d * 1000000 AS BIGINT)")).over(wdow),
+        )
+        .withColumn(
+            "seasonal",
+            F.when(F.col("n_det") > 0, exact_avg6_expr("det_units", "n_det")),
+        )
+    )
+    return out.select(
+        "series_key",
+        "date",
+        "dow",
+        "trend",
+        "seasonal",
+        (
+            F.round(F.col("close") - F.col("trend") - F.col("seasonal"), 6) + 0.0
+        ).alias("residual"),
+    )
+
+
+QUERIES_NEXT = {
+    "acf_returns": q_acf_returns,
+    "seasonal_decompose": q_seasonal_decompose,
+}
+
+_ACF_TERMS = ",\n               ".join(
+    f"round(CAST(sum(d * d{k}) AS DOUBLE)"
+    f" / nullif(CAST(sum(d * d) AS DOUBLE), 0), 6) + 0.0 AS acf{k}"
+    for k in _ACF_LAGS
+)
+_ACF_LAG_COLS = ", ".join(f"lag(d, {k}) OVER wo AS d{k}" for k in _ACF_LAGS)
+
+ORACLE_NEXT = {
+    "acf_returns": f"""
+        WITH {_BARS}, {_RET},
+        rr AS (
+            SELECT series_key, date,
+                   CAST(daily_return AS DECIMAL(18,6)) AS r_d
+            FROM ret WHERE daily_return IS NOT NULL
+        ),
+        st AS (
+            SELECT series_key, date, r_d,
+                   count(*) OVER wp AS n,
+                   sum(CAST(r_d * 1000000 AS BIGINT)) OVER wp AS s_units
+            FROM rr WINDOW wp AS (PARTITION BY series_key)
+        ),
+        ctr AS (
+            -- DECIMAL(19,6): one digit above DuckDB's int64 tier so
+            -- its d*d multiply runs int128 ((19,6)² → (38,12), the
+            -- int64 tier overflows at |d| ~1e3); Spark keeps (15,6)
+            -- (its (19,6)² would exceed precision 38 and TRUNCATE the
+            -- scale) — widths differ, the exact VALUES are identical
+            SELECT series_key, date,
+                   CAST(r_d - CAST({exact_avg6_sql("s_units", "n")}
+                                   AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS d
+            FROM st
+        ),
+        lg AS (
+            SELECT series_key, d, {_ACF_LAG_COLS}
+            FROM ctr WINDOW wo AS (PARTITION BY series_key ORDER BY date)
+        )
+        SELECT series_key, CAST(count(*) AS BIGINT) AS n_obs,
+               {_ACF_TERMS}
+        FROM lg GROUP BY series_key
+    """,
+    "seasonal_decompose": f"""
+        WITH {_BARS},
+        tr AS (
+            SELECT series_key, date, close,
+                   CAST(close AS DECIMAL(18,6)) AS c_d,
+                   count(*) OVER w7 AS cnt7,
+                   sum(CAST(CAST(close AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                       OVER w7 AS sum7_units,
+                   CAST((epoch_us(date) // 86400000000) % 7 AS INT) AS dow
+            FROM bars
+            WINDOW w7 AS (PARTITION BY series_key ORDER BY date
+                          ROWS BETWEEN {_SD_WIN // 2} PRECEDING
+                                   AND {_SD_WIN // 2} FOLLOWING)
+        ),
+        td AS (
+            SELECT *,
+                   CASE WHEN cnt7 = {_SD_WIN}
+                        THEN {exact_avg6_sql("sum7_units", str(_SD_WIN))}
+                   END AS trend
+            FROM tr
+        ),
+        dt AS (
+            SELECT *, c_d - CAST(trend AS DECIMAL(18,6)) AS det_d FROM td
+        ),
+        se AS (
+            SELECT *,
+                   count(det_d) OVER wd AS n_det,
+                   sum(CAST(det_d * 1000000 AS BIGINT)) OVER wd AS det_units
+            FROM dt WINDOW wd AS (PARTITION BY series_key, dow)
+        )
+        SELECT series_key, date, dow, trend,
+               CASE WHEN n_det > 0
+                    THEN {exact_avg6_sql("det_units", "n_det")} END AS seasonal,
+               round(close - trend - CASE WHEN n_det > 0
+                    THEN {exact_avg6_sql("det_units", "n_det")} END, 6) + 0.0
+                   AS residual
+        FROM se
+    """,
+}

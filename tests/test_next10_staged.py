@@ -1,6 +1,8 @@
 """r10-built keys staged for the r12 window (llm_next10
-ann_recall_eval, stream_next9 stream_full_join): driver-identical
-parity plus per-operator semantic pins."""
+ann_recall_eval, stream_next9 stream_full_join, stock_next8
+acf_returns / seasonal_decompose, olap_next11 welch_ttest):
+driver-identical parity plus per-operator semantic pins (numpy
+independent-implementation pins for ACF and Welch)."""
 
 from __future__ import annotations
 
@@ -193,3 +195,175 @@ def test_stream_full_join_click_side_semantics(spark):
         if cid in matched_clicks:
             continue
         assert (cid in emitted_null) == (us < wm), (cid, us, wm)
+
+
+# --------------------------------------- acf / seasonal / welch (r10)
+
+
+def test_stock8_and_welch_are_oracled():
+    from stock_data_project_spark.plans import olap_next11, stock_next8
+
+    assert set(stock_next8.QUERIES_NEXT) == set(stock_next8.ORACLE_NEXT)
+    assert set(olap_next11.QUERIES_NEXT) == set(olap_next11.ORACLE_NEXT)
+
+
+@pytest.mark.parametrize("key", ["acf_returns", "seasonal_decompose"])
+def test_stock8_parity(spark, key):
+    from stock_data_project_spark.plans import stock_next8
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = stock_next8.QUERIES_NEXT[key](spark, sf)
+        assert_gradable_schema(df, key)
+        assert df.count() > 0
+        compare(df, duckdb_run(stock_next8.ORACLE_NEXT[key], sf))
+
+
+def test_welch_ttest_parity(spark):
+    from stock_data_project_spark.plans import olap_next11
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = olap_next11.q_welch_ttest(spark, sf)
+        assert_gradable_schema(df, "welch_ttest")
+        assert df.count() > 0
+        compare(df, duckdb_run(olap_next11.ORACLE_NEXT["welch_ttest"], sf))
+
+
+def test_acf_centered_magnitude_bound(spark):
+    """The DECIMAL(15,6) Spark-side cast for d (and the oracle's
+    (19,6) twin) relies on |d| staying far from the width limit —
+    assert the actual magnitude (largest seen so far ~1e3, bound
+    1e8 leaves 10 bits of headroom before the cast could throw
+    under ANSI)."""
+    import pyspark.sql.functions as F
+
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.operators.returns import with_daily_return
+    from stock_data_project_spark.operators.series import daily_bars
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        bars = with_daily_return(daily_bars(load_table(spark, sf, "events")))
+        (mx,) = (
+            bars.agg(F.max(F.abs(F.col("daily_return")))).collect()[0]
+        )
+        assert mx is not None and mx < 1e8, mx
+
+
+def test_acf_lag1_matches_numpy(spark):
+    """Semantic pin vs an independent implementation: numpy's
+    centered autocovariance ratio at lag 1 (to 6dp) on one series."""
+    import numpy as np
+
+    from stock_data_project_spark.plans import stock_next8
+
+    df = stock_next8.q_acf_returns(spark, SF_ORACLE).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/events.parquet')"
+    )
+    series = con.sql(
+        """
+        WITH bars AS (
+            SELECT event_type AS sk, date_trunc('day', ts) AS d,
+                   arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2
+        )
+        SELECT sk, round((close - lag(close) OVER w)
+                         / nullif(lag(close) OVER w, 0), 6) AS r
+        FROM bars WINDOW w AS (PARTITION BY sk ORDER BY d)
+        ORDER BY sk, d
+        """
+    ).fetchall()
+    by_key: dict[str, list[float]] = {}
+    for sk, r in series:
+        if r is not None:
+            by_key.setdefault(sk, []).append(r)
+    for row in df:
+        r = np.array(by_key[row["series_key"]])
+        d = r - round(r.mean(), 6)
+        expect = round(float((d[1:] * d[:-1]).sum() / (d * d).sum()), 5)
+        assert row["acf1"] is not None
+        assert abs(round(row["acf1"], 5) - expect) <= 1e-5, (
+            row["series_key"], row["acf1"], expect,
+        )
+
+
+def test_seasonal_decompose_edges_and_reconstruction(spark):
+    """Trend/residual NULL exactly on the 3-row edges of each series;
+    where defined, trend + seasonal + residual reconstructs close to
+    within the two 6dp roundings."""
+    import pyspark.sql.functions as F
+
+    from stock_data_project_spark.plans import stock_next8
+
+    df = stock_next8.q_seasonal_decompose(spark, SF_ORACLE)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_key").orderBy("date")
+    wd = Window.partitionBy("series_key").orderBy(F.desc("date"))
+    r = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("rrn", F.row_number().over(wd))
+    )
+    assert r.filter((F.col("rn") <= 3) & F.col("trend").isNotNull()).count() == 0
+    assert r.filter((F.col("rrn") <= 3) & F.col("trend").isNotNull()).count() == 0
+    assert (
+        r.filter((F.col("rn") > 3) & (F.col("rrn") > 3) & F.col("trend").isNull())
+        .count()
+        == 0
+    )
+    # reconstruction: |close − (trend + seasonal + residual)| ≤ 1e-6
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.operators.series import daily_bars
+
+    bars = daily_bars(load_table(spark, SF_ORACLE, "events")).select(
+        "series_key", "date", "close"
+    )
+    joined = df.filter(F.col("residual").isNotNull()).join(
+        bars, ["series_key", "date"]
+    )
+    bad = joined.filter(
+        F.abs(
+            F.col("close")
+            - (F.col("trend") + F.col("seasonal") + F.col("residual"))
+        )
+        > 1e-6
+    ).count()
+    assert bad == 0
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    """Semantic pin vs an independent Welch computation (numpy,
+    textbook formulas) to 4dp."""
+    import numpy as np
+
+    from stock_data_project_spark.plans import olap_next11
+
+    rows = olap_next11.q_welch_ttest(spark, SF_ORACLE).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/customer.parquet')"
+    )
+    data = con.sql(
+        "SELECT c_mktsegment, CAST(round(c_acctbal * 100, 0) AS BIGINT)"
+        " FROM customer"
+    ).fetchall()
+    by_seg: dict[str, list[int]] = {}
+    for seg, cents in data:
+        by_seg.setdefault(seg, []).append(cents)
+    for row in rows:
+        a = np.array(by_seg[row["seg_a"]], dtype=np.float64)
+        b = np.array(by_seg[row["seg_b"]], dtype=np.float64)
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        dfw = se2**2 / (
+            (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert abs(row["t_stat"] - t) < 1e-4, (row, t)
+        assert abs(row["df_welch"] - dfw) < 1e-2 * max(1.0, dfw), (row, dfw)

@@ -142,6 +142,11 @@ def main() -> None:
         # retrieval_ndcg wraps tfidf_retrieval and inherits its 1-row
         # corpus-size scalar bind
         "retrieval_ndcg",
+        # welch_ttest's triangular pair join: the 5-row per-segment
+        # stats table self-joined on seg_a < seg_b (inequality ⇒ BNL
+        # by construction) — metadata-sized broadcast, the
+        # ntile_deciles triangular-offsets class
+        "welch_ttest",
     }
     flagged = [
         k

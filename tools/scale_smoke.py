@@ -157,6 +157,11 @@ QUERIES = (
     # plan shape (group join + ivf fit/search); the provable-recall
     # grade runs on the unreplicated testdata only.
     "ann_recall_eval",
+    # r10 builds: extended-calendar window stats (acf/seasonal ride
+    # the events replication's longer series), 5-row pair t-test
+    "acf_returns",
+    "seasonal_decompose",
+    "welch_ttest",
 )
 
 
