@@ -144,6 +144,7 @@ HEADLINE = (
     "acf_returns",
     "seasonal_decompose",
     "welch_ttest",
+    "holt_forecast",
 )
 
 

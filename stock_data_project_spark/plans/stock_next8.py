@@ -30,9 +30,22 @@ quant pipeline runs on top of returns — both FULLY oracled.
   residual is double arithmetic over identical 6dp inputs with the
   same expression shape, rounded + sign-normalized.
 
+- ``holt_forecast`` — Holt's double exponential smoothing (the
+  level+trend forecasting workhorse): l_t = α·x_t + (1−α)(l+b),
+  b_t = β(l_t − l) + (1−β)b, forecast = l_t + b_t. A recurrence that
+  REUSES its own output — the EMA boundary class (CLAUDE.md): run in
+  DECIMAL(18,6) with per-step HALF_UP rounding, multiplying by EXACT
+  decimal constants (α=0.2, β=0.1 — no division ever enters the
+  recursion), Spark side the grouped applyInPandas decimal fold,
+  oracle the recursive CTE in the same decimal arithmetic (the
+  heikin_ashi / parabolic_sar recipe). Init l₁ = x₁, b₁ = 0.
+
 Scale shape: one hash exchange on series_key serves every window and
 the final groupBys (same-key aggregations reuse the partitioning);
-no joins, no driver collects.
+no joins, no driver collects. The fold is one applyInPandas pass per
+series (state is O(1), series fit in a task by the daily-bars
+construction — the chunked_lag crossover note applies if they ever
+don't).
 """
 
 from __future__ import annotations
@@ -45,6 +58,7 @@ from stock_data_project_spark.operators.returns import with_daily_return
 from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 from stock_data_project_spark.operators.series import daily_bars
 from stock_data_project_spark.plans.stock import _BARS, _RET
+from stock_data_project_spark.plans.stock_next4 import _SEQ, _bars_rn
 
 _ACF_LAGS = (1, 2, 3)
 _SD_WIN = 7  # centered MA width (odd)
@@ -149,9 +163,60 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from decimal import ROUND_HALF_UP, Decimal
+
+_SIX = Decimal("0.000001")
+_H_ALPHA = Decimal("0.2")
+_H_1ALPHA = Decimal("0.8")
+_H_BETA = Decimal("0.1")
+_H_1BETA = Decimal("0.9")
+
+
+def _holt_fold(pdf):
+    """Per-series exact-decimal Holt fold (module-level so tests can
+    drive it on constructed frames)."""
+    pdf = pdf.sort_values("rn")
+    lvl = tr = None
+    lvls, trs = [], []
+    for c in pdf["c_d"]:
+        if lvl is None:
+            lvl, tr = c, Decimal(0).quantize(_SIX)
+        else:
+            prev = lvl
+            lvl = (_H_ALPHA * c + _H_1ALPHA * (lvl + tr)).quantize(
+                _SIX, ROUND_HALF_UP
+            )
+            tr = (_H_BETA * (lvl - prev) + _H_1BETA * tr).quantize(
+                _SIX, ROUND_HALF_UP
+            )
+        lvls.append(lvl)
+        trs.append(tr)
+    return pdf.assign(lvl_d=lvls, tr_d=trs)[
+        ["series_key", "date", "lvl_d", "tr_d"]
+    ]
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_rn(spark, sf_dir).select(
+        "series_key", "date", "rn", F.col("close").cast("decimal(18,6)").alias("c_d")
+    )
+    folded = bars.groupBy("series_key").applyInPandas(
+        _holt_fold,
+        "series_key string, date timestamp, lvl_d decimal(18,6), tr_d decimal(18,6)",
+    )
+    return folded.select(
+        "series_key",
+        "date",
+        F.col("lvl_d").cast("double").alias("level"),
+        F.col("tr_d").cast("double").alias("trend"),
+        F.round((F.col("lvl_d") + F.col("tr_d")).cast("double"), 6).alias("forecast"),
+    )
+
+
 QUERIES_NEXT = {
     "acf_returns": q_acf_returns,
     "seasonal_decompose": q_seasonal_decompose,
+    "holt_forecast": q_holt_forecast,
 }
 
 _ACF_TERMS = ",\n               ".join(
@@ -233,3 +298,33 @@ ORACLE_NEXT = {
         FROM se
     """,
 }
+
+_HOLT_LVL_NEXT = (
+    "CAST(round(CAST(0.2 AS DECIMAL(2,1)) * s.c_d "
+    "+ CAST(0.8 AS DECIMAL(2,1)) * (r.lvl + r.tr), 6) AS DECIMAL(18,6))"
+)
+
+ORACLE_NEXT["holt_forecast"] = f"""
+    WITH RECURSIVE {_SEQ}, sd AS (
+        SELECT series_key, date, rn, CAST(close AS DECIMAL(18,6)) AS c_d
+        FROM seq
+    ),
+    rec(series_key, date, rn, lvl, tr) AS (
+        SELECT series_key, date, rn, c_d, CAST(0 AS DECIMAL(18,6))
+        FROM sd WHERE rn = 1
+        UNION ALL
+        SELECT s.series_key, s.date, s.rn,
+               {_HOLT_LVL_NEXT},
+               CAST(round(CAST(0.1 AS DECIMAL(2,1))
+                          * ({_HOLT_LVL_NEXT} - r.lvl)
+                          + CAST(0.9 AS DECIMAL(2,1)) * r.tr, 6)
+                    AS DECIMAL(18,6))
+        FROM rec r JOIN sd s
+          ON s.series_key = r.series_key AND s.rn = r.rn + 1
+    )
+    SELECT series_key, date,
+           CAST(lvl AS DOUBLE) AS level,
+           CAST(tr AS DOUBLE) AS trend,
+           round(CAST(lvl + tr AS DOUBLE), 6) AS forecast
+    FROM rec
+"""

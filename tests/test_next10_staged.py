@@ -367,3 +367,51 @@ def test_welch_ttest_matches_scipy_formula(spark):
         )
         assert abs(row["t_stat"] - t) < 1e-4, (row, t)
         assert abs(row["df_welch"] - dfw) < 1e-2 * max(1.0, dfw), (row, dfw)
+
+
+def test_holt_forecast_parity(spark):
+    from stock_data_project_spark.plans import stock_next8
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = stock_next8.q_holt_forecast(spark, sf)
+        assert_gradable_schema(df, "holt_forecast")
+        assert df.count() > 0
+        compare(df, duckdb_run(stock_next8.ORACLE_NEXT["holt_forecast"], sf))
+
+
+def test_holt_forecast_flat_series_is_fixpoint(spark):
+    """Semantic pin: on a constant series the smoother is a fixpoint —
+    level = x, trend = 0, forecast = x at every step."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from stock_data_project_spark.plans.stock_next8 import q_holt_forecast
+
+    # reuse the fold through the public plan by faking bars: easier to
+    # drive the kernel directly on a constant frame
+    from stock_data_project_spark.plans import stock_next8
+
+    pdf = pd.DataFrame(
+        {
+            "series_key": ["k"] * 10,
+            "date": pd.date_range("2024-01-01", periods=10, tz="UTC"),
+            "rn": list(range(1, 11)),
+            "c_d": [Decimal("42.500000")] * 10,
+        }
+    )
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "series_key", "date", "rn", "CAST(c_d AS DECIMAL(18,6)) AS c_d"
+    )
+    # replicate the plan's post-fold projection inline
+    import pyspark.sql.functions as F
+
+    folded = sdf.groupBy("series_key").applyInPandas(
+        stock_next8._holt_fold,
+        "series_key string, date timestamp, lvl_d decimal(18,6), tr_d decimal(18,6)",
+    )
+    rows = folded.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert float(r["lvl_d"]) == 42.5
+        assert float(r["tr_d"]) == 0.0

@@ -162,6 +162,7 @@ QUERIES = (
     "acf_returns",
     "seasonal_decompose",
     "welch_ttest",
+    "holt_forecast",
 )
 
 
