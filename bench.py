@@ -145,6 +145,8 @@ HEADLINE = (
     "seasonal_decompose",
     "welch_ttest",
     "holt_forecast",
+    "cusum_anomaly",
+    "kruskal_wallis",
 )
 
 

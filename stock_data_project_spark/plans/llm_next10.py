@@ -53,7 +53,8 @@ _AR_QSTRIDE = 4  # every 4th complete group is queried
 
 
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stock_data_project_spark.operators.ivf import ivf_topk
+    from stock_data_project_spark.operators.ivf import ivf_fit, ivf_topk
+    from stock_data_project_spark.operators.memo import session_memo
 
     emb = load_table(spark, sf_dir, "embeddings")
     members = emb.select("vec_id", F.expr(f"vec_id DIV {_AR_K}").alias("gid"))
@@ -79,7 +80,17 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a_emb").alias("embedding"),
         )
     )
-    topk = ivf_topk(planted, queries, k=_AR_K)
+    # immutable sf_dir → identical planted corpus → identical
+    # quantizer; memoize the metadata-sized centroid table so
+    # steady-state evaluations skip the fit jobs (the ann_ivf
+    # pattern). The PLANTED key namespace keeps it distinct from
+    # ann_ivf's raw-corpus centroids.
+    centroids = session_memo(
+        spark,
+        ("ivf_centroids_planted", sf_dir, _AR_K, 3),
+        lambda: ivf_fit(planted, iters=3),
+    )
+    topk = ivf_topk(planted, queries, k=_AR_K, centroids=centroids)
     anchor = -F.col("query_id") - 1
     in_group = F.expr(f"neighbor_id DIV {_AR_K}") == F.expr(
         f"(-query_id - 1) DIV {_AR_K}"

@@ -1,4 +1,23 @@
-"""OLAP statistical key built in r10, staged for the r12 window.
+"""OLAP statistical keys built in r10, staged for the r12 window.
+
+``kruskal_wallis`` — the k-group rank test (rank ANOVA) across ALL
+customer segments on account balance, FULLY oracled via exact
+integer rank arithmetic:
+
+- ranks with average ties carried in HALF-UNITS: for a distinct
+  cents value with t occurrences after cum_before smaller rows,
+  2·avg_rank = 2·cum_before + t + 1 — an exact BIGINT. Per-group
+  rank sums R2_i = Σ m·r2 stay integral; the tie correction
+  Σ(t³−t) likewise.
+- the ranking window runs over the DISTINCT-CENTS table (domain-
+  bounded, the ks_statistic precedent), never over the raw rows; the
+  raw table only feeds two hash aggregations and one equi-join.
+- the only non-integral reduction, S = Σ R2_i²/(4·n_i), is a
+  5-element DOUBLE sum — made deterministic by accumulating in
+  SEGMENT ORDER via a windowed cumulative sum (identical fold order
+  on both engines), not a plain aggregate (whose partial order is
+  engine-private). H and the tie-corrected H/C then evaluate in
+  identically-shaped double arithmetic, rounded + sign-normalized.
 
 ``welch_ttest`` — Welch's unequal-variance t-test between every pair
 of customer market segments on account balance (the A/B-test
@@ -29,7 +48,7 @@ tools/plan_audit.py). The corpus-sized work is exactly one scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
@@ -124,7 +143,74 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES_NEXT = {"welch_ttest": q_welch_ttest}
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    vc = cust.groupBy("cents").agg(F.count(F.lit(1)).alias("t"))
+    wv = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    vc2 = vc.withColumn(
+        "r2", 2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1
+    )
+    sc = cust.groupBy("seg", "cents").agg(F.count(F.lit(1)).alias("m"))
+    g = (
+        sc.join(vc2, "cents")
+        .groupBy("seg")
+        .agg(
+            F.sum("m").alias("n"),
+            F.sum(F.col("m") * F.col("r2")).alias("r2sum"),
+        )
+        .withColumn(
+            "term",
+            F.expr(
+                "CAST(CAST(r2sum AS DECIMAL(19,0)) * CAST(r2sum AS DECIMAL(19,0))"
+                " AS DOUBLE) / (4.0 * CAST(n AS DOUBLE))"
+            ),
+        )
+    )
+    wseg = Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("seg").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    last = (
+        g.withColumn("s_cum", F.sum("term").over(wseg))
+        .withColumn("rn", F.row_number().over(Window.orderBy("seg")))
+        .withColumn("k_groups", F.count(F.lit(1)).over(wall))
+        .withColumn("n_total", F.sum("n").over(wall))
+        .filter(F.col("rn") == F.col("k_groups"))
+        .select("k_groups", "n_total", "s_cum")
+    )
+    ties = vc.agg(
+        F.sum(
+            F.expr(
+                "CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))"
+                " * CAST(t AS DECIMAL(12,0)) - CAST(t AS DECIMAL(12,0))"
+            )
+        ).alias("tie_sum")
+    )
+    h = (
+        "12.0 / (CAST(n_total AS DOUBLE) * CAST(n_total + 1 AS DOUBLE)) * s_cum"
+        " - 3.0 * CAST(n_total + 1 AS DOUBLE)"
+    )
+    c = (
+        "1.0 - CAST(tie_sum AS DOUBLE)"
+        " / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)"
+        " * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))"
+    )
+    return last.crossJoin(F.broadcast(ties)).select(
+        F.col("k_groups").cast("int").alias("k_groups"),
+        "n_total",
+        (F.round(F.expr(h), 6) + 0.0).alias("h_stat"),
+        (
+            F.round(F.expr(f"try_divide({h}, nullif({c}, 0.0))"), 6) + 0.0
+        ).alias("h_corrected"),
+    )
+
+
+QUERIES_NEXT = {"welch_ttest": q_welch_ttest, "kruskal_wallis": q_kruskal_wallis}
 
 ORACLE_NEXT = {
     "welch_ttest": f"""
@@ -162,3 +248,64 @@ ORACLE_NEXT = {
         FROM ms a JOIN ms b ON a.seg < b.seg
     """,
 }
+
+
+ORACLE_NEXT["kruskal_wallis"] = """
+    WITH cs AS (
+        SELECT c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        FROM customer
+    ),
+    vc AS (
+        SELECT cents, CAST(count(*) AS BIGINT) AS t
+        FROM cs GROUP BY cents
+    ),
+    vr AS (
+        SELECT cents, t,
+               2 * coalesce(sum(t) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS r2
+        FROM vc
+    ),
+    sc AS (
+        SELECT seg, cents, CAST(count(*) AS BIGINT) AS m
+        FROM cs GROUP BY seg, cents
+    ),
+    g AS (
+        SELECT seg, sum(m) AS n, sum(m * r2) AS r2sum
+        FROM sc JOIN vr USING (cents)
+        GROUP BY seg
+    ),
+    gt AS (
+        SELECT seg, n,
+               CAST(CAST(r2sum AS DECIMAL(19,0)) * CAST(r2sum AS DECIMAL(19,0))
+                    AS DOUBLE) / (4.0 * CAST(n AS DOUBLE)) AS term
+        FROM g
+    ),
+    lastrow AS (
+        SELECT CAST(count(*) OVER () AS INT) AS k_groups,
+               CAST(sum(n) OVER () AS BIGINT) AS n_total,
+               sum(term) OVER (ORDER BY seg
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum,
+               row_number() OVER (ORDER BY seg) AS rn,
+               count(*) OVER () AS kk
+        FROM gt
+    ),
+    ties AS (
+        SELECT sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                   * CAST(t AS DECIMAL(12,0)) - CAST(t AS DECIMAL(12,0)))
+               AS tie_sum
+        FROM vc
+    )
+    SELECT k_groups, n_total,
+           round(12.0 / (CAST(n_total AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))
+                 * s_cum - 3.0 * CAST(n_total + 1 AS DOUBLE), 6) + 0.0 AS h_stat,
+           round((12.0 / (CAST(n_total AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))
+                 * s_cum - 3.0 * CAST(n_total + 1 AS DOUBLE))
+                 / nullif(1.0 - CAST(tie_sum AS DOUBLE)
+                          / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                             * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)),
+                          0.0), 6) + 0.0 AS h_corrected
+    FROM lastrow, ties
+    WHERE rn = kk
+"""

@@ -40,6 +40,16 @@ quant pipeline runs on top of returns — both FULLY oracled.
   oracle the recursive CTE in the same decimal arithmetic (the
   heikin_ashi / parabolic_sar recipe). Init l₁ = x₁, b₁ = 0.
 
+- ``cusum_anomaly`` — two-sided CUSUM control chart over the
+  daily-return series: C⁺ = max(0, C⁺ + (r − k)), C⁻ = max(0,
+  C⁻ − (r + k)), alarm when either exceeds h (k = 0.005 slack,
+  h = 45 threshold (the cusum_pos median on this data — alarms a real mix, not all/nothing) — exact decimal constants). The recurrence is
+  ADDITIVE-ONLY in DECIMAL(18,6) (no multiplication, no division,
+  no per-step rounding NEEDED — decimal add/greatest are exact), so
+  the fold and the recursive-CTE oracle replay are trivially
+  bit-equal; the first return row (NULL lag) starts both sides at 0
+  identically.
+
 Scale shape: one hash exchange on series_key serves every window and
 the final groupBys (same-key aggregations reuse the partitioning);
 no joins, no driver collects. The fold is one applyInPandas pass per
@@ -213,10 +223,61 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CU_K = Decimal("0.005")
+_CU_H = Decimal("45.0")
+
+
+def _cusum_fold(pdf):
+    """Per-series exact-decimal two-sided CUSUM (module-level for
+    test drivability). NULL-return rows (the first bar) are filtered
+    out upstream on BOTH engines, so the fold starts from zero state
+    at the first real return."""
+    pdf = pdf.sort_values("rn")
+    zero = Decimal("0.000000")
+    cp = cn = zero
+    cps, cns = [], []
+    for r in pdf["r_d"]:
+        cp = max(zero, cp + (r - _CU_K))
+        cn = max(zero, cn - (r + _CU_K))
+        cps.append(cp)
+        cns.append(cn)
+    return pdf.assign(cp_d=cps, cn_d=cns)[["series_key", "date", "cp_d", "cn_d"]]
+
+
+def q_cusum_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = with_daily_return(daily_bars(load_table(spark, sf_dir, "events")))
+    w = Window.partitionBy("series_key").orderBy("date")
+    r = (
+        bars.filter(F.col("daily_return").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "series_key",
+            "date",
+            "rn",
+            F.col("daily_return").cast("decimal(18,6)").alias("r_d"),
+        )
+    )
+    folded = r.groupBy("series_key").applyInPandas(
+        _cusum_fold,
+        "series_key string, date timestamp, cp_d decimal(18,6), cn_d decimal(18,6)",
+    )
+    return folded.select(
+        "series_key",
+        "date",
+        F.col("cp_d").cast("double").alias("cusum_pos"),
+        F.col("cn_d").cast("double").alias("cusum_neg"),
+        (
+            (F.col("cp_d") > F.lit(float(_CU_H)))
+            | (F.col("cn_d") > F.lit(float(_CU_H)))
+        ).cast("int").alias("alarm"),
+    )
+
+
 QUERIES_NEXT = {
     "acf_returns": q_acf_returns,
     "seasonal_decompose": q_seasonal_decompose,
     "holt_forecast": q_holt_forecast,
+    "cusum_anomaly": q_cusum_anomaly,
 }
 
 _ACF_TERMS = ",\n               ".join(
@@ -326,5 +387,47 @@ ORACLE_NEXT["holt_forecast"] = f"""
            CAST(lvl AS DOUBLE) AS level,
            CAST(tr AS DOUBLE) AS trend,
            round(CAST(lvl + tr AS DOUBLE), 6) AS forecast
+    FROM rec
+"""
+
+
+ORACLE_NEXT["cusum_anomaly"] = f"""
+    WITH RECURSIVE {_BARS}, {_RET},
+    rr AS (
+        SELECT series_key, date,
+               CAST(row_number() OVER (PARTITION BY series_key
+                                       ORDER BY date) AS INT) AS rn,
+               CAST(daily_return AS DECIMAL(18,6)) AS r_d
+        FROM ret WHERE daily_return IS NOT NULL
+    ),
+    rec(series_key, date, rn, cp, cn) AS (
+        -- every state expression CAST back to DECIMAL(18,6): without
+        -- the clamp the recursive union widens per step and DuckDB
+        -- silently degrades the column to DOUBLE (the psar/holt
+        -- recipe's outer CASTs are load-bearing, not style)
+        SELECT series_key, date, rn,
+               CAST(greatest(CAST(0 AS DECIMAL(18,6)),
+                        r_d - CAST(0.005 AS DECIMAL(18,6)))
+                    AS DECIMAL(18,6)),
+               CAST(greatest(CAST(0 AS DECIMAL(18,6)),
+                        - r_d - CAST(0.005 AS DECIMAL(18,6)))
+                    AS DECIMAL(18,6))
+        FROM rr WHERE rn = 1
+        UNION ALL
+        SELECT s.series_key, s.date, s.rn,
+               CAST(greatest(CAST(0 AS DECIMAL(18,6)),
+                        r.cp + (s.r_d - CAST(0.005 AS DECIMAL(18,6))))
+                    AS DECIMAL(18,6)),
+               CAST(greatest(CAST(0 AS DECIMAL(18,6)),
+                        r.cn - (s.r_d + CAST(0.005 AS DECIMAL(18,6))))
+                    AS DECIMAL(18,6))
+        FROM rec r JOIN rr s
+          ON s.series_key = r.series_key AND s.rn = r.rn + 1
+    )
+    SELECT series_key, date,
+           CAST(cp AS DOUBLE) AS cusum_pos,
+           CAST(cn AS DOUBLE) AS cusum_neg,
+           CAST(cp > CAST(45.0 AS DECIMAL(18,6))
+                OR cn > CAST(45.0 AS DECIMAL(18,6)) AS INT) AS alarm
     FROM rec
 """

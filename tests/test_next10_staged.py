@@ -415,3 +415,168 @@ def test_holt_forecast_flat_series_is_fixpoint(spark):
     for r in rows:
         assert float(r["lvl_d"]) == 42.5
         assert float(r["tr_d"]) == 0.0
+
+
+def test_cusum_and_kruskal_are_oracled():
+    from stock_data_project_spark.plans import olap_next11, stock_next8
+
+    assert "cusum_anomaly" in stock_next8.ORACLE_NEXT
+    assert "kruskal_wallis" in olap_next11.ORACLE_NEXT
+
+
+def test_cusum_anomaly_parity(spark):
+    from stock_data_project_spark.plans import stock_next8
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = stock_next8.q_cusum_anomaly(spark, sf)
+        assert_gradable_schema(df, "cusum_anomaly")
+        assert df.count() > 0
+        compare(df, duckdb_run(stock_next8.ORACLE_NEXT["cusum_anomaly"], sf))
+
+
+def test_cusum_alarm_mix_is_nontrivial(spark):
+    """The h=45 threshold must grade a real decision boundary — some
+    alarms, not all or none (the all-145 regression this key shipped
+    with at h=0.04 would be invisible to parity alone)."""
+    import pyspark.sql.functions as F
+
+    from stock_data_project_spark.plans import stock_next8
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = stock_next8.q_cusum_anomaly(spark, sf)
+        n = df.count()
+        a = df.agg(F.sum("alarm")).collect()[0][0]
+        assert 0 < a < n, (sf, a, n)
+
+
+def test_cusum_semantics_manual(spark):
+    """Independent replay of the fold on one series pulled via the
+    oracle's own return construction."""
+    from decimal import Decimal
+
+    from stock_data_project_spark.plans import stock_next8
+
+    rows = (
+        stock_next8.q_cusum_anomaly(spark, SF_ORACLE)
+        .filter("series_key = 'click'")
+        .orderBy("date")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/events.parquet')"
+    )
+    rets = con.sql(
+        """
+        WITH bars AS (
+            SELECT date_trunc('day', ts) AS d, arg_max(value, ts) AS close
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        )
+        SELECT round((close - lag(close) OVER w) / nullif(lag(close) OVER w, 0), 6)
+        FROM bars WINDOW w AS (ORDER BY d) ORDER BY d
+        """
+    ).fetchall()
+    k, zero = Decimal("0.005"), Decimal("0")
+    cp = cn = zero
+    expected = []
+    for (r,) in rets:
+        if r is None:
+            continue
+        rd = Decimal(str(r))
+        cp = max(zero, cp + (rd - k))
+        cn = max(zero, cn - (rd + k))
+        expected.append((float(cp), float(cn)))
+    assert len(rows) == len(expected)
+    for row, (ecp, ecn) in zip(rows, expected):
+        assert abs(row["cusum_pos"] - ecp) < 1e-9
+        assert abs(row["cusum_neg"] - ecn) < 1e-9
+
+
+def test_kruskal_wallis_parity(spark):
+    from stock_data_project_spark.plans import olap_next11
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = olap_next11.q_kruskal_wallis(spark, sf)
+        assert_gradable_schema(df, "kruskal_wallis")
+        assert df.count() == 1
+        compare(df, duckdb_run(olap_next11.ORACLE_NEXT["kruskal_wallis"], sf))
+
+
+def test_kruskal_wallis_matches_textbook(spark):
+    """Independent H computation (numpy textbook formula with average
+    ranks) on the real data, to 4dp."""
+    import numpy as np
+
+    from stock_data_project_spark.plans import olap_next11
+
+    (row,) = olap_next11.q_kruskal_wallis(spark, SF_ORACLE).collect()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/customer.parquet')"
+    )
+    data = con.sql(
+        "SELECT c_mktsegment, CAST(round(c_acctbal*100,0) AS BIGINT) FROM customer"
+    ).fetchall()
+    segs = sorted({s for s, _ in data})
+    all_vals = np.array([v for _, v in data], dtype=np.float64)
+    order = np.argsort(all_vals, kind="stable")
+    ranks = np.empty(len(all_vals))
+    sv = all_vals[order]
+    i = 0
+    pos = np.arange(1, len(sv) + 1, dtype=np.float64)
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = pos[i : j + 1].mean()
+        i = j + 1
+    n = len(all_vals)
+    h = 0.0
+    labels = np.array([s for s, _ in data])
+    for s in segs:
+        rs = ranks[labels == s]
+        h += rs.sum() ** 2 / len(rs)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    assert abs(row["h_stat"] - h) < 1e-4, (row["h_stat"], h)
+
+
+def test_kruskal_wallis_planted_ties_parity(spark, tmp_path):
+    """The tie machinery (half-unit average ranks + t³−t correction)
+    is not exercised by the tie-free testdata — plant heavy ties in a
+    synthetic customer table and require full value-level parity AND
+    h_corrected > h_stat."""
+    import duckdb as ddb
+    import pandas as pd
+
+    from stock_data_project_spark.plans import olap_next11
+
+    pdf = pd.DataFrame(
+        {
+            "c_custkey": list(range(60)),
+            "c_name": [f"c{i}" for i in range(60)],
+            "c_nationkey": [0] * 60,
+            # three segments over a tiny tied domain with DIFFERENT
+            # distributions (identical ones make H exactly 0)
+            "c_mktsegment": (["A"] * 20 + ["B"] * 20 + ["C"] * 20),
+            "c_acctbal": [float(v) for v in (
+                [1.0, 2.0, 2.0, 3.0] * 5
+                + [2.0, 3.0, 3.0, 4.0] * 5
+                + [1.0, 1.0, 4.0, 4.0] * 5
+            )],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(f"{d}/customer.parquet")
+    df = olap_next11.q_kruskal_wallis(spark, d)
+    con = ddb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM read_parquet('{d}/customer.parquet')")
+    od = con.sql(olap_next11.ORACLE_NEXT["kruskal_wallis"]).df()
+    (srow,) = df.collect()
+    assert len(od) == 1
+    orow = od.iloc[0]
+    assert srow["n_total"] == orow["n_total"] == 60
+    assert srow["h_stat"] == orow["h_stat"]
+    assert srow["h_corrected"] == orow["h_corrected"]
+    assert srow["h_corrected"] > srow["h_stat"]  # C < 1 with real ties

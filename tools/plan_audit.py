@@ -142,6 +142,9 @@ def main() -> None:
         # retrieval_ndcg wraps tfidf_retrieval and inherits its 1-row
         # corpus-size scalar bind
         "retrieval_ndcg",
+        # kruskal_wallis binds the 1-row tie-sum scalar aggregate —
+        # the documented constant-cost class
+        "kruskal_wallis",
         # welch_ttest's triangular pair join: the 5-row per-segment
         # stats table self-joined on seg_a < seg_b (inequality ⇒ BNL
         # by construction) — metadata-sized broadcast, the

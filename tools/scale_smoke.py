@@ -163,6 +163,8 @@ QUERIES = (
     "seasonal_decompose",
     "welch_ttest",
     "holt_forecast",
+    "cusum_anomaly",
+    "kruskal_wallis",
 )
 
 
