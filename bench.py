@@ -147,6 +147,7 @@ HEADLINE = (
     "holt_forecast",
     "cusum_anomaly",
     "kruskal_wallis",
+    "theil_sen_slope",
 )
 
 

@@ -50,6 +50,18 @@ quant pipeline runs on top of returns — both FULLY oracled.
   bit-equal; the first return row (NULL lag) starts both sides at 0
   identically.
 
+- ``theil_sen_slope`` — the Theil–Sen robust trend estimator per
+  series: the exact MEDIAN of all pairwise slopes (close_j −
+  close_i)/(j − i), i < j. Slopes are 6dp-rounded doubles from
+  exact-decimal differences (both engines' decimal→double casts are
+  correctly rounded); the median is POSITION-SELECTED (row_number
+  over slope order, pick ⌈n/2⌉ and ⌊n/2⌋+1) and averaged through
+  the exact-integer identity — never an engine median() (DuckDB's
+  interpolates in its own float path). The pair join is per-series
+  quadratic BY DEFINITION of the estimator (435 pairs on 30 bars);
+  the scale path for long series is pair sampling, documented here
+  rather than silently capped.
+
 Scale shape: one hash exchange on series_key serves every window and
 the final groupBys (same-key aggregations reuse the partitioning);
 no joins, no driver collects. The fold is one applyInPandas pass per
@@ -273,11 +285,62 @@ def q_cusum_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_rn(spark, sf_dir).select(
+        "series_key", "rn", F.col("close").cast("decimal(18,6)").alias("c_d")
+    )
+    a = bars.select(
+        "series_key", F.col("rn").alias("a_rn"), F.col("c_d").alias("a_c")
+    )
+    b = bars.select(
+        "series_key", F.col("rn").alias("b_rn"), F.col("c_d").alias("b_c")
+    )
+    pairs = (
+        a.join(b, "series_key")
+        .filter(F.col("a_rn") < F.col("b_rn"))
+        .select(
+            "series_key",
+            F.round(
+                (F.col("b_c") - F.col("a_c")).cast("double")
+                / (F.col("b_rn") - F.col("a_rn")).cast("double"),
+                6,
+            ).alias("slope"),
+        )
+    )
+    wv = Window.partitionBy("series_key").orderBy("slope")
+    wp = Window.partitionBy("series_key")
+    ranked = (
+        pairs.withColumn("rnk", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+    )
+    mid = ranked.filter(
+        (F.col("rnk") == F.expr("(n + 1) DIV 2"))
+        | (F.col("rnk") == F.expr("(n + 2) DIV 2"))
+    )
+    return mid.groupBy("series_key").agg(
+        F.max("n").alias("n_pairs"),
+        exact_avg6_agg_slope().alias("sen_slope"),
+    )
+
+
+def exact_avg6_agg_slope():
+    """Exact-integer average of the (1 or 2) middle slopes: 6dp
+    doubles → exact decimal → 1e-6 units → the sign-safe identity."""
+    return F.expr(
+        "CAST(CASE WHEN sum(CAST(CAST(slope AS DECIMAL(18,6)) * 1000000 AS BIGINT)) < 0 "
+        "THEN -((-2 * sum(CAST(CAST(slope AS DECIMAL(18,6)) * 1000000 AS BIGINT)) + count(1)) "
+        "div (2 * count(1))) "
+        "ELSE ((2 * sum(CAST(CAST(slope AS DECIMAL(18,6)) * 1000000 AS BIGINT)) + count(1)) "
+        "div (2 * count(1))) END AS DOUBLE) / 1000000.0"
+    )
+
+
 QUERIES_NEXT = {
     "acf_returns": q_acf_returns,
     "seasonal_decompose": q_seasonal_decompose,
     "holt_forecast": q_holt_forecast,
     "cusum_anomaly": q_cusum_anomaly,
+    "theil_sen_slope": q_theil_sen_slope,
 }
 
 _ACF_TERMS = ",\n               ".join(
@@ -430,4 +493,32 @@ ORACLE_NEXT["cusum_anomaly"] = f"""
            CAST(cp > CAST(45.0 AS DECIMAL(18,6))
                 OR cn > CAST(45.0 AS DECIMAL(18,6)) AS INT) AS alarm
     FROM rec
+"""
+
+
+_TS_UNITS = "CAST(CAST(slope AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+ORACLE_NEXT["theil_sen_slope"] = f"""
+    WITH {_SEQ},
+    pairs AS (
+        SELECT a.series_key,
+               round(CAST(b.c_d - a.c_d AS DOUBLE)
+                     / CAST(b.rn - a.rn AS DOUBLE), 6) AS slope
+        FROM (SELECT series_key, rn, CAST(close AS DECIMAL(18,6)) AS c_d
+              FROM seq) a
+        JOIN (SELECT series_key, rn, CAST(close AS DECIMAL(18,6)) AS c_d
+              FROM seq) b
+          ON a.series_key = b.series_key AND a.rn < b.rn
+    ),
+    ranked AS (
+        SELECT series_key, slope,
+               row_number() OVER (PARTITION BY series_key ORDER BY slope) AS rnk,
+               count(*) OVER (PARTITION BY series_key) AS n
+        FROM pairs
+    )
+    SELECT series_key, CAST(max(n) AS BIGINT) AS n_pairs,
+           {exact_avg6_sql("sum(" + _TS_UNITS + ")", "count(1)")} AS sen_slope
+    FROM ranked
+    WHERE rnk = (n + 1) // 2 OR rnk = (n + 2) // 2
+    GROUP BY series_key
 """

@@ -1,8 +1,10 @@
 """r10-built keys staged for the r12 window (llm_next10
 ann_recall_eval, stream_next9 stream_full_join, stock_next8
-acf_returns / seasonal_decompose, olap_next11 welch_ttest):
-driver-identical parity plus per-operator semantic pins (numpy
-independent-implementation pins for ACF and Welch)."""
+acf_returns / seasonal_decompose / holt_forecast / cusum_anomaly /
+theil_sen_slope, olap_next11 welch_ttest / kruskal_wallis):
+driver-identical parity plus per-operator semantic pins (numpy /
+decimal independent-implementation pins for ACF, Welch, Kruskal,
+CUSUM, and Theil-Sen)."""
 
 from __future__ import annotations
 
@@ -580,3 +582,51 @@ def test_kruskal_wallis_planted_ties_parity(spark, tmp_path):
     assert srow["h_stat"] == orow["h_stat"]
     assert srow["h_corrected"] == orow["h_corrected"]
     assert srow["h_corrected"] > srow["h_stat"]  # C < 1 with real ties
+
+
+def test_theil_sen_parity(spark):
+    from stock_data_project_spark.plans import stock_next8
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = stock_next8.q_theil_sen_slope(spark, sf)
+        assert_gradable_schema(df, "theil_sen_slope")
+        assert df.count() > 0
+        compare(df, duckdb_run(stock_next8.ORACLE_NEXT["theil_sen_slope"], sf))
+
+
+def test_theil_sen_matches_numpy(spark):
+    """Independent implementation pin: numpy median of all pairwise
+    slopes (rounded 6dp like the plan), to 5dp."""
+    import numpy as np
+
+    from stock_data_project_spark.plans import stock_next8
+
+    rows = {
+        r["series_key"]: r
+        for r in stock_next8.q_theil_sen_slope(spark, SF_ORACLE).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/events.parquet')"
+    )
+    series = con.sql(
+        """
+        SELECT event_type, arg_max(value, ts) AS close
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+        ORDER BY event_type, date_trunc('day', ts)
+        """
+    ).fetchall()
+    by_key: dict[str, list[float]] = {}
+    for k, c in series:
+        by_key.setdefault(k, []).append(c)
+    for k, closes in by_key.items():
+        c = np.array(closes)
+        slopes = []
+        for i in range(len(c)):
+            for j in range(i + 1, len(c)):
+                slopes.append(round((c[j] - c[i]) / (j - i), 6))
+        expect = float(np.median(np.array(slopes)))
+        got = rows[k]["sen_slope"]
+        assert rows[k]["n_pairs"] == len(slopes)
+        assert abs(got - expect) < 1e-5, (k, got, expect)

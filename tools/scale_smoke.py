@@ -165,6 +165,7 @@ QUERIES = (
     "holt_forecast",
     "cusum_anomaly",
     "kruskal_wallis",
+    "theil_sen_slope",
 )
 
 
