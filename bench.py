@@ -148,6 +148,10 @@ HEADLINE = (
     "cusum_anomaly",
     "kruskal_wallis",
     "theil_sen_slope",
+    "mann_whitney_u",
+    "event_transition_matrix",
+    "spearman_corr",
+    "dsir_importance",
 )
 
 

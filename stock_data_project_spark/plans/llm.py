@@ -677,3 +677,13 @@ from stock_data_project_spark.plans.llm_next10 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT10)
 ORACLE.update(ORACLE_NEXT10)
+
+# r10 late build, r12 debut: dsir_importance (DSIR importance
+# weights, word-level exact variant — decimal-summed ln ratios)
+from stock_data_project_spark.plans.llm_next11 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT11,
+    QUERIES_NEXT as QUERIES_NEXT11,
+)
+
+QUERIES.update(QUERIES_NEXT11)
+ORACLE.update(ORACLE_NEXT11)

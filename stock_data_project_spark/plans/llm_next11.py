@@ -1,0 +1,129 @@
+"""LLM-data-pipeline key built in r10 (late batch), staged for the
+r12 window.
+
+``dsir_importance`` — Data Selection via Importance Resampling
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling"): per-document log importance weight of a TARGET
+distribution (here the English sub-corpus — the published recipe's
+"formal text" target, instantiated on this corpus's lang column)
+against the RAW distribution (the full corpus), under add-1-smoothed
+unigram bag-of-words features:
+
+    log w(doc) = Σ_tok c_doc(tok) · [ ln p_tgt(tok) − ln p_raw(tok) ]
+    p_D(tok)   = (c_D(tok) + 1) / (T_D + V)
+
+(The paper's production variant hashes n-grams into buckets; the
+word-level variant keeps the estimator exactly and stays fully
+oracle-able — the hashed variant would be engine-private xxhash,
+the rows-only class.)
+
+Cross-engine exactness: the per-token weight is a double ln-ratio of
+EXACT integers with the identical expression shape on both engines
+(the unigram_logprob precedent), rounded HALF-even to 6dp and cast to
+DECIMAL(18,6); the per-doc reduction Σ c·w is then an exact DECIMAL
+sum — order-independent, immune to partition layout — and only the
+final cast returns to DOUBLE. Token counts c ≤ 1e10 by cast width;
+weights bounded by ln(T+V) ≈ 12 on this corpus.
+
+Scale shape: one explode → (doc, tok) hash agg (map-side partial),
+one token-keyed vocab agg, the 1-row totals broadcast (the
+whitelisted scalar-bind class), and a broadcast vocab join back to
+the doc-term stream (fine until ~10⁸ distinct tokens; at web-scale
+vocab drop the hint and let AQE run the hash join — the
+unigram_logprob note applies verbatim). NULL-text docs are excluded
+(no features, no weight) identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.textops import words
+
+_TGT_LANG = "en"
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == _TGT_LANG).alias("is_tgt"),
+        F.explode(words("text")).alias("tok"),
+    )
+    dt = toks.groupBy("doc_id", "is_tgt", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dt.groupBy("tok").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.when(F.col("is_tgt"), F.col("c")).otherwise(F.lit(0))).alias("c_tgt"),
+    )
+    totals = vocab.agg(
+        F.sum("c_raw").alias("t_raw"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    weighted = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.expr(
+            "CAST(round("
+            " ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(t_tgt + v AS DOUBLE))"
+            " - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + v AS DOUBLE)), 6)"
+            " AS DECIMAL(18,6))"
+        ).alias("w"),
+    )
+    return (
+        dt.join(F.broadcast(weighted), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.col("is_tgt").cast("int")).alias("is_target"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.expr("CAST(c AS DECIMAL(10,0)) * w"))
+            .cast("double")
+            .alias("log_importance"),
+        )
+    )
+
+
+QUERIES_NEXT = {"dsir_importance": q_dsir_importance}
+
+ORACLE_NEXT = {
+    "dsir_importance": rf"""
+        WITH toks AS (
+            SELECT doc_id, lang = '{_TGT_LANG}' AS is_tgt,
+                   unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '
+                   )) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        dt AS (
+            SELECT doc_id, is_tgt, tok, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY doc_id, is_tgt, tok
+        ),
+        vocab AS (
+            SELECT tok,
+                   CAST(sum(c) AS BIGINT) AS c_raw,
+                   CAST(sum(CASE WHEN is_tgt THEN c ELSE 0 END) AS BIGINT) AS c_tgt
+            FROM dt GROUP BY tok
+        ),
+        totals AS (
+            SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+                   CAST(sum(c_tgt) AS BIGINT) AS t_tgt,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM vocab
+        ),
+        weighted AS (
+            SELECT tok,
+                   CAST(round(
+                       ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(t_tgt + v AS DOUBLE))
+                     - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + v AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) AS w
+            FROM vocab CROSS JOIN totals
+        )
+        SELECT doc_id,
+               CAST(max(CAST(is_tgt AS INT)) AS INT) AS is_target,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(c AS DECIMAL(10,0)) * w) AS DOUBLE) AS log_importance
+        FROM dt JOIN weighted USING (tok)
+        GROUP BY doc_id
+    """,
+}

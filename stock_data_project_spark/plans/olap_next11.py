@@ -1,5 +1,41 @@
 """OLAP statistical keys built in r10, staged for the r12 window.
 
+``mann_whitney_u`` — the two-sample rank-sum test (Mann–Whitney U /
+Wilcoxon) between EVERY pair of customer segments on account balance,
+FULLY oracled via exact integer rank arithmetic. The pairwise
+subtlety: U for pair (a,b) ranks only a∪b, so the kruskal_wallis
+global ranking does not apply per pair. Instead each pair carries its
+own per-value cumulative counts:
+
+- per (pair, cents): m_a, m_b occurrence counts (conditional agg over
+  a 10-row broadcast pair table), then per-pair windows give
+  cum_a/cum_b = rows strictly below. The average-tie rank identity in
+  HALF-UNITS: 2·R_a = Σ_v m_a·(2(cum_a+cum_b) + m_a + m_b + 1), all
+  BIGINT-exact; 2·U_a = 2·R_a − n_a(n_a+1).
+- tie correction Σ(t³−t) with t = m_a+m_b per value — exact integers
+  (DECIMAL(12,0) products so DuckDB's int64 tier can't overflow).
+- only the final z enters DOUBLE, with the SAME expression shape both
+  engines: z = ((2U − n_a·n_b)/2) / sqrt(n_a·n_b/12 · ((n+1) −
+  ΣT/(n(n−1)))), rounded + sign-normalized (a difference through
+  zero). u_stat itself is the exact half-integer 2U/2.
+- degenerate pairs (all values tied → σ = 0) yield NULL via nullif.
+
+Scale shape: one hash agg over customer to the distinct
+(seg, cents) table, a 10-row broadcast join (inequality ⇒ the
+metadata-sized BNL class, whitelisted), one window per pair
+partition over the values table (bounded by 10 × distinct cents),
+then a 10-row aggregate. The corpus-sized work is exactly one scan.
+
+``event_transition_matrix`` — the first-order Markov transition
+matrix over per-user event streams: counts and row-normalized
+probabilities for every (prev_type → next_type) step. Ordering is
+(ts, event_id) so same-ts rows (possible in other datasets; absent
+here, asserted in tests) break ties deterministically on both
+engines. Probabilities go through the exact-integer HALF_UP average
+(operators/rounding), never a double division that could land on the
+5e-7 rounding tie. One window over (user_id) + one hash agg — both
+reuse the same exchange; scale-safe (state is one lag row).
+
 ``kruskal_wallis`` — the k-group rank test (rank ANOVA) across ALL
 customer segments on account balance, FULLY oracled via exact
 integer rank arithmetic:
@@ -52,6 +88,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 
 # exact-integer per-segment stats, shared shape for both engines:
 #   cents    BIGINT        (|acctbal| < 1e10 dollars by width)
@@ -210,7 +247,107 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES_NEXT = {"welch_ttest": q_welch_ttest, "kruskal_wallis": q_kruskal_wallis}
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    segs = cust.select("seg").distinct()
+    pairs = (
+        segs.select(F.col("seg").alias("seg_a"))
+        .join(
+            F.broadcast(segs.select(F.col("seg").alias("seg_b"))),
+            F.col("seg_a") < F.col("seg_b"),
+        )
+    )
+    sc = cust.groupBy("seg", "cents").agg(F.count(F.lit(1)).alias("m"))
+    pv = (
+        sc.join(
+            F.broadcast(pairs),
+            (F.col("seg") == F.col("seg_a")) | (F.col("seg") == F.col("seg_b")),
+        )
+        .groupBy("seg_a", "seg_b", "cents")
+        .agg(
+            F.sum(F.when(F.col("seg") == F.col("seg_a"), F.col("m")).otherwise(0)).alias("ma"),
+            F.sum(F.when(F.col("seg") == F.col("seg_b"), F.col("m")).otherwise(0)).alias("mb"),
+        )
+    )
+    wv = (
+        Window.partitionBy("seg_a", "seg_b")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pvc = pv.withColumn(
+        "cuma", F.coalesce(F.sum("ma").over(wv), F.lit(0))
+    ).withColumn("cumb", F.coalesce(F.sum("mb").over(wv), F.lit(0)))
+    g = pvc.groupBy("seg_a", "seg_b").agg(
+        F.sum("ma").alias("n_a"),
+        F.sum("mb").alias("n_b"),
+        F.sum(
+            F.col("ma")
+            * (2 * (F.col("cuma") + F.col("cumb")) + F.col("ma") + F.col("mb") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.expr(
+                "CAST(ma + mb AS DECIMAL(12,0)) * CAST(ma + mb AS DECIMAL(12,0))"
+                " * CAST(ma + mb AS DECIMAL(12,0)) - CAST(ma + mb AS DECIMAL(12,0))"
+            )
+        ).alias("tie_sum"),
+    )
+    u2 = "r2a - n_a * (n_a + 1)"
+    sigma = (
+        "sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
+        " * (CAST(n_a + n_b + 1 AS DOUBLE)"
+        " - CAST(tie_sum AS DOUBLE)"
+        " / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE))))"
+    )
+    return g.select(
+        "seg_a",
+        "seg_b",
+        "n_a",
+        "n_b",
+        F.expr(f"CAST({u2} AS DOUBLE) / 2.0").alias("u_stat"),
+        (
+            F.round(
+                F.expr(
+                    f"try_divide(CAST({u2} - n_a * n_b AS DOUBLE) / 2.0,"
+                    f" nullif({sigma}, 0.0))"
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("z_stat"),
+    )
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    cnt = tr.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wtot = Window.partitionBy("prev_type")
+    return (
+        cnt.withColumn("n_from", F.sum("n_trans").over(wtot))
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            "n_from",
+            exact_avg6_expr("n_trans * 1000000", "n_from").alias("p_trans"),
+        )
+    )
+
+
+QUERIES_NEXT = {
+    "welch_ttest": q_welch_ttest,
+    "kruskal_wallis": q_kruskal_wallis,
+    "mann_whitney_u": q_mann_whitney_u,
+    "event_transition_matrix": q_event_transition_matrix,
+}
 
 ORACLE_NEXT = {
     "welch_ttest": f"""
@@ -249,6 +386,81 @@ ORACLE_NEXT = {
     """,
 }
 
+
+ORACLE_NEXT["mann_whitney_u"] = """
+    WITH cs AS (
+        SELECT c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        FROM customer
+    ),
+    sc AS (
+        SELECT seg, cents, CAST(count(*) AS BIGINT) AS m
+        FROM cs GROUP BY seg, cents
+    ),
+    pr AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b
+        FROM (SELECT DISTINCT seg FROM cs) a
+        JOIN (SELECT DISTINCT seg FROM cs) b ON a.seg < b.seg
+    ),
+    pv AS (
+        SELECT seg_a, seg_b, cents,
+               CAST(sum(CASE WHEN seg = seg_a THEN m ELSE 0 END) AS BIGINT) AS ma,
+               CAST(sum(CASE WHEN seg = seg_b THEN m ELSE 0 END) AS BIGINT) AS mb
+        FROM sc JOIN pr ON seg = seg_a OR seg = seg_b
+        GROUP BY seg_a, seg_b, cents
+    ),
+    pc AS (
+        SELECT seg_a, seg_b, ma, mb,
+               CAST(coalesce(sum(ma) OVER wv, 0) AS BIGINT) AS cuma,
+               CAST(coalesce(sum(mb) OVER wv, 0) AS BIGINT) AS cumb
+        FROM pv
+        WINDOW wv AS (PARTITION BY seg_a, seg_b ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    g AS (
+        SELECT seg_a, seg_b,
+               CAST(sum(ma) AS BIGINT) AS n_a,
+               CAST(sum(mb) AS BIGINT) AS n_b,
+               CAST(sum(ma * (2 * (cuma + cumb) + ma + mb + 1)) AS BIGINT) AS r2a,
+               sum(CAST(ma + mb AS DECIMAL(12,0)) * CAST(ma + mb AS DECIMAL(12,0))
+                   * CAST(ma + mb AS DECIMAL(12,0)) - CAST(ma + mb AS DECIMAL(12,0)))
+                   AS tie_sum
+        FROM pc GROUP BY seg_a, seg_b
+    )
+    SELECT seg_a, seg_b, n_a, n_b,
+           CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_stat,
+           round(
+               (CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0)
+               / nullif(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                   * (CAST(n_a + n_b + 1 AS DOUBLE)
+                      - CAST(tie_sum AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE)
+                         * CAST(n_a + n_b - 1 AS DOUBLE)))), 0.0),
+               6) + 0.0 AS z_stat
+    FROM g
+"""
+
+ORACLE_NEXT["event_transition_matrix"] = f"""
+    WITH tr AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+        FROM tr WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    tot AS (
+        SELECT prev_type, next_type, n_trans,
+               CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from
+        FROM cnt
+    )
+    SELECT prev_type, next_type, n_trans, n_from,
+           {exact_avg6_sql("n_trans * 1000000", "n_from")} AS p_trans
+    FROM tot
+"""
 
 ORACLE_NEXT["kruskal_wallis"] = """
     WITH cs AS (

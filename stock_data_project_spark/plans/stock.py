@@ -823,3 +823,13 @@ from stock_data_project_spark.plans.stock_next8 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT8)
 ORACLE.update(ORACLE_NEXT8)
+
+# r10 late build, r12 debut: spearman_corr — rank correlation of
+# close vs volume via exact half-unit average-tie ranks
+from stock_data_project_spark.plans.stock_next9 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT9,
+    QUERIES_NEXT as QUERIES_NEXT9,
+)
+
+QUERIES.update(QUERIES_NEXT9)
+ORACLE.update(ORACLE_NEXT9)

@@ -150,6 +150,15 @@ def main() -> None:
         # by construction) — metadata-sized broadcast, the
         # ntile_deciles triangular-offsets class
         "welch_ttest",
+        # mann_whitney_u builds the same 10-row triangular pair table
+        # (segs × segs on seg_a < seg_b) and additionally routes the
+        # (seg, cents) stats through an OR-condition broadcast join
+        # against it — both metadata-sized binds, the welch class
+        "mann_whitney_u",
+        # dsir_importance binds the 1-row (t_raw, t_tgt, v) vocab
+        # totals for the smoothing denominators — the documented
+        # constant-cost scalar-bind class
+        "dsir_importance",
     }
     flagged = [
         k
