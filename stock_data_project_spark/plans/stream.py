@@ -203,3 +203,13 @@ from stock_data_project_spark.plans.stream_next9 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT9)
 ORACLE.update(ORACLE_NEXT9)
+
+# r10 late build, r12 debut: chained stateful aggregations (5-min
+# buckets rolled up hourly inside ONE streaming query, SPARK-40925)
+from stock_data_project_spark.plans.stream_next10 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT10,
+    QUERIES_NEXT as QUERIES_NEXT10,
+)
+
+QUERIES.update(QUERIES_NEXT10)
+ORACLE.update(ORACLE_NEXT10)

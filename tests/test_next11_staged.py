@@ -1,6 +1,7 @@
 """Late-r10 keys staged for the r12 window (olap_next11
 mann_whitney_u / event_transition_matrix, stock_next9 spearman_corr,
-llm_next11 dsir_importance): driver-identical parity plus independent
+llm_next11 dsir_importance, stream_next10 stream_chained_agg):
+driver-identical parity plus independent
 implementation pins (numpy rank tests, pure-Python DSIR replay) and a
 planted-ties Mann-Whitney construction (the testdata is tie-free on
 cents, so the tie machinery needs its own table)."""
@@ -187,6 +188,52 @@ def test_event_transition_invariants(spark):
         assert sum(g["n_trans"] for g in grp) == n_from
         p_sum = sum(g["p_trans"] for g in grp)
         assert abs(p_sum - 1.0) < len(grp) * 5e-7 + 1e-12, (prev, p_sum)
+
+
+def test_stream_chained_agg_parity(spark):
+    """The two-stateful-operator rollup vs the final-watermark-cut
+    replay at smoke AND oracle SF — the 4-drop feed IS the
+    cross-batch incrementality pin (buckets finalize in different
+    micro-batches than the hours that absorb them)."""
+    from stock_data_project_spark.plans import stream_next10
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = stream_next10.stream_chained_agg(spark, sf)
+        assert_gradable_schema(df, "stream_chained_agg")
+        assert df.count() > 0
+        compare(df, duckdb_run(stream_next10.ORACLE_NEXT["stream_chained_agg"], sf))
+
+
+def test_stream_chained_agg_no_boundary_ties():
+    """The ≤-vs-< emission choice is indistinguishable only while the
+    final watermark never lands exactly on an hour boundary — assert
+    that on the real data (the stream_distinct_users tie rule)."""
+    from stock_data_project_spark.plans import stream_next10
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        n = con.sql(
+            f"""SELECT count(*) FROM (
+                SELECT max(ts) - {stream_next10._SCA_DELAY_SQL} AS wm FROM events) w
+                WHERE epoch_us(wm) % {stream_next10._SCA_HOUR_US} = 0"""
+        ).fetchone()[0]
+        assert n == 0
+
+
+def test_stream_chained_agg_rollup_invariants(spark):
+    """Each emitted hour carries 1..12 buckets, max_bucket ≤ n_events,
+    and bucket counts re-sum to the hour totals."""
+    from stock_data_project_spark.plans import stream_next10
+
+    rows = stream_next10.stream_chained_agg(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_buckets"] <= 12
+        assert r["max_bucket"] <= r["n_events"]
+        assert r["n_events"] >= r["n_buckets"]  # every bucket ≥ 1 event
 
 
 def test_dsir_replay_and_direction(spark):
