@@ -152,6 +152,7 @@ HEADLINE = (
     "event_transition_matrix",
     "spearman_corr",
     "dsir_importance",
+    "holt_winters",
 )
 
 

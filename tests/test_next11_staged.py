@@ -190,6 +190,74 @@ def test_event_transition_invariants(spark):
         assert abs(p_sum - 1.0) < len(grp) * 5e-7 + 1e-12, (prev, p_sum)
 
 
+def test_holt_winters_parity(spark):
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = stock_next9.q_holt_winters(spark, sf)
+        assert_gradable_schema(df, "holt_winters")
+        assert df.count() > 0
+        compare(df, duckdb_run(stock_next9.ORACLE_NEXT["holt_winters"], sf))
+
+
+def test_holt_winters_periodic_series_is_fixpoint():
+    """A perfectly period-7 series with zero-sum seasonal pattern is
+    an exact fixpoint of the fold: level stays at the base, trend at
+    0, and fitted reproduces the actuals exactly."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    pattern = [Decimal(s) for s in ("3", "-2", "1", "0", "-1", "2", "-3")]
+    base = Decimal("100.000000")
+    n = 28
+    pdf = pd.DataFrame(
+        {
+            "series_key": ["k"] * n,
+            "date": pd.date_range("2024-01-01", periods=n),
+            "rn": range(1, n + 1),
+            "c_d": [base + pattern[i % 7] for i in range(n)],
+        }
+    )
+    out = stock_next9._hw_fold(pdf)
+    assert len(out) == n - 7
+    for _, r in out.iterrows():
+        assert r["lvl_d"] == base
+        assert r["tr_d"] == 0
+    fits = list(out["fit_d"])
+    for i, f in enumerate(fits):
+        assert f == base + pattern[(i + 7) % 7]
+
+
+def test_holt_winters_short_series_emits_nothing(spark):
+    """Series below period+1 bars emit zero rows, and the EMPTY
+    applyInPandas output keeps the input dtypes (the empty-output
+    Arrow class, scalar-column variant) — under BOTH Arrow settings
+    (the driver session runs Arrow-off)."""
+    old = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        for arrow in ("true", "false"):
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", arrow)
+            src = spark.createDataFrame(
+                [
+                    ("a", f"2024-01-{d:02d} 00:00:00", d, float(d))
+                    for d in range(1, 6)
+                ],
+                "series_key string, date string, rn int, close double",
+            ).selectExpr(
+                "series_key",
+                "CAST(date AS TIMESTAMP) date",
+                "rn",
+                "CAST(close AS DECIMAL(18,6)) c_d",
+            )
+            out = src.groupBy("series_key").applyInPandas(
+                stock_next9._hw_fold,
+                "series_key string, date timestamp, lvl_d decimal(18,6),"
+                " tr_d decimal(18,6), seas_d decimal(18,6), fit_d decimal(18,6)",
+            )
+            assert out.count() == 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", old)
+
+
 def test_stream_chained_agg_parity(spark):
     """The two-stateful-operator rollup vs the final-watermark-cut
     replay at smoke AND oracle SF — the 4-drop feed IS the
