@@ -153,6 +153,8 @@ HEADLINE = (
     "spearman_corr",
     "dsir_importance",
     "holt_winters",
+    "kendall_tau",
+    "vocab_growth",
 )
 
 

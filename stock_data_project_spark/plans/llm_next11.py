@@ -32,11 +32,25 @@ the doc-term stream (fine until ~10⁸ distinct tokens; at web-scale
 vocab drop the hint and let AQE run the hash join — the
 unigram_logprob note applies verbatim). NULL-text docs are excluded
 (no features, no weight) identically on both engines.
+
+``vocab_growth`` — the Heaps-law curve of the corpus: per doc (in
+doc_id ingestion order) the count of NEVER-BEFORE-SEEN tokens and
+the running vocabulary size, plus the running token total (the
+Heaps x-axis). The cumulative_distinct_users trick applied to
+tokens: each token's first-seen doc (one token-keyed hash agg with
+min(doc_id)) turns "cumulative distinct vocabulary" into a running
+sum of per-doc first-seen counts — the incremental formulation that
+holds at 100 TB, where a naive expanding COUNT(DISTINCT token)
+rescans the corpus per step. The only window runs over the post-agg
+PER-DOC table (corpus-count-sized, the calendar-sized class), never
+the token stream. All-BIGINT exact; docs whose tokens were all seen
+before get 0 via a left join + coalesce.
+
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
@@ -84,7 +98,29 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES_NEXT = {"dsir_importance": q_dsir_importance}
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", F.explode(words("text")).alias("tok"))
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first_seen = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new_tokens"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_doc.join(first_seen, "doc_id", "left")
+        .withColumn("n_new_tokens", F.coalesce("n_new_tokens", F.lit(0)))
+        .withColumn("tokens_seen", F.sum("n_tokens").over(w))
+        .withColumn("vocab_size", F.sum("n_new_tokens").over(w))
+    )
+
+
+QUERIES_NEXT = {
+    "dsir_importance": q_dsir_importance,
+    "vocab_growth": q_vocab_growth,
+}
 
 ORACLE_NEXT = {
     "dsir_importance": rf"""
@@ -125,5 +161,31 @@ ORACLE_NEXT = {
                CAST(sum(CAST(c AS DECIMAL(10,0)) * w) AS DOUBLE) AS log_importance
         FROM dt JOIN weighted USING (tok)
         GROUP BY doc_id
+    """,
+    "vocab_growth": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '
+                   )) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY doc_id
+        ),
+        first_seen AS (
+            SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new_tokens
+            FROM (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok)
+            GROUP BY first_doc
+        )
+        SELECT p.doc_id, p.n_tokens,
+               coalesce(f.n_new_tokens, 0) AS n_new_tokens,
+               CAST(sum(p.n_tokens) OVER w AS BIGINT) AS tokens_seen,
+               CAST(sum(coalesce(f.n_new_tokens, 0)) OVER w AS BIGINT)
+                   AS vocab_size
+        FROM per_doc p LEFT JOIN first_seen f ON p.doc_id = f.doc_id
+        WINDOW w AS (ORDER BY p.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 }

@@ -57,6 +57,21 @@ exact-decimal fold (holt_forecast's shape plus the seasonal deque).
 Scale shape: one applyInPandas pass per series, state O(period);
 the recursive oracle is test-bound (30-step depth), not the engine
 path.
+
+``kendall_tau`` — Kendall's τ-b rank correlation between close and
+volume per series, the pairwise complement to spearman_corr (τ is
+the probability-of-concordance estimator; ρ the rank-linear one) and
+ENTIRELY integer until the last expression: concordant/discordant
+pair counts from the theil_sen-shaped per-series pair join (sign
+CASE, ties on either variable contribute neither), tie corrections
+n₁ = Σt(t−1)/2 per tied-close group and n₂ per tied-volume group
+from two hash aggs, τ_b = (C − D)/√((n₀−n₁)(n₀−n₂)) with the
+product in scale-0 DECIMAL ((19,0)² — exact on both engines) and
+one double sqrt/division (identical shape), rounded +
+sign-normalized; all-tied degenerate series NULL via nullif. The
+per-series quadratic pair join is the estimator's definition (435
+pairs on 30 bars); the scale path is pair sampling, documented not
+silently capped.
 """
 
 from __future__ import annotations
@@ -210,7 +225,77 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES_NEXT = {"spearman_corr": q_spearman_corr, "holt_winters": q_holt_winters}
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_data_project_spark.plans.stock_next4 import _bars_rn
+
+    bars = _bars_rn(spark, sf_dir).select("series_key", "rn", "close", "volume")
+    a = bars.select(
+        "series_key",
+        F.col("rn").alias("a_rn"),
+        F.col("close").alias("a_x"),
+        F.col("volume").alias("a_y"),
+    )
+    b = bars.select(
+        "series_key",
+        F.col("rn").alias("b_rn"),
+        F.col("close").alias("b_x"),
+        F.col("volume").alias("b_y"),
+    )
+    pairs = a.join(b, "series_key").filter(F.col("a_rn") < F.col("b_rn"))
+    sgn = (
+        "CASE WHEN b_x > a_x THEN 1 WHEN b_x < a_x THEN -1 ELSE 0 END"
+        " * CASE WHEN b_y > a_y THEN 1 WHEN b_y < a_y THEN -1 ELSE 0 END"
+    )
+    cd = pairs.groupBy("series_key").agg(
+        F.sum(F.expr(f"CAST({sgn} = 1 AS BIGINT)")).alias("concordant"),
+        F.sum(F.expr(f"CAST({sgn} = -1 AS BIGINT)")).alias("discordant"),
+    )
+    n = bars.groupBy("series_key").agg(F.count(F.lit(1)).alias("n_days"))
+    tx = (
+        bars.groupBy("series_key", "close")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("series_key")
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n1"))
+    )
+    ty = (
+        bars.groupBy("series_key", "volume")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("series_key")
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n2"))
+    )
+    g = (
+        cd.join(n, "series_key")
+        .join(tx, "series_key")
+        .join(ty, "series_key")
+        .withColumn("n0", F.expr("n_days * (n_days - 1) DIV 2"))
+    )
+    den = (
+        "CAST(CAST(n0 - n1 AS DECIMAL(19,0)) * CAST(n0 - n2 AS DECIMAL(19,0))"
+        " AS DOUBLE)"
+    )
+    return g.select(
+        "series_key",
+        "n_days",
+        "concordant",
+        "discordant",
+        (
+            F.round(
+                F.expr(
+                    f"try_divide(CAST(concordant - discordant AS DOUBLE),"
+                    f" nullif(sqrt({den}), 0.0))"
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("tau_b"),
+    )
+
+
+QUERIES_NEXT = {
+    "spearman_corr": q_spearman_corr,
+    "holt_winters": q_holt_winters,
+    "kendall_tau": q_kendall_tau,
+}
 
 _SP_NUM = (
     "CAST(n_days AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(25,0))"
@@ -285,6 +370,54 @@ ORACLE_NEXT = {
                CAST(sl7 AS DOUBLE) AS seasonal,
                CAST(fit AS DOUBLE) AS fitted
         FROM rec WHERE rn >= 8
+    """,
+    "kendall_tau": f"""
+        WITH {_SEQ},
+        pairs AS (
+            SELECT a.series_key,
+                   CASE WHEN b.close > a.close THEN 1
+                        WHEN b.close < a.close THEN -1 ELSE 0 END
+                 * CASE WHEN b.volume > a.volume THEN 1
+                        WHEN b.volume < a.volume THEN -1 ELSE 0 END AS sgn
+            FROM seq a JOIN seq b
+              ON a.series_key = b.series_key AND a.rn < b.rn
+        ),
+        cd AS (
+            SELECT series_key,
+                   CAST(sum(CAST(sgn = 1 AS BIGINT)) AS BIGINT) AS concordant,
+                   CAST(sum(CAST(sgn = -1 AS BIGINT)) AS BIGINT) AS discordant
+            FROM pairs GROUP BY series_key
+        ),
+        nn AS (
+            SELECT series_key, CAST(count(*) AS BIGINT) AS n_days
+            FROM seq GROUP BY series_key
+        ),
+        tx AS (
+            SELECT series_key, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1
+            FROM (SELECT series_key, close, CAST(count(*) AS BIGINT) AS t
+                  FROM seq GROUP BY series_key, close)
+            GROUP BY series_key
+        ),
+        ty AS (
+            SELECT series_key, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+            FROM (SELECT series_key, volume, CAST(count(*) AS BIGINT) AS t
+                  FROM seq GROUP BY series_key, volume)
+            GROUP BY series_key
+        ),
+        g AS (
+            SELECT series_key, n_days, concordant, discordant, n1, n2,
+                   n_days * (n_days - 1) // 2 AS n0
+            FROM cd JOIN nn USING (series_key)
+                    JOIN tx USING (series_key)
+                    JOIN ty USING (series_key)
+        )
+        SELECT series_key, n_days, concordant, discordant,
+               round(CAST(concordant - discordant AS DOUBLE)
+                     / nullif(sqrt(CAST(CAST(n0 - n1 AS DECIMAL(19,0))
+                                        * CAST(n0 - n2 AS DECIMAL(19,0))
+                                        AS DOUBLE)), 0.0),
+                     6) + 0.0 AS tau_b
+        FROM g
     """,
     "spearman_corr": f"""
         WITH {_BARS},

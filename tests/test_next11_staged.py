@@ -167,6 +167,93 @@ def test_spearman_matches_numpy(spark):
         assert abs(row["rho_spearman"] - rho) < 1e-6, (key, row["rho_spearman"], rho)
 
 
+def test_kendall_tau_parity(spark):
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = stock_next9.q_kendall_tau(spark, sf)
+        assert_gradable_schema(df, "kendall_tau")
+        assert df.count() > 0
+        compare(df, duckdb_run(stock_next9.ORACLE_NEXT["kendall_tau"], sf))
+
+
+def test_kendall_tau_matches_textbook(spark):
+    """Independent tau-b: O(n²) concordance loop + tie corrections in
+    numpy on the real bars, exact counts and 1e-9 on tau."""
+    rows = {
+        r["series_key"]: r for r in stock_next9.q_kendall_tau(spark, SF_ORACLE).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_ORACLE}/events.parquet')"
+    )
+    bars = con.sql(
+        """SELECT event_type, date_trunc('day', ts) AS d,
+                  arg_max(value, ts) AS close, count(*) AS volume
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    for key, gr in bars.groupby("event_type"):
+        x = gr["close"].to_numpy()
+        y = gr["volume"].to_numpy()
+        n = len(x)
+        c = d = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = np.sign(x[j] - x[i]) * np.sign(y[j] - y[i])
+                c += s > 0
+                d += s < 0
+        n0 = n * (n - 1) // 2
+        _, tcx = np.unique(x, return_counts=True)
+        _, tcy = np.unique(y, return_counts=True)
+        n1 = int((tcx * (tcx - 1) // 2).sum())
+        n2 = int((tcy * (tcy - 1) // 2).sum())
+        tau = (c - d) / np.sqrt(float((n0 - n1) * (n0 - n2)))
+        row = rows[key]
+        assert row["concordant"] == c and row["discordant"] == d
+        assert abs(row["tau_b"] - tau) < 1e-6, (key, row["tau_b"], tau)
+
+
+def test_vocab_growth_parity(spark):
+    from stock_data_project_spark.plans import llm_next11 as l11
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = l11.q_vocab_growth(spark, sf)
+        assert_gradable_schema(df, "vocab_growth")
+        assert df.count() > 0
+        compare(df, duckdb_run(l11.ORACLE_NEXT["vocab_growth"], sf))
+
+
+def test_vocab_growth_invariants(spark):
+    """Heaps-curve sanity: the running vocab ends at the corpus's
+    exact distinct-token count, growth is monotone, the first doc
+    contributes exactly its own distinct tokens, and new-token counts
+    re-sum to the final vocabulary."""
+    import re
+
+    rows = sorted(
+        llm_next11.q_vocab_growth(spark, SF_SMOKE).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    docs = con.sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL ORDER BY doc_id"
+    ).fetchall()
+    vocab: set[str] = set()
+    tok0 = None
+    for doc_id, text in docs:
+        toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        if tok0 is None:
+            tok0 = len(set(toks))
+        vocab.update(toks)
+    assert rows[0]["n_new_tokens"] == tok0
+    assert rows[-1]["vocab_size"] == len(vocab)
+    assert sum(r["n_new_tokens"] for r in rows) == len(vocab)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["vocab_size"] >= prev["vocab_size"]
+        assert cur["tokens_seen"] == prev["tokens_seen"] + cur["n_tokens"]
+
+
 def test_event_transition_invariants(spark):
     """Counts account for every non-first event; per-prev
     probabilities are the exact HALF_UP ratios and sum to ~1."""
