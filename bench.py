@@ -155,6 +155,20 @@ HEADLINE = (
     "holt_winters",
     "kendall_tau",
     "vocab_growth",
+    # late-r10 builds (r12-window debuts): series diagnostics (runs /
+    # Ljung-Box / Jarque-Bera / Sharpe-Sortino / R-S Hurst), k-group
+    # ANOVA + revenue concentration, Zipf fit + readability + blocked
+    # asymmetric containment
+    "runs_test",
+    "ljung_box",
+    "jarque_bera",
+    "sharpe_sortino",
+    "hurst_exponent",
+    "one_way_anova",
+    "herfindahl_index",
+    "zipf_slope",
+    "flesch_reading_ease",
+    "containment_pairs",
 )
 
 

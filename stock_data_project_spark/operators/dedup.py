@@ -525,6 +525,82 @@ def blocked_jaccard_pairs(
     return docs.groupBy("lang", "len_bucket").applyInPandas(per_block, schema=out_schema)
 
 
+def blocked_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+    threshold: float = 0.5,
+    block_chars: int = 100,
+) -> DataFrame:
+    """Exact word-set CONTAINMENT over the same blocked candidate
+    pairs as :func:`blocked_jaccard_pairs` — the asymmetric near-dup
+    measure (|A∩B|/|A| vs /|B|) that catches sub-document duplication
+    Jaccard dilutes (a doc wholly embedded in a 10× larger one has
+    jaccard ~0.1 but containment 1.0). A pair is emitted when EITHER
+    direction reaches ``threshold``; both directions are reported.
+
+    Same scale shape as the jaccard variant: one shuffle on the
+    (lang, len_bucket) block key, per-block boolean incidence-matrix
+    GEMM (containment reuses the SAME M·Mᵀ intersection matrix —
+    only the normalizer changes from union to row/col set size)."""
+    import numpy as np
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["wordset"].notna()]
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        vocab: dict[str, int] = {}
+        rows, cols = [], []
+        for i, ws in enumerate(pdf["wordset"]):
+            for w in ws:
+                j = vocab.setdefault(w, len(vocab))
+                rows.append(i)
+                cols.append(j)
+        n = len(pdf)
+        m = np.zeros((n, len(vocab)), dtype=np.float64)
+        m[rows, cols] = 1.0
+        inter = m @ m.T
+        sizes = m.sum(axis=1)
+        # empty wordsets (blank text) would divide by zero; such docs
+        # intersect nothing, so mask them out like the NULL-text rule
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cont_a = np.round(inter / sizes[:, None], 6)
+            cont_b = np.round(inter / sizes[None, :], 6)
+        iu, ju = np.triu_indices(n, k=1)
+        ca, cb = cont_a[iu, ju], cont_b[iu, ju]
+        keep = np.nan_to_num(np.maximum(ca, cb)) >= threshold
+        ids = pdf["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id_a": ids[iu[keep]],
+                "doc_id_b": ids[ju[keep]],
+                "containment_a": ca[keep].astype(np.float64),
+                "containment_b": cb[keep].astype(np.float64),
+            }
+        )
+
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id_a", id_type),
+            T.StructField("doc_id_b", id_type),
+            T.StructField("containment_a", T.DoubleType()),
+            T.StructField("containment_b", T.DoubleType()),
+        ]
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.floor(F.col(chars_col) / block_chars).alias("len_bucket"),
+        F.array_distinct(words(text_col)).alias("wordset"),
+    )
+    return docs.groupBy("lang", "len_bucket").applyInPandas(per_block, schema=out_schema)
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     history: DataFrame | None = None,

@@ -687,3 +687,15 @@ from stock_data_project_spark.plans.llm_next11 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT11)
 ORACLE.update(ORACLE_NEXT11)
+
+# r10 late build, r12 debut: zipf_slope (per-source Zipf OLS fit),
+# flesch_reading_ease (row-local readability), containment_pairs
+# (blocked asymmetric word-set containment — the sub-document dedup
+# seam Jaccard misses)
+from stock_data_project_spark.plans.llm_next12 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT12,
+    QUERIES_NEXT as QUERIES_NEXT12,
+)
+
+QUERIES.update(QUERIES_NEXT12)
+ORACLE.update(ORACLE_NEXT12)

@@ -1187,3 +1187,14 @@ from stock_data_project_spark.plans.olap_next11 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT11)
 ORACLE.update(ORACLE_NEXT11)
+
+# r10 late build, r12 debut: one_way_anova (k-group exact-moment
+# F-test) and herfindahl_index (per-nation supplier revenue
+# concentration, exact to the last unit)
+from stock_data_project_spark.plans.olap_next12 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT12,
+    QUERIES_NEXT as QUERIES_NEXT12,
+)
+
+QUERIES.update(QUERIES_NEXT12)
+ORACLE.update(ORACLE_NEXT12)

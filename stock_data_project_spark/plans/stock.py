@@ -833,3 +833,14 @@ from stock_data_project_spark.plans.stock_next9 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT9)
 ORACLE.update(ORACLE_NEXT9)
+
+# r10 late build, r12 debut: the series-diagnostics batch — runs_test
+# / ljung_box / jarque_bera / sharpe_sortino / hurst_exponent (exact
+# integer/decimal cores, shared double-expression strings)
+from stock_data_project_spark.plans.stock_next10 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT10,
+    QUERIES_NEXT as QUERIES_NEXT10,
+)
+
+QUERIES.update(QUERIES_NEXT10)
+ORACLE.update(ORACLE_NEXT10)
