@@ -169,6 +169,9 @@ HEADLINE = (
     "zipf_slope",
     "flesch_reading_ease",
     "containment_pairs",
+    "variance_ratio",
+    "seasonality_strength",
+    "event_mutual_info",
 )
 
 

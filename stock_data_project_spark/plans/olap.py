@@ -1198,3 +1198,14 @@ from stock_data_project_spark.plans.olap_next12 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT12)
 ORACLE.update(ORACLE_NEXT12)
+
+# r10 late build, r12 debut: event_mutual_info (MI / entropies / NMI
+# between event type and hour-of-day — the information-theoretic
+# complement to categorical_association)
+from stock_data_project_spark.plans.olap_next13 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT13,
+    QUERIES_NEXT as QUERIES_NEXT13,
+)
+
+QUERIES.update(QUERIES_NEXT13)
+ORACLE.update(ORACLE_NEXT13)

@@ -844,3 +844,14 @@ from stock_data_project_spark.plans.stock_next10 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT10)
 ORACLE.update(ORACLE_NEXT10)
+
+# r10 late build, r12 debut: variance_ratio (Lo-MacKinlay random-walk
+# test) and seasonality_strength (Hyndman component-strength measures
+# over the seasonal_decompose construction)
+from stock_data_project_spark.plans.stock_next11 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT11,
+    QUERIES_NEXT as QUERIES_NEXT11,
+)
+
+QUERIES.update(QUERIES_NEXT11)
+ORACLE.update(ORACLE_NEXT11)

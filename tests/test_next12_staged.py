@@ -332,3 +332,118 @@ def test_containment_pairs_consistency_with_jaccard(spark):
         ca, cb, j = r["containment_a"], r["containment_b"], jac[pair]
         # 1/j = 1/ca + 1/cb − 1 (exact set identity, 6dp-rounded inputs)
         assert abs(1.0 / j - (1.0 / ca + 1.0 / cb - 1.0)) < 1e-3, (pair, ca, cb, j)
+
+
+# ------------------------- second late-r10 batch (stock_next11/olap_next13)
+
+
+def test_next12b_keys_are_oracled():
+    from stock_data_project_spark.plans import olap_next13, stock_next11
+
+    assert set(stock_next11.QUERIES_NEXT) == set(stock_next11.ORACLE_NEXT)
+    assert set(olap_next13.QUERIES_NEXT) == set(olap_next13.ORACLE_NEXT)
+
+
+@pytest.mark.parametrize(
+    "key", ["variance_ratio", "seasonality_strength", "event_mutual_info"]
+)
+def test_next12b_parity(spark, key):
+    from stock_data_project_spark.plans import olap_next13, stock_next11
+
+    mod = olap_next13 if key in olap_next13.QUERIES_NEXT else stock_next11
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = mod.QUERIES_NEXT[key](spark, sf)
+        assert_gradable_schema(df, key)
+        assert df.count() > 0
+        compare(df, duckdb_run(mod.ORACLE_NEXT[key], sf))
+
+
+def test_variance_ratio_matches_numpy(spark):
+    from stock_data_project_spark.plans import stock_next11
+
+    rows = {
+        r["series_key"]: r
+        for r in stock_next11.q_variance_ratio(spark, SF_ORACLE).collect()
+    }
+    q = 5
+    for key, r in _returns_by_series(SF_ORACLE).items():
+        rq = np.convolve(r, np.ones(q), mode="valid")
+        vr = rq.var(ddof=1) / (q * r.var(ddof=1))
+        n = len(r)
+        z = (vr - 1.0) / math.sqrt(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * n))
+        row = rows[key]
+        assert row["n_obs"] == n and row["n_windows"] == len(rq)
+        assert abs(row["vr"] - vr) < 1e-5 * max(1.0, vr), (key, row["vr"], vr)
+        assert abs(row["z_vr"] - z) < 1e-4 * max(1.0, abs(z))
+
+
+def test_seasonality_strength_matches_numpy(spark):
+    """Independent replay: centered 7-day MA trend, per-dow seasonal
+    mean of the detrended residue, variance ratios — numpy doubles
+    agree with the plan's exact-decimal path to ~1e-5 (the plan's
+    6dp roundings are the only divergence)."""
+    import pandas as pd
+    from stock_data_project_spark.plans import stock_next11
+
+    rows = {
+        r["series_key"]: r
+        for r in stock_next11.q_seasonality_strength(spark, SF_ORACLE).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_ORACLE}/events.parquet')"
+    )
+    bars = con.sql(
+        """SELECT event_type AS sk, date_trunc('day', ts) AS d,
+                  arg_max(value, ts) AS close,
+                  CAST((epoch_us(date_trunc('day', ts)) // 86400000000) % 7 AS INT)
+                      AS dow
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    for key, g in bars.groupby("sk"):
+        c = g["close"].to_numpy(dtype=np.float64)
+        trend = pd.Series(c).rolling(7, center=True).mean().to_numpy()
+        det = c - trend
+        dow = g["dow"].to_numpy()
+        seas = np.array(
+            [np.nanmean(det[dow == dw]) if np.isfinite(det[dow == dw]).any() else np.nan for dw in dow]
+        )
+        mask = np.isfinite(det)
+        res = det[mask] - seas[mask]
+        des = c[mask] - seas[mask]
+        fs = max(0.0, 1.0 - res.var(ddof=1) / det[mask].var(ddof=1))
+        ft = max(0.0, 1.0 - res.var(ddof=1) / des.var(ddof=1))
+        row = rows[key]
+        assert row["n_obs"] == int(mask.sum())
+        assert abs(row["seasonal_strength"] - fs) < 1e-4, (key, row["seasonal_strength"], fs)
+        assert abs(row["trend_strength"] - ft) < 1e-4
+
+
+def test_event_mutual_info_matches_numpy(spark):
+    from stock_data_project_spark.plans import olap_next13
+
+    row = olap_next13.q_event_mutual_info(spark, SF_ORACLE).collect()[0]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_ORACLE}/events.parquet')"
+    )
+    cells = con.sql(
+        """SELECT event_type, CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS h,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2"""
+    ).df()
+    n = cells["c"].sum()
+    cx = cells.groupby("event_type")["c"].sum()
+    cy = cells.groupby("h")["c"].sum()
+    mi = sum(
+        (r.c / n) * math.log(r.c * n / (cx[r.event_type] * cy[r.h]))
+        for r in cells.itertuples()
+    )
+    hx = -sum((v / n) * math.log(v / n) for v in cx)
+    hy = -sum((v / n) * math.log(v / n) for v in cy)
+    assert row["n_events"] == n and row["n_cells"] == len(cells)
+    assert abs(row["mi_nats"] - mi) < 1e-5
+    assert abs(row["h_type"] - hx) < 1e-5
+    assert abs(row["h_hour"] - hy) < 1e-5
+    assert abs(row["nmi"] - mi / min(hx, hy)) < 1e-4
+    assert 0.0 <= row["nmi"] <= 1.0 + 1e-9

@@ -159,6 +159,10 @@ def main() -> None:
         # totals for the smoothing denominators — the documented
         # constant-cost scalar-bind class
         "dsir_importance",
+        # event_mutual_info binds the two 1-row marginal-entropy
+        # aggregates onto the 1-row MI aggregate — the documented
+        # constant-cost scalar-bind class
+        "event_mutual_info",
     }
     flagged = [
         k
