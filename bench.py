@@ -172,6 +172,12 @@ HEADLINE = (
     "variance_ratio",
     "seasonality_strength",
     "event_mutual_info",
+    # r10-close builds (r13-window debuts): max-CUSUM structural
+    # break, ±2-lag lead-lag correlation profile, planted-construction
+    # recall grade of the MinHash-LSH dedup path
+    "changepoint_detect",
+    "lead_lag_corr",
+    "minhash_recall_eval",
 )
 
 

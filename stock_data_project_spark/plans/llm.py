@@ -699,3 +699,15 @@ from stock_data_project_spark.plans.llm_next12 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT12)
 ORACLE.update(ORACLE_NEXT12)
+
+# r10-close build, r13 debut: minhash_recall_eval (the ann_recall_eval
+# planted-construction recipe applied to the MinHash-LSH dedup path —
+# identical planted texts provably collide in every band, so recall
+# and the pair arithmetic are fully oracled)
+from stock_data_project_spark.plans.llm_next13 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT13,
+    QUERIES_NEXT as QUERIES_NEXT13,
+)
+
+QUERIES.update(QUERIES_NEXT13)
+ORACLE.update(ORACLE_NEXT13)

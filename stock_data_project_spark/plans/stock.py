@@ -855,3 +855,15 @@ from stock_data_project_spark.plans.stock_next11 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT11)
 ORACLE.update(ORACLE_NEXT11)
+
+# r10-close build, r13 debut: changepoint_detect (max-CUSUM single
+# structural break, exact-decimal scaled deviation + struct argmax)
+# and lead_lag_corr (pairwise lead-lag correlation profile at ±2
+# lags, one window pass + one date join)
+from stock_data_project_spark.plans.stock_next12 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT12,
+    QUERIES_NEXT as QUERIES_NEXT12,
+)
+
+QUERIES.update(QUERIES_NEXT12)
+ORACLE.update(ORACLE_NEXT12)
