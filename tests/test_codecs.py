@@ -452,7 +452,9 @@ def test_jpeg_sniff_and_malformed():
         b"\xff\xd8\xff",            # header only
         j[:30],                     # cut inside tables
         j[:-20],                    # cut inside the entropy stream
-        j.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF2
+        # SOF2-relabeled baseline: its scan header (Ss=0, Se=63) is
+        # invalid for a progressive DC scan, so this must still refuse
+        j.replace(b"\xff\xc0", b"\xff\xc2", 1),
     ):
         with _pytest.raises(ValueError):
             decode_jpeg(bad)
@@ -497,3 +499,89 @@ def test_jpeg_through_spark_kernels(spark):
     [out] = resize_media(df, width=5, height=4).collect()
     back = decode_jpeg(bytes(out.payload))
     assert back.shape == (4, 5, 3)
+
+
+def test_jpeg_progressive_pixel_identical_to_baseline():
+    """Successive approximation reconstructs coefficients EXACTLY, so
+    progressive decode must match baseline decode pixel-for-pixel at
+    the same quality/subsampling — across odd dims (pad blocks +
+    non-interleaved rasters diverge there), qualities, and 4:2:0.
+    This pins BOTH the 8-scan encoder script and every decoder scan
+    path (DC first/refine, AC first/refine, EOB runs, ZRL with
+    correction bits)."""
+    from stock_data_project_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = _rng(42)
+    for shape in ((8, 8), (17, 23), (33, 31)):
+        yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+        img = (
+            rng.integers(0, 256, (*shape, 3)).astype(int)
+            + (80 * np.sin(xx / 5))[:, :, None]
+            + (60 * np.cos(yy / 7))[:, :, None]
+        ).clip(0, 255).astype(np.uint8)
+        for q in (50, 95):
+            for sub in (False, True):
+                base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(img, quality=q, subsample=sub)
+                )
+                assert np.array_equal(base, prog), (shape, q, sub)
+    # determinism + sniff + grayscale widening
+    g = rng.integers(0, 256, (9, 11)).astype(np.uint8)
+    p = encode_jpeg_progressive(g, quality=95)
+    assert p == encode_jpeg_progressive(g, quality=95)
+    assert sniff_media(p) == "jpeg"
+    assert decode_jpeg(p).shape == (9, 11, 3)
+
+
+def test_jpeg_progressive_malformed_discipline():
+    """Truncations and byte corruptions of a progressive stream must
+    surface as ValueError (or decode cleanly) — never any other
+    exception class, per the kernels' row-degrade contract."""
+    import pytest as _pytest
+
+    from stock_data_project_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = _rng(7).integers(0, 256, (24, 17, 3)).astype(np.uint8)
+    p = encode_jpeg_progressive(img, quality=85)
+    with _pytest.raises(ValueError):
+        decode_jpeg(p[:40])  # cut inside the tables
+    for cut in range(50, len(p), 97):
+        try:
+            decode_jpeg(p[:cut])
+        except ValueError:
+            pass  # refused cleanly
+    for i in range(2, len(p), 41):
+        b = bytearray(p)
+        b[i] ^= 0xFF
+        try:
+            decode_jpeg(bytes(b))
+        except ValueError:
+            pass  # refused cleanly
+
+
+def test_jpeg_progressive_through_media_kernels(spark):
+    """A progressive payload flows through the Arrow-batched feature
+    kernel exactly like a baseline one (sniffed as jpeg, REALLY
+    decoded - the dims in the feature head prove it)."""
+    from stock_data_project_spark.operators.codecs import (
+        encode_jpeg_progressive,
+    )
+    from stock_data_project_spark.operators.multimodal import extract_features
+
+    img = _rng(90).integers(0, 256, (32, 16, 3)).astype(np.uint8)
+    payload = encode_jpeg_progressive(img, quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), ("image", len(payload), 0))],
+        "doc_id long, payload binary, "
+        "meta struct<media_type:string, n_bytes:long, checksum:long>",
+    )
+    [feat] = extract_features(df).collect()
+    assert feat.features[:4] == [2.0, 32.0, 16.0, 3.0]
