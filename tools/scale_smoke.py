@@ -166,6 +166,15 @@ QUERIES = (
     "cusum_anomaly",
     "kruskal_wallis",
     "theil_sen_slope",
+    # r10-close builds: max-CUSUM break scan + lead-lag pair join over
+    # the extended calendar. minhash_recall_eval is EXCLUDED for the
+    # ann_recall_eval reason transposed to text: replication copies
+    # anchor TEXTS across replicas, so every LSH band bucket holds 5n
+    # identical-signature docs and the pair join is quadratic in n BY
+    # CONSTRUCTION of the smoke corpus (the dedup_minhash_raw hazard);
+    # the provable-recall grade runs on unreplicated testdata only.
+    "changepoint_detect",
+    "lead_lag_corr",
 )
 
 
