@@ -1082,62 +1082,69 @@ def _encode_blocks(
     return pred
 
 
-def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, subsample: bool = False
-) -> bytes:
+def _jpeg_planes(pixels, quality: int, subsample: bool, fn_name: str):
+    """Shared encoder front half: validate, color-convert, scale the
+    quant tables, pad to MCU geometry, 4:2:0-average chroma. One copy
+    — the progressive encoder's pixel-identity pin depends on both
+    encoders quantizing EXACTLY the same planes."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = np.repeat(px[:, :, None], 3, axis=2)
     if px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError("encode_jpeg wants (h, w[, 3])")
+        raise ValueError(f"{fn_name} wants (h, w[, 3])")
     h0, w0, _ = px.shape
     if h0 == 0 or w0 == 0:
         raise ValueError("empty image")
     ycc = _rgb_to_ycbcr(px)
     qy = _scaled_q(_QL, quality)
     qc = _scaled_q(_QC, quality)
-    # component geometry
     if subsample:  # 4:2:0
         sampy, sampc = (2, 2), (1, 1)
-        mcu_w, mcu_h = 16, 16
-    else:
-        sampy, sampc = (1, 1), (1, 1)
-        mcu_w, mcu_h = 8, 8
-    y = _pad_to(ycc[..., 0], mcu_w, mcu_h)
-    if subsample:
-        cbp = _pad_to(ycc[..., 1], mcu_w, mcu_h)
-        crp = _pad_to(ycc[..., 2], mcu_w, mcu_h)
+        y = _pad_to(ycc[..., 0], 16, 16)
+        cbp = _pad_to(ycc[..., 1], 16, 16)
+        crp = _pad_to(ycc[..., 2], 16, 16)
         cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
         cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
     else:
+        sampy, sampc = (1, 1), (1, 1)
+        y = _pad_to(ycc[..., 0], 8, 8)
         cb = _pad_to(ycc[..., 1], 8, 8)
         cr = _pad_to(ycc[..., 2], 8, 8)
+    return h0, w0, y, cb, cr, qy, qc, sampy, sampc
 
-    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMS)
 
+def _jpeg_head(h0, w0, sampy, sampc, qy, qc, sof_marker, ac_bits, ac_syms):
+    """SOI + DQT + SOF + DHT — shared container head; only the SOF
+    marker (C0/C2) and the AC Huffman table differ between the
+    baseline and progressive encoders."""
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT: two tables, zigzag order, 8-bit
     for tq, q in ((0, qy), (1, qc)):
         body = bytes([tq]) + bytes(int(q[ZIGZAG[k]]) for k in range(64))
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
-    # SOF0
-    comps = [
-        (1, sampy, 0),
-        (2, sampc, 1),
-        (3, sampc, 1),
-    ]
     body = struct.pack(">BHHB", 8, h0, w0, 3)
-    for cid, (sh, sv), tq in comps:
+    for cid, (sh, sv), tq in ((1, sampy, 0), (2, sampc, 1), (3, sampc, 1)):
         body += bytes([cid, (sh << 4) | sv, tq])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(body)) + body
-    # DHT: same tables for DC (class 0, id 0) and AC (class 1, id 0)
-    for cls, bits, vals in ((0, _DC_BITS, _DC_SYMS), (1, _AC_BITS, _AC_SYMS)):
+    out += sof_marker + struct.pack(">H", 2 + len(body)) + body
+    # DHT: DC (class 0, id 0) and AC (class 1, id 0)
+    for cls, bits, vals in ((0, _DC_BITS, _DC_SYMS), (1, ac_bits, ac_syms)):
         body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    return out
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    h0, w0, y, cb, cr, qy, qc, sampy, sampc = _jpeg_planes(
+        pixels, quality, subsample, "encode_jpeg"
+    )
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMS)
+    out = _jpeg_head(h0, w0, sampy, sampc, qy, qc, b"\xff\xc0", _AC_BITS, _AC_SYMS)
     # SOS
     body = bytes([3])
-    for cid, _, _ in comps:
+    for cid in (1, 2, 3):
         body += bytes([cid, 0x00])  # DC/AC table 0
     body += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
@@ -1187,9 +1194,10 @@ def encode_jpeg(
 
 @_malformed_raises_valueerror
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from a baseline sequential (SOF0) JPEG —
-    see the section header for the supported surface. Progressive
-    (SOF2) and other non-baseline frames raise ValueError."""
+    """(h, w, 3) uint8 RGB from a baseline sequential (SOF0) OR
+    progressive (SOF2) JPEG — see the section header for the full
+    surface. Other frame types (lossless, arithmetic, hierarchical)
+    raise ValueError."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -1734,29 +1742,9 @@ def _quant_zigzag_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 def encode_jpeg_progressive(
     pixels: np.ndarray, quality: int = 90, subsample: bool = False
 ) -> bytes:
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = np.repeat(px[:, :, None], 3, axis=2)
-    if px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError("encode_jpeg_progressive wants (h, w[, 3])")
-    h0, w0, _ = px.shape
-    if h0 == 0 or w0 == 0:
-        raise ValueError("empty image")
-    ycc = _rgb_to_ycbcr(px)
-    qy = _scaled_q(_QL, quality)
-    qc = _scaled_q(_QC, quality)
-    if subsample:  # 4:2:0
-        sampy, sampc = (2, 2), (1, 1)
-        y = _pad_to(ycc[..., 0], 16, 16)
-        cbp = _pad_to(ycc[..., 1], 16, 16)
-        crp = _pad_to(ycc[..., 2], 16, 16)
-        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
-        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
-    else:
-        sampy, sampc = (1, 1), (1, 1)
-        y = _pad_to(ycc[..., 0], 8, 8)
-        cb = _pad_to(ycc[..., 1], 8, 8)
-        cr = _pad_to(ycc[..., 2], 8, 8)
+    h0, w0, y, cb, cr, qy, qc, sampy, sampc = _jpeg_planes(
+        pixels, quality, subsample, "encode_jpeg_progressive"
+    )
     blocks = {
         1: _quant_zigzag_blocks(y, qy),
         2: _quant_zigzag_blocks(cb, qc),
@@ -1774,22 +1762,9 @@ def encode_jpeg_progressive(
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_SYMS)
     ac_codes = _canonical_codes(_AC_BITS_PROG, _AC_SYMS_PROG)
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    for tq, q in ((0, qy), (1, qc)):
-        body = bytes([tq]) + bytes(int(q[ZIGZAG[k]]) for k in range(64))
-        out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
-    body = struct.pack(">BHHB", 8, h0, w0, 3)
-    for cid in (1, 2, 3):
-        sh, sv = samp[cid]
-        body += bytes([cid, (sh << 4) | sv, 0 if cid == 1 else 1])
-    out += b"\xff\xc2" + struct.pack(">H", 2 + len(body)) + body  # SOF2
-    for cls, bits, vals in (
-        (0, _DC_BITS, _DC_SYMS),
-        (1, _AC_BITS_PROG, _AC_SYMS_PROG),
-    ):
-        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    out = _jpeg_head(
+        h0, w0, sampy, sampc, qy, qc, b"\xff\xc2", _AC_BITS_PROG, _AC_SYMS_PROG
+    )
 
     def sos(ids, ss, se, ah, al):
         body = bytes([len(ids)])

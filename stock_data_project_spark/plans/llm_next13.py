@@ -26,10 +26,15 @@ construction on ``documents``:
   group, Σ(a+b) over the 10 pairs = 4·Σids = 100·gid + 40, and
   min/max estimated Jaccard = 1.0.
 - ELIGIBILITY: a group emits rows iff it is complete (5 members) and
-  its anchor text is NOT NULL — any non-NULL text (even empty)
-  yields ≥ 1 shingle via word_shingles' short-doc whole-text
-  fallback, while split(NULL) explodes to nothing and drops the doc
-  before signatures. The oracle states exactly that predicate.
+  its anchor text is NOT NULL. NULL-anchor groups are excluded from
+  the planted corpus UP FRONT (the exact_duplicates rule: absent
+  content is not duplicate content) — this must be an explicit
+  filter, not an assumption about the shingler: word_shingles'
+  short-doc fallback turns even a NULL text into the single empty
+  shingle (``concat_ws`` skips NULLs), so an unfiltered NULL-anchor
+  group WOULD collide and emit pairs. Any non-NULL text (even empty)
+  likewise yields ≥ 1 shingle, so every retained group provably
+  signs. The oracle states exactly that predicate.
 
 Any regression in minhash_signatures (permutation layout, 32-bit
 mask, shingle normalization), the band hashing, the pair join, or
@@ -54,10 +59,13 @@ from stock_data_project_spark.catalog import load_table
 _MR_K = 5  # planted group size in doc_id units
 
 
-def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_recall_over(docs: DataFrame) -> DataFrame:
+    """The planted-construction grade over any (doc_id, text) frame —
+    factored out so the NULL-anchor exclusion is pinned on a
+    synthetic frame in tests (the real corpus currently has no NULL
+    texts, which would otherwise leave that branch unproven)."""
     from stock_data_project_spark.operators.dedup import minhash_candidates
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     members = docs.select("doc_id", F.expr(f"doc_id DIV {_MR_K}").alias("gid"))
     anchors = docs.filter(F.col("doc_id") % _MR_K == 0).select(
         F.expr(f"doc_id DIV {_MR_K}").alias("gid"),
@@ -71,6 +79,9 @@ def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = (
         members.join(full, "gid")
         .join(anchors, "gid")
+        # NULL-anchor groups out up front (module doc: the shingler's
+        # whole-text fallback would otherwise sign even NULL texts)
+        .filter(F.col("a_text").isNotNull())
         .select("doc_id", F.col("a_text").alias("text"))
     )
     pairs = minhash_candidates(planted, collapse_exact=False)
@@ -85,6 +96,11 @@ def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("est_jaccard").alias("min_est"),
         F.max("est_jaccard").alias("max_est"),
     )
+
+
+def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_recall_over(docs)
 
 
 QUERIES_NEXT = {"minhash_recall_eval": q_minhash_recall_eval}

@@ -55,9 +55,14 @@ _CP_VAR = (
     "((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_obs)"
     " / nullif(n_obs - 1.0, 0.0))"
 )
+# greatest(0, ·) guards fp dust: a constant-return series' variance
+# expression can land a hair below zero in double, and DuckDB
+# HARD-ERRORS on sqrt(negative) (Spark returns NaN) — the guard
+# collapses the case to the intended NULL via the nullif
 _CP_STAT = (
     f"(CAST(dmax AS DOUBLE) / nullif(CAST(n_obs AS DOUBLE)"
-    f" * sqrt({_CP_VAR}) * sqrt(CAST(n_obs AS DOUBLE)), 0.0))"
+    f" * sqrt(greatest(CAST(0.0 AS DOUBLE), {_CP_VAR}))"
+    f" * sqrt(CAST(n_obs AS DOUBLE)), 0.0))"
 )
 
 _LL_COV = (

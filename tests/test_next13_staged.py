@@ -187,3 +187,43 @@ def test_minhash_recall_negative_control(spark):
         llm_next13.ORACLE_NEXT["minhash_recall_eval"], SF_ORACLE
     ).shape[0]
     assert broken < oracle_groups
+
+
+def test_minhash_recall_null_anchor_group_excluded(spark):
+    """The NULL-anchor filter is load-bearing: word_shingles' short-doc
+    fallback signs even NULL texts ([''] — concat_ws skips NULLs), so
+    WITHOUT the explicit exclusion a NULL-anchor group would collide in
+    every band and emit pairs. Synthetic frame: gid 0 anchored by NULL,
+    gid 1 by real text — only gid 1 may appear."""
+    from stock_data_project_spark.plans.llm_next13 import minhash_recall_over
+
+    rows = [
+        (i, None if i // 5 == 0 else "the quick brown fox jumps the dog")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.gid: r for r in minhash_recall_over(docs).collect()}
+    assert set(got) == {1}
+    assert got[1].n_pairs == 10
+    assert got[1].pair_id_sum == 100 * 1 + 40
+    assert got[1].min_est == 1.0 and got[1].max_est == 1.0
+
+
+def test_changepoint_constant_series_guard_both_engines(spark):
+    """Constant-return series: the variance expression's double dust
+    can land below zero, and DuckDB HARD-ERRORS on sqrt(negative)
+    while Spark returns NaN. The greatest(0, .) guard must make the
+    shared expression evaluate without error and IDENTICALLY on both
+    engines (NULL via nullif, or exact 0/0-free division)."""
+    import duckdb
+
+    from stock_data_project_spark.plans.stock_next12 import _CP_STAT
+
+    sql = (
+        f"SELECT round({_CP_STAT}, 6) + 0.0 AS cp_stat FROM ("
+        "SELECT CAST(0.0 AS DOUBLE) dmax, CAST(3 AS BIGINT) n_obs, "
+        "CAST(3e-6 AS DOUBLE) s1, CAST(3e-12 AS DOUBLE) s2) g"
+    )
+    spark_val = spark.sql(sql).collect()[0].cp_stat
+    duck_val = duckdb.sql(sql).fetchone()[0]  # must not raise
+    assert spark_val == duck_val or (spark_val is None and duck_val is None)
