@@ -295,11 +295,16 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tie_sum"),
     )
     u2 = "r2a - n_a * (n_a + 1)"
+    # greatest(0,·): at full tie degeneracy the (n+1) − tie/(n(n−1))
+    # factor is analytically 0 but its double dust can be negative,
+    # and DuckDB hard-errors on sqrt(negative) (the changepoint dust
+    # rule) — the guard collapses the case to NULL via the nullif
     sigma = (
-        "sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
+        "sqrt(greatest(CAST(0.0 AS DOUBLE),"
+        " CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
         " * (CAST(n_a + n_b + 1 AS DOUBLE)"
         " - CAST(tie_sum AS DOUBLE)"
-        " / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE))))"
+        " / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))))"
     )
     return g.select(
         "seg_a",
@@ -431,11 +436,12 @@ ORACLE_NEXT["mann_whitney_u"] = """
            CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_stat,
            round(
                (CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0)
-               / nullif(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+               / nullif(sqrt(greatest(CAST(0.0 AS DOUBLE),
+                   CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
                    * (CAST(n_a + n_b + 1 AS DOUBLE)
                       - CAST(tie_sum AS DOUBLE)
                       / (CAST(n_a + n_b AS DOUBLE)
-                         * CAST(n_a + n_b - 1 AS DOUBLE)))), 0.0),
+                         * CAST(n_a + n_b - 1 AS DOUBLE))))), 0.0),
                6) + 0.0 AS z_stat
     FROM g
 """

@@ -114,7 +114,13 @@ _JB_M4 = (
     f" + 6.0 * {_JB_MEAN} * {_JB_MEAN} * (CAST(s2 AS DOUBLE) / n_obs)"
     f" - 3.0 * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN} * {_JB_MEAN})"
 )
-_JB_SKEW = f"({_JB_M3} / nullif({_JB_M2} * sqrt({_JB_M2}), 0.0))"
+# greatest(0,·) guards the radicand: for a constant series the
+# moment expression's double dust can land a hair below zero, and
+# DuckDB HARD-ERRORS on sqrt(negative) while Spark returns NaN (the
+# changepoint_detect rule; the exact-decimal denominators in
+# spearman/kendall/welch need no guard — their radicands are exact)
+_JB_M2NN = f"greatest(CAST(0.0 AS DOUBLE), {_JB_M2})"
+_JB_SKEW = f"({_JB_M3} / nullif({_JB_M2} * sqrt({_JB_M2NN}), 0.0))"
 _JB_KURT = f"(({_JB_M4} / nullif({_JB_M2} * {_JB_M2}, 0.0)) - 3.0)"
 _JB_STAT = (
     f"(CAST(n_obs AS DOUBLE) / 6.0) * ({_JB_SKEW} * {_JB_SKEW}"
@@ -127,7 +133,8 @@ _SS_VAR = (
     " - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n_obs)"
     " / nullif(n_obs - 1.0, 0.0))"
 )
-_SS_SHARPE = f"sqrt(252.0) * ({_SS_MEAN} / nullif(sqrt({_SS_VAR}), 0.0))"
+_SS_VAR_NN = f"greatest(CAST(0.0 AS DOUBLE), {_SS_VAR})"  # same rule
+_SS_SHARPE = f"sqrt(252.0) * ({_SS_MEAN} / nullif(sqrt({_SS_VAR_NN}), 0.0))"
 _SS_SORTINO = (
     f"sqrt(252.0) * ({_SS_MEAN}"
     f" / nullif(sqrt(CAST(sdown AS DOUBLE) / n_obs), 0.0))"
@@ -137,10 +144,15 @@ _M8, _M16 = _HURST_MS
 
 
 def _rs_block_expr(m: int) -> str:
+    # the radicand m·Σu² − S² is exact in DECIMAL(38,0) and ≥ 0, but
+    # the DOUBLE casts round once values pass 2^53 — a constant block
+    # can then land a hair below zero, where DuckDB hard-errors on
+    # sqrt (the changepoint_detect dust rule): greatest(0,·) guards it
     return (
         f"CAST(range_dev AS DOUBLE)"
-        f" / nullif(sqrt({m}.0 * CAST(sq AS DOUBLE)"
-        f" - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)), 0.0)"
+        f" / nullif(sqrt(greatest(CAST(0.0 AS DOUBLE),"
+        f" {m}.0 * CAST(sq AS DOUBLE)"
+        f" - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))), 0.0)"
     )
 
 
@@ -267,7 +279,7 @@ def q_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         "series_key",
         "n_obs",
         (F.round(F.expr(_SS_MEAN), 6) + 0.0).alias("mean_return"),
-        (F.round(F.expr(f"sqrt({_SS_VAR})"), 6) + 0.0).alias("return_std"),
+        (F.round(F.expr(f"sqrt({_SS_VAR_NN})"), 6) + 0.0).alias("return_std"),
         (F.round(F.expr(_SS_SHARPE), 6) + 0.0).alias("sharpe"),
         (F.round(F.expr(_SS_SORTINO), 6) + 0.0).alias("sortino"),
     )
@@ -473,7 +485,7 @@ ORACLE_NEXT = {
         )
         SELECT series_key, n_obs,
                round({_SS_MEAN}, 6) + 0.0 AS mean_return,
-               round(sqrt({_SS_VAR}), 6) + 0.0 AS return_std,
+               round(sqrt({_SS_VAR_NN}), 6) + 0.0 AS return_std,
                round({_SS_SHARPE}, 6) + 0.0 AS sharpe,
                round({_SS_SORTINO}, 6) + 0.0 AS sortino
         FROM g
