@@ -899,6 +899,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Byte-align with 1-bits (stuffed like any entropy byte) and
+        emit RST(m mod 8) — markers are raw, never stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (m % 8)])
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -1740,8 +1748,16 @@ def _quant_zigzag_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
+    """``restart_interval`` > 0 emits a DRI segment and RST markers
+    every N MCUs (N blocks in the non-interleaved AC scans) in every
+    scan — resetting DC predictions and flushing/closing EOB runs at
+    each boundary — primarily so the decoder's per-scan restart
+    machinery is pinned by a real in-repo stream."""
     h0, w0, y, cb, cr, qy, qc, sampy, sampc = _jpeg_planes(
         pixels, quality, subsample, "encode_jpeg_progressive"
     )
@@ -1766,6 +1782,9 @@ def encode_jpeg_progressive(
         h0, w0, sampy, sampc, qy, qc, b"\xff\xc2", _AC_BITS_PROG, _AC_SYMS_PROG
     )
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
     def sos(ids, ss, se, ah, al):
         body = bytes([len(ids)])
         for cid in ids:
@@ -1773,55 +1792,68 @@ def encode_jpeg_progressive(
         body += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
-    def mcu_units():
+    def mcus():
+        """Per-MCU unit lists (cid, by, bx) in interleaved order."""
         for my in range(mcus_y):
             for mx in range(mcus_x):
-                for cid in (1, 2, 3):
-                    sh, sv = samp[cid]
-                    for dy in range(sv):
-                        for dx in range(sh):
-                            yield cid, my * sv + dy, mx * sh + dx
+                yield [
+                    (cid, my * samp[cid][1] + dy, mx * samp[cid][0] + dx)
+                    for cid in (1, 2, 3)
+                    for dy in range(samp[cid][1])
+                    for dx in range(samp[cid][0])
+                ]
 
     # scan 1: DC first (interleaved, Al=1)
     bw = _BitWriter()
     preds = {1: 0, 2: 0, 3: 0}
-    for cid, by, bx in mcu_units():
-        t = int(blocks[cid][by, bx, 0]) >> 1
-        size, bits = _mag_bits(t - preds[cid])
-        preds[cid] = t
-        c, ln = dc_codes[size]
-        bw.write(c, ln)
-        if size:
-            bw.write(bits, size)
+    for n, units in enumerate(mcus()):
+        if restart_interval and n and n % restart_interval == 0:
+            bw.restart(n // restart_interval - 1)
+            preds = {1: 0, 2: 0, 3: 0}
+        for cid, by, bx in units:
+            t = int(blocks[cid][by, bx, 0]) >> 1
+            size, bits = _mag_bits(t - preds[cid])
+            preds[cid] = t
+            c, ln = dc_codes[size]
+            bw.write(c, ln)
+            if size:
+                bw.write(bits, size)
     out += sos((1, 2, 3), 0, 0, 0, 1) + bw.flush()
 
-    # scans 2-4: AC first per component (Al=1)
-    for cid in (1, 2, 3):
+    def ac_scan(cid, ah, al, enc):
         bw = _BitWriter()
         st = {"eobrun": 0, "pending": []}
         nby, nbx = nb_ni[cid]
+        n = 0
         for by in range(nby):
             for bx in range(nbx):
-                _enc_ac_first(bw, ac_codes, blocks[cid][by, bx], 1, 63, 1, st)
+                # a non-interleaved scan's restart unit is one block;
+                # the pending EOB run must close BEFORE the marker
+                if restart_interval and n and n % restart_interval == 0:
+                    _flush_eobrun(bw, ac_codes, st)
+                    bw.restart(n // restart_interval - 1)
+                n += 1
+                enc(bw, ac_codes, blocks[cid][by, bx], 1, 63, al, st)
         _flush_eobrun(bw, ac_codes, st)
-        out += sos((cid,), 1, 63, 0, 1) + bw.flush()
+        out_ = sos((cid,), 1, 63, ah, al) + bw.flush()
+        return out_
+
+    # scans 2-4: AC first per component (Al=1)
+    for cid in (1, 2, 3):
+        out += ac_scan(cid, 0, 1, _enc_ac_first)
 
     # scan 5: DC refine (interleaved, raw bits)
     bw = _BitWriter()
-    for cid, by, bx in mcu_units():
-        bw.write(int(blocks[cid][by, bx, 0]) & 1, 1)
+    for n, units in enumerate(mcus()):
+        if restart_interval and n and n % restart_interval == 0:
+            bw.restart(n // restart_interval - 1)
+        for cid, by, bx in units:
+            bw.write(int(blocks[cid][by, bx, 0]) & 1, 1)
     out += sos((1, 2, 3), 0, 0, 1, 0) + bw.flush()
 
     # scans 6-8: AC refine per component (Ah=1 -> Al=0)
     for cid in (1, 2, 3):
-        bw = _BitWriter()
-        st = {"eobrun": 0, "pending": []}
-        nby, nbx = nb_ni[cid]
-        for by in range(nby):
-            for bx in range(nbx):
-                _enc_ac_refine(bw, ac_codes, blocks[cid][by, bx], 1, 63, 0, st)
-        _flush_eobrun(bw, ac_codes, st)
-        out += sos((cid,), 1, 63, 1, 0) + bw.flush()
+        out += ac_scan(cid, 1, 0, _enc_ac_refine)
 
     out += b"\xff\xd9"  # EOI
     return bytes(out)

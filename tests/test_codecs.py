@@ -585,3 +585,26 @@ def test_jpeg_progressive_through_media_kernels(spark):
     )
     [feat] = extract_features(df).collect()
     assert feat.features[:4] == [2.0, 32.0, 16.0, 3.0]
+
+
+def test_jpeg_progressive_restart_markers():
+    """restart_interval emits DRI + per-scan RST markers; the decoder's
+    restart machinery (byte realign, DC-prediction reset, EOB-run
+    close) must reproduce the exact non-restart pixels — including the
+    hostile interval-1 case (a marker after EVERY MCU/block)."""
+    from stock_data_project_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = _rng(11)
+    for sub in (False, True):
+        img = rng.integers(0, 256, (33, 31, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=88, subsample=sub))
+        for dri in (1, 3):
+            p = encode_jpeg_progressive(
+                img, quality=88, subsample=sub, restart_interval=dri
+            )
+            assert b"\xff\xdd" in p  # DRI present
+            assert np.array_equal(decode_jpeg(p), base), (sub, dri)
