@@ -227,3 +227,18 @@ def test_changepoint_constant_series_guard_both_engines(spark):
     spark_val = spark.sql(sql).collect()[0].cp_stat
     duck_val = duckdb.sql(sql).fetchone()[0]  # must not raise
     assert spark_val == duck_val or (spark_val is None and duck_val is None)
+
+
+def test_minhash_recall_incomplete_tail_groups_excluded(spark):
+    """A corpus whose size is not a multiple of the group size must
+    grade only the COMPLETE groups — the tail group (and any group
+    with a gap) emits nothing."""
+    from stock_data_project_spark.plans.llm_next13 import minhash_recall_over
+
+    texts = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{texts} doc body {i // 5}") for i in range(12)]  # tail: 10,11
+    rows = [r for r in rows if r[0] != 7]  # puncture group 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.gid: r for r in minhash_recall_over(docs).collect()}
+    assert set(got) == {0}  # group 1 punctured, group 2 incomplete
+    assert got[0].n_pairs == 10 and got[0].pair_id_sum == 40
