@@ -166,6 +166,31 @@ QUERIES = (
     "cusum_anomaly",
     "kruskal_wallis",
     "theil_sen_slope",
+    # late-r10 batch, the keys whose INPUT actually scales under the
+    # replication (events-calendar / documents keys; the customer-
+    # table statistics — mann_whitney, one_way_anova, herfindahl —
+    # read an unreplicated dim and carry no scale signal here).
+    # EXCLUDED with reasons: containment_pairs (replication plants n
+    # identical copies of every text, so true containment pairs are
+    # quadratic BY CONSTRUCTION of the smoke corpus — the
+    # dedup_minhash_raw hazard), kendall_tau (the per-series pair
+    # join is the estimator's DEFINITION — O(n²) in series length;
+    # its scale path is pair sampling, per the SURVEY §2 row).
+    "spearman_corr",
+    "holt_winters",
+    "runs_test",
+    "ljung_box",
+    "jarque_bera",
+    "sharpe_sortino",
+    "hurst_exponent",
+    "variance_ratio",
+    "seasonality_strength",
+    "event_mutual_info",
+    "event_transition_matrix",
+    "vocab_growth",
+    "zipf_slope",
+    "flesch_reading_ease",
+    "dsir_importance",
     # r10-close builds: max-CUSUM break scan + lead-lag pair join over
     # the extended calendar. minhash_recall_eval is EXCLUDED for the
     # ann_recall_eval reason transposed to text: replication copies
