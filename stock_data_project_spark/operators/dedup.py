@@ -870,3 +870,93 @@ def dedup_clusters(
         "cluster_id", F.col("member_id")
     )
     return members.union(roots)
+
+
+def edit_prefix_candidates(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    block_cols: tuple[str, ...] = (),
+    k: int = 2,
+    q: int = 4,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs guaranteed to contain EVERY pair
+    within edit distance <= k (that also agrees on ``block_cols``) —
+    Ed-Join-style q-gram prefix filtering (Xiao/Wang/Lin "Ed-Join",
+    VLDB'08; count bound per Gravano et al. VLDB'01), so the caller's
+    levenshtein verify stage produces EXACTLY the same matched set as
+    a full within-block enumeration, at near-linear candidate volume.
+
+    Why it is lossless: an edit destroys at most q of a string's
+    occurrence-indexed q-grams, so two strings within distance k share
+    >= G_max - k*q of them (G = L - q + 1 grams, multiset semantics
+    via the occurrence index). Under ANY global total order on grams,
+    if two sets share >= T elements, their first (|set| - T + 1)
+    elements intersect — with T' = G_i - k*q that prefix has constant
+    size k*q + 1. We order by ascending corpus frequency (rarest
+    first), which is what makes the candidate buckets data-adaptive:
+    the join key cardinality GROWS with the data instead of being a
+    fixed attribute domain, so bucket sizes stay bounded at 100 TB.
+    Strings too short for the count bound to bite (L < q + k*q, where
+    a k-edit pair can share zero q-grams) fall back to one shared
+    SHORT block key; any qualifying pair with min length < q + k*q
+    has max length < q + k*q + k, so the fallback threshold
+    q + k*q + k keeps completeness (on TPC-H-style fixed-length names
+    the SHORT block is empty).
+
+    Returns distinct (``block_cols``..., id_a, id_b) with
+    id_a < id_b. Plan shape: explode to grams (codegen substring —
+    no interpreted HOFs per the repo rule), two uniform-key windows
+    (per-(id,gram) occurrence index, per-id prefix rank), one
+    frequency groupBy, one self-join on (block, gram) whose buckets
+    are rare-gram-sized, then a pair distinct."""
+    short_len = q + k * q + k
+    prefix_sz = k * q + 1
+    bcols = [F.col(c) for c in block_cols]
+    base = df.select(
+        *bcols, F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+    ).withColumn("_len", F.length("_s"))
+    grams = (
+        base.filter(F.col("_len") >= q)
+        .select(
+            *block_cols,
+            "_id",
+            F.posexplode(F.sequence(F.lit(0), F.col("_len") - q)).alias("_i", "_p"),
+            F.col("_s").substr(F.col("_p") + 1, F.lit(q)).alias("_g"),
+        )
+        .withColumn(
+            "_occ",
+            F.row_number().over(Window.partitionBy("_id", "_g").orderBy("_p")),
+        )
+        .select(
+            *block_cols, "_id", F.concat_ws("#", "_g", F.col("_occ").cast("string")).alias("_go")
+        )
+    )
+    freq = grams.groupBy("_go").agg(F.count(F.lit(1)).alias("_f"))
+    prefix = (
+        grams.join(freq, "_go")
+        .withColumn(
+            "_r",
+            F.row_number().over(Window.partitionBy("_id").orderBy("_f", "_go")),
+        )
+        .filter(F.col("_r") <= prefix_sz)
+        .select(*block_cols, "_id", F.col("_go").alias("_key"))
+    )
+    short = base.filter(F.col("_len") <= short_len).select(
+        *block_cols, "_id", F.lit("#SHORT#").alias("_key")
+    )
+    keyed = prefix.unionByName(short)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    join_cond = F.col("a._key") == F.col("b._key")
+    for c in block_cols:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, join_cond & (F.col("a._id") < F.col("b._id")))
+        .select(
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+        )
+        .distinct()
+    )

@@ -26,85 +26,79 @@ from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 # set is reviewable as one diff. Keys beyond the list follow in module
 # order. New keys MUST debut inside the list in their round.
 #
-# r10 window (50), per the SURVEY §5 commitment made in r9: the eleven
-# r9-built debuts first (llm_next7 media keys, llm_next8
-# chunk_documents, olap_next8 entity_resolution/winsorized_stats,
-# stock_next6 cci/force_index/ease_of_movement, stream_next7
-# stream_dedup_watermark — all fully oracled, parity-proven at
-# sf0.001/0.01/0.1 by tests/test_next7_staged.py +
-# test_next8_staged.py), then the fifteen named r9 deferrals
-# (r6-evidence), then llm's nineteen r6-evidence rows in module order,
-# then re-grades oldest-evidence-first: williams_r (r7), the two r5
-# rows the r9 commitment overlooked (customers_with_orders,
-# distinct_parts_per_supplier — oldest evidence in the registry), and
-# the first two olap r7 rows.
-# Named r11 deferrals (r7-evidence keys that overflow the 50, in
-# module order after the two included): olap sessionize..pivot_returnflag,
-# olap_next tpch_q2/q8/q9/q11/q15/q16/q20/q21, sql_segment_revenue,
+# r11 window (50), per the SURVEY §5 r11 commitment as amended by the
+# r10 verdict (item 1: fill the re-grade slots with the staged
+# statistical batch instead — DRAIN the never-graded backlog): exactly
+# the 50 keys with zero driver rows across CORRECTNESS_r01–r10.
+# Leads with the seventeen late-r9 debuts in commitment order, then
+# the thirty r10-built keys in the §5 r12-commitment order, then the
+# three r10-close keys. All 50 are fully parity-proven in-repo at
+# sf0.001/0.01 (test_next9..13_staged.py + test_oracle_parity.py) and
+# sf0.1 (tools/parity_sweep.py r10-close record); 12 of them were
+# independently judge-spot-checked green in r10.
+# Named r11→r12 deferrals (unchanged r7-evidence cohort, module
+# order): olap sessionize..pivot_returnflag, olap_next
+# tpch_q2/q8/q9/q11/q15/q16/q20/q21, sql_segment_revenue,
 # sql_star_query, stream_quantile, stock_next3 ema_cross/roc_momentum,
 # llm_next3 stratified_sample/topk_rollup, olap_next4
 # tpch_q18/cohort_ltv/frequent_pairs/triangle_count.
 _GRADE_ORDER = [
-    # debuts (built r9): llm_next7 media family
-    "image_phash_dedup",
-    "audio_spectral",
-    "audio_fingerprint_dedup",
-    "video_scene_cuts",
-    # debuts: llm_next8
-    "chunk_documents",
-    # debuts: olap_next8
-    "entity_resolution",
-    "winsorized_stats",
-    # debuts: stock_next6
-    "cci",
-    "force_index",
-    "ease_of_movement",
-    # debuts: stream_next7
-    "stream_dedup_watermark",
-    # named r9 deferrals (r6 evidence): llm_next2
-    "capped_counts",
-    "split_counts",
-    "bpe_token_count",
-    "pack_stats",
-    "remix_counts",
-    # named r9 deferrals: streaming r6 cohort
-    "stream_anomaly",
-    "stream_scd2",
-    "scd2_late_gate",
-    # named r9 deferrals: sql_api / stock / olap r6 rows
-    "sql_decayed_revenue",
-    "dim_country",
-    "macd",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q17",
-    "approx_stats",
-    # named r9 deferrals: llm r6 rows (module order)
-    "tfidf_top_terms",
-    "clean_corpus",
-    "embedding_dedup",
-    "embedding_dedup_ivf",
-    "media_pipeline",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "ann_cosine_topk",
-    "ann_lsh",
-    "ann_ivf",
-    "lang_id",
-    "text_quality",
-    "token_count",
-    "doc_fingerprint",
-    "doc_winnow",
-    "gopher_quality",
-    "ngram_repetition",
-    # re-grades oldest-evidence-first
-    "williams_r",
-    "customers_with_orders",
-    "distinct_parts_per_supplier",
-    "rollup_sales",
-    "customers_no_orders",
+    # late-r9 debuts: stock_next7
+    "ultimate_oscillator",
+    "vortex",
+    "ichimoku",
+    "heikin_ashi",
+    "parabolic_sar",
+    # late-r9 debuts: llm_next9
+    "embedding_kmeans",
+    "embedding_outliers",
+    "quality_classifier",
+    "source_mix_report",
+    "retrieval_ndcg",
+    # late-r9 debuts: olap_next9 / olap_next10
+    "kcore_decomposition",
+    "item_similarity",
+    "ks_statistic",
+    "gini_coefficient",
+    "benford_deviation",
+    "categorical_association",
+    # late-r9 debuts: stream_next8
+    "stream_left_join",
+    # r10 batch (§5 r12-commitment order)
+    "ann_recall_eval",
+    "stream_full_join",
+    "stream_chained_agg",
+    "acf_returns",
+    "seasonal_decompose",
+    "holt_forecast",
+    "cusum_anomaly",
+    "theil_sen_slope",
+    "welch_ttest",
+    "kruskal_wallis",
+    "mann_whitney_u",
+    "event_transition_matrix",
+    "spearman_corr",
+    "holt_winters",
+    "kendall_tau",
+    "dsir_importance",
+    "vocab_growth",
+    "runs_test",
+    "ljung_box",
+    "jarque_bera",
+    "sharpe_sortino",
+    "hurst_exponent",
+    "one_way_anova",
+    "herfindahl_index",
+    "zipf_slope",
+    "flesch_reading_ease",
+    "containment_pairs",
+    "variance_ratio",
+    "seasonality_strength",
+    "event_mutual_info",
+    # r10-close batch
+    "changepoint_detect",
+    "lead_lag_corr",
+    "minhash_recall_eval",
 ]
 
 _MODULES = (stock, llm, olap, sql_api, stream)

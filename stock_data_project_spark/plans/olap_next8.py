@@ -1,15 +1,19 @@
 """OLAP keys built in r9, staged for the r10 driver window.
 
 - ``entity_resolution`` — blocked pairwise entity matching, the
-  standard ER shape (Fellegi-Sunter blocking + compare): candidate
-  pairs = customers sharing the (nationkey, mktsegment) block,
-  verified by edit distance on the name (``levenshtein`` is native
-  JVM-side in Spark AND built into DuckDB — the comparison itself is
-  engine-replayable, no UDF anywhere). Output is per-block candidate
-  and match counts. Scale: blocking bounds the self-join exactly like
-  the LSH band joins (never all-pairs across blocks); a 100 TB
-  deployment swaps the equality block for q-gram/MinHash blocking
-  (operators/dedup machinery) and keeps this verify stage unchanged.
+  standard ER shape (Fellegi-Sunter blocking + compare). The
+  candidate generator is ``operators/dedup.edit_prefix_candidates``:
+  Ed-Join-style q-gram prefix filtering whose join-key cardinality
+  GROWS with the data (rarest-gram buckets), not a fixed attribute
+  domain — the r10 verdict's scale fix. The filter is LOSSLESS for
+  edit distance <= 2, so the verified match set equals a full
+  within-(nationkey, mktsegment)-block enumeration exactly, and the
+  naive equality-block self-join stays as the DuckDB oracle.
+  ``levenshtein`` is native JVM-side in Spark AND built into DuckDB
+  — the comparison itself is engine-replayable, no UDF anywhere.
+  Output is candidate-set-independent by construction: per-block
+  pair count C(n,2) from group sizes (no join at all), matched-pair
+  count and min matched distance over verified lev<=2 pairs only.
 
 - ``winsorized_stats`` — robust per-segment balance statistics with
   exact-position percentile capping: p01/p99 = the value at ordered
@@ -30,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.dedup import edit_prefix_candidates
 from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 
 _ER_MAX_LEV = 2
@@ -39,39 +44,80 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
-    a = cust.alias("a")
-    b = cust.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(
-        F.col("a.c_nationkey").alias("nationkey"),
-        F.col("a.c_mktsegment").alias("mktsegment"),
-        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("lev"),
+    blocks = cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    cand = edit_prefix_candidates(
+        cust,
+        "c_custkey",
+        "c_name",
+        ("c_nationkey", "c_mktsegment"),
+        k=_ER_MAX_LEV,
+        q=4,
     )
-    return pairs.groupBy("nationkey", "mktsegment").agg(
-        F.count(F.lit(1)).alias("n_candidate_pairs"),
-        F.sum(
-            F.when(F.col("lev") <= _ER_MAX_LEV, F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_matched_pairs"),
-        F.min("lev").cast("int").alias("min_lev"),
+    names = cust.select("c_custkey", "c_name")
+    matched = (
+        cand.join(
+            names.select(
+                F.col("c_custkey").alias("id_a"), F.col("c_name").alias("_na")
+            ),
+            "id_a",
+        )
+        .join(
+            names.select(
+                F.col("c_custkey").alias("id_b"), F.col("c_name").alias("_nb")
+            ),
+            "id_b",
+        )
+        # cheap length pre-filter before the levenshtein verify
+        .filter(
+            F.abs(F.length("_na") - F.length("_nb")) <= _ER_MAX_LEV
+        )
+        .withColumn("lev", F.levenshtein("_na", "_nb"))
+        .filter(F.col("lev") <= _ER_MAX_LEV)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_nm"),
+            F.min("lev").cast("int").alias("min_matched_lev"),
+        )
+    )
+    return blocks.join(matched, ["nationkey", "mktsegment"], "left").select(
+        "nationkey",
+        "mktsegment",
+        F.expr("_n * (_n - 1) div 2").alias("n_block_pairs"),
+        F.coalesce(F.col("_nm"), F.lit(0).cast("long")).alias("n_matched_pairs"),
+        "min_matched_lev",
     )
 
 
 _ER_SQL = f"""
-    SELECT a.c_nationkey AS nationkey,
-           a.c_mktsegment AS mktsegment,
-           count(*) AS n_candidate_pairs,
-           CAST(sum(CASE WHEN levenshtein(a.c_name, b.c_name) <= {_ER_MAX_LEV}
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_pairs,
-           CAST(min(levenshtein(a.c_name, b.c_name)) AS INT) AS min_lev
-    FROM customer a JOIN customer b
-      ON a.c_nationkey = b.c_nationkey
-     AND a.c_mktsegment = b.c_mktsegment
-     AND a.c_custkey < b.c_custkey
-    GROUP BY 1, 2
+    WITH blocks AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+               count(*) AS n
+        FROM customer GROUP BY 1, 2
+    ), matched AS (
+        SELECT a.c_nationkey AS nationkey,
+               a.c_mktsegment AS mktsegment,
+               CAST(count(*) AS BIGINT) AS nm,
+               CAST(min(levenshtein(a.c_name, b.c_name)) AS INT)
+                   AS min_matched_lev
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= {_ER_MAX_LEV}
+        GROUP BY 1, 2
+    )
+    SELECT b.nationkey, b.mktsegment,
+           CAST(b.n * (b.n - 1) // 2 AS BIGINT) AS n_block_pairs,
+           CAST(coalesce(m.nm, 0) AS BIGINT) AS n_matched_pairs,
+           m.min_matched_lev
+    FROM blocks b LEFT JOIN matched m
+      ON b.nationkey = m.nationkey AND b.mktsegment = m.mktsegment
 """
 
 

@@ -205,14 +205,14 @@ def test_entity_resolution_invariants(spark):
     from stock_data_project_spark.plans import olap_next8
 
     pdf = olap_next8.q_entity_resolution(spark, SF_ORACLE).toPandas()
-    # matches are a subset of candidates; min_lev consistent with the
-    # match flag (a block with matches has min_lev <= threshold)
-    assert (pdf["n_matched_pairs"] <= pdf["n_candidate_pairs"]).all()
+    # matches are a subset of the block's pairs; min_matched_lev is
+    # only defined (and <= threshold) where matches exist
+    assert (pdf["n_matched_pairs"] <= pdf["n_block_pairs"]).all()
     has_match = pdf["n_matched_pairs"] > 0
-    assert (pdf.loc[has_match, "min_lev"] <= 2).all()
-    assert (pdf.loc[~has_match, "min_lev"] > 2).all()
-    # blocking exhaustiveness: total candidates == sum over blocks of
-    # C(block_size, 2), recomputed independently
+    assert (pdf.loc[has_match, "min_matched_lev"] <= 2).all()
+    assert pdf.loc[~has_match, "min_matched_lev"].isna().all()
+    # block-pair totals == sum over blocks of C(block_size, 2),
+    # recomputed independently
     import duckdb
 
     con = duckdb.connect()
@@ -225,7 +225,55 @@ def test_entity_resolution_invariants(spark):
                SELECT count(*) AS n FROM customer
                GROUP BY c_nationkey, c_mktsegment)"""
     ).fetchone()
-    assert int(pdf["n_candidate_pairs"].sum()) == want
+    assert int(pdf["n_block_pairs"].sum()) == want
+
+
+def test_edit_prefix_candidates_lossless(spark):
+    """The Ed-Join prefix filter must surface EVERY within-block pair
+    at edit distance <= k — verified against the naive enumeration on
+    a frame that exercises the SHORT fallback (lengths < q + k*q),
+    the gram path, and cross-length pairs."""
+    from stock_data_project_spark.operators.dedup import edit_prefix_candidates
+
+    rows = [
+        (1, "B", "Customer#000000001"),
+        (2, "B", "Customer#000000002"),  # lev 1 vs id 1
+        (3, "B", "Customer#000099002"),  # lev 3 vs id 2
+        (4, "B", "Custmer#000000001"),   # deletion, lev 1 vs id 1
+        (5, "B", "abc"),                 # SHORT (no 4-grams at all)
+        (6, "B", "abd"),                 # lev 1 vs id 5
+        (7, "B", "abcdefghij"),          # L=10 < q+k*q: SHORT path
+        (8, "B", "abXdefghYj"),          # lev 2 vs id 7
+        (9, "C", "Customer#000000001"),  # other block: never paired
+    ]
+    df = spark.createDataFrame(rows, "id int, blk string, name string")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in edit_prefix_candidates(
+            df, "id", "name", ("blk",), k=2, q=4
+        ).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(rows, 2)
+        if a[1] == b[1] and lev(a[2], b[2]) <= 2
+    }
+    assert want <= cand, want - cand
+    # no cross-block leakage: id 9 is alone in its block
+    assert not {p for p in cand if 9 in p}
 
 
 def test_winsorized_stats_invariants(spark):
