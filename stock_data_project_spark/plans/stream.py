@@ -213,3 +213,14 @@ from stock_data_project_spark.plans.stream_next10 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT10)
 ORACLE.update(ORACLE_NEXT10)
+
+# r11 build, r12 debut: the incremental-star upsert graded — the
+# real foreachBatch pipeline run to completion, committed fact table
+# returned and oracled against the batch daily-bars SQL
+from stock_data_project_spark.plans.stream_next11 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT11,
+    QUERIES_NEXT as QUERIES_NEXT11,
+)
+
+QUERIES.update(QUERIES_NEXT11)
+ORACLE.update(ORACLE_NEXT11)

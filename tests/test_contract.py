@@ -30,3 +30,15 @@ def test_rows_only_queries_are_documented():
         )
         assert line, f"{k} has no SURVEY §2 table row"
         assert "rows-only" in line, f"{k} lacks a rows-only annotation in SURVEY §2"
+
+
+def test_every_graded_survey_row_has_a_query():
+    """Tightened r11 invariant (r10 verdict item 4): §2 graded-key
+    rows == queries() EXACTLY — a graded-format row (backticked key,
+    no ``(lib)`` prefix) with no queries() entry is either a stale
+    row or an ungradeable key that must be re-annotated ``(lib)``."""
+    surv = open("SURVEY.md").read()
+    in_survey = set(re.findall(r"^\| `([a-z0-9_]+)` \|", surv, re.M))
+    qkeys = set(entrymod.queries())
+    stale = in_survey - qkeys
+    assert not stale, f"SURVEY §2 graded rows without a query: {sorted(stale)}"
