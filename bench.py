@@ -233,8 +233,12 @@ def main() -> None:
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # "value" (the headline total) placed AFTER the map so it also
-    # survives the tail window
+    # the headline total appears BOTH before the map ("value", head)
+    # and after it ("total_sec", tail): the driver records only a
+    # 2000-char stdout tail and other consumers may head-truncate, so
+    # no single truncation window can lose the total (r10 verdict
+    # item 6 — belt and braces)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
         json.dumps(
             {
@@ -242,8 +246,9 @@ def main() -> None:
                 "unit": "sec",
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "value": total,
                 "queries": timings,
-                "value": round(sum(v for v in timings.values() if v is not None), 3),
+                "total_sec": total,
             }
         )
     )

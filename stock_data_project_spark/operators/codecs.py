@@ -1218,6 +1218,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+        # before a marker — skip them (libjpeg emits these)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -1540,9 +1546,16 @@ def _decode_prog_scan(
 
     def restart_boundary():
         br.align()
-        if ctx["rst_i"] < len(rsts):
-            br.pos = max(br.pos, rsts[ctx["rst_i"]])
-            ctx["rst_i"] += 1
+        # DRI promised a marker here; running out, or the entropy
+        # decoder having consumed PAST the recorded marker offset,
+        # means the stream is corrupt — refuse instead of silently
+        # resyncing to wrong pixels (r10 ADVICE)
+        if ctx["rst_i"] >= len(rsts):
+            raise ValueError("missing JPEG restart marker")
+        if br.pos > rsts[ctx["rst_i"]]:
+            raise ValueError("JPEG entropy data overran restart boundary")
+        br.pos = rsts[ctx["rst_i"]]
+        ctx["rst_i"] += 1
         ctx["preds"] = {cid: 0 for cid in ids}
         ctx["eobrun"] = 0
 

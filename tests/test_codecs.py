@@ -608,3 +608,41 @@ def test_jpeg_progressive_restart_markers():
             )
             assert b"\xff\xdd" in p  # DRI present
             assert np.array_equal(decode_jpeg(p), base), (sub, dri)
+
+
+def test_jpeg_fill_bytes_and_restart_strictness():
+    """ITU T.81 B.1.1.2: 0xFF fill bytes before a marker are legal —
+    a libjpeg-style padded stream must decode to the same pixels.
+    Conversely the restart machinery must REFUSE (ValueError, the
+    kernels' degrade contract) when DRI promises markers the stream
+    does not deliver (r10 ADVICE: refuse, never silently resync)."""
+    import pytest as _pytest
+
+    from stock_data_project_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = _rng(77).integers(0, 256, (17, 13, 3)).astype(np.uint8)
+    j = encode_jpeg(img, quality=90)
+    want = decode_jpeg(j)
+    # pad fill bytes before the DQT marker and before EOI
+    i = j.find(b"\xff\xdb")
+    padded = j[:i] + b"\xff\xff" + j[i:]
+    assert padded.endswith(b"\xff\xd9")
+    padded = padded[:-2] + b"\xff\xff\xff" + b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(padded), want)
+    # progressive with restarts: strip the RST markers (0xFFD0-D7)
+    # from the entropy stream -> the decoder must refuse, not desync
+    p = encode_jpeg_progressive(img, quality=90, restart_interval=1)
+    stripped = bytearray()
+    k = 0
+    while k < len(p):
+        if p[k] == 0xFF and k + 1 < len(p) and 0xD0 <= p[k + 1] <= 0xD7:
+            k += 2
+            continue
+        stripped.append(p[k])
+        k += 1
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(stripped))

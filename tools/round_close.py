@@ -35,9 +35,15 @@ def _run(step: str, cmd: list[str], timeout: int) -> tuple[int, str]:
     log = f"/tmp/round_close_{step}.log"
     t0 = time.perf_counter()
     with open(log, "w") as fh:
-        rc = subprocess.run(
-            cmd, cwd=REPO, stdout=fh, stderr=subprocess.STDOUT, timeout=timeout
-        ).returncode
+        try:
+            rc = subprocess.run(
+                cmd, cwd=REPO, stdout=fh, stderr=subprocess.STDOUT, timeout=timeout
+            ).returncode
+        except subprocess.TimeoutExpired:
+            # a hung step is a FAILED step, not a ritual crash — the
+            # summary JSON must still come out (r10 ADVICE)
+            rc = -1
+            fh.write(f"\n[round_close] {step}: TIMEOUT after {timeout}s\n")
     dur = round(time.perf_counter() - t0, 1)
     print(f"[round_close] {step}: rc={rc} ({dur}s, log={log})", flush=True)
     return rc, open(log, errors="replace").read()
@@ -125,20 +131,30 @@ def main() -> int:
     if base is None or rc:
         failed.append("baseline")
         summary["baseline"] = out[-200:]
-    elif bench is not None:
-        shared = {
-            k: (bench["queries"][k], v)
-            for k, v in base["queries"].items()
-            if bench["queries"].get(k) is not None
-        }
-        st = sum(s for s, _ in shared.values())
-        dt = sum(d for _, d in shared.values())
+    else:
+        # record the baseline's own numbers even when the bench step
+        # failed to parse (r10 ADVICE: the elif dropped them); the
+        # ratio needs both sides
         summary["baseline"] = {
-            "shared_keys": len(shared),
-            "spark_sec": round(st, 1),
-            "duckdb_sec": round(dt, 1),
-            "ratio": round(st / dt, 3) if dt else None,
+            "duckdb_total_sec": round(sum(base["queries"].values()), 1),
+            "duckdb_keys": len(base["queries"]),
         }
+        if bench is not None:
+            shared = {
+                k: (bench["queries"][k], v)
+                for k, v in base["queries"].items()
+                if bench["queries"].get(k) is not None
+            }
+            st = sum(s for s, _ in shared.values())
+            dt = sum(d for _, d in shared.values())
+            summary["baseline"].update(
+                {
+                    "shared_keys": len(shared),
+                    "spark_sec": round(st, 1),
+                    "duckdb_sec": round(dt, 1),
+                    "ratio": round(st / dt, 3) if dt else None,
+                }
+            )
 
     summary["failed_steps"] = failed
     print(json.dumps(summary))
