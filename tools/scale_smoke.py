@@ -167,15 +167,26 @@ QUERIES = (
     "kruskal_wallis",
     "theil_sen_slope",
     # late-r10 batch, the keys whose INPUT actually scales under the
-    # replication (events-calendar / documents keys; the customer-
-    # table statistics — mann_whitney, one_way_anova, herfindahl —
-    # read an unreplicated dim and carry no scale signal here).
+    # replication (events-calendar / documents keys; since r11 the
+    # customer table replicates too — hash-mutated names, see
+    # replicate() — so the customer statistics below now carry real
+    # scale signal as well).
     # EXCLUDED with reasons: containment_pairs (replication plants n
     # identical copies of every text, so true containment pairs are
     # quadratic BY CONSTRUCTION of the smoke corpus — the
-    # dedup_minhash_raw hazard), kendall_tau (the per-series pair
-    # join is the estimator's DEFINITION — O(n²) in series length;
-    # its scale path is pair sampling, per the SURVEY §2 row).
+    # dedup_minhash_raw hazard).
+    # kendall_tau re-INCLUDED r11: series past operators/pairs
+    # EXACT_MAX=256 rows take the deterministic sampled-pair path
+    # (O(n·m) per series), so the extended-calendar replication now
+    # probes the real scale plan instead of the estimator's O(n²)
+    # definition. Same for theil_sen_slope above.
+    "kendall_tau",
+    # customer-table statistics, in since r11 (customer replicates
+    # with distinct-by-construction names): rank tests over 15k·N
+    # balances, concentration index, exact-position winsorization
+    "mann_whitney_u",
+    "one_way_anova",
+    "herfindahl_index",
     "spearman_corr",
     "holt_winters",
     "runs_test",
@@ -206,65 +217,111 @@ QUERIES = (
 def replicate(spark, out_dir: str, n: int) -> dict[str, int]:
     counts = {}
     reps = spark.range(n).withColumnRenamed("id", "rep")
+    # targeted runs replicate only the tables their keys read
+    # (SPARK_GRAFT_SMOKE_TABLES, comma list) — the rest are copied
+    # 1× so every query still runs; a full sweep replicates all
+    which = os.environ.get(
+        "SPARK_GRAFT_SMOKE_TABLES",
+        "events,orders,lineitem,documents,embeddings,customer",
+    )
+    wanted = {t.strip() for t in which.split(",") if t.strip()}
 
     def fan(df, mutate):
         return mutate(df.crossJoin(F.broadcast(reps)))
 
-    ev = load_table(spark, SRC, "events")
-    max_eid = ev.agg(F.max("event_id")).collect()[0][0] + 1
-    fan(
-        ev,
-        lambda d: d.select(
-            (F.col("event_id") + F.col("rep") * max_eid).alias("event_id"),
-            (F.col("ts") + F.make_dt_interval(F.col("rep") * 31)).alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
-        ),
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    if "events" in wanted:
+        ev = load_table(spark, SRC, "events")
+        max_eid = ev.agg(F.max("event_id")).collect()[0][0] + 1
+        fan(
+            ev,
+            lambda d: d.select(
+                (F.col("event_id") + F.col("rep") * max_eid).alias("event_id"),
+                (F.col("ts") + F.make_dt_interval(F.col("rep") * 31)).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            ),
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
-    orders = load_table(spark, SRC, "orders")
-    li = load_table(spark, SRC, "lineitem")
-    max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
-    fan(
-        orders,
-        lambda d: d.select(
-            (F.col("o_orderkey") + F.col("rep") * max_ok).alias("o_orderkey"),
-            "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
-        ),
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
-    fan(
-        li,
-        lambda d: d.select(
-            (F.col("l_orderkey") + F.col("rep") * max_ok).alias("l_orderkey"),
-            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
-            "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
-        ),
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    if "orders" in wanted or "lineitem" in wanted:
+        orders = load_table(spark, SRC, "orders")
+        li = load_table(spark, SRC, "lineitem")
+        max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+        fan(
+            orders,
+            lambda d: d.select(
+                (F.col("o_orderkey") + F.col("rep") * max_ok).alias("o_orderkey"),
+                "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+            ),
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+        fan(
+            li,
+            lambda d: d.select(
+                (F.col("l_orderkey") + F.col("rep") * max_ok).alias("l_orderkey"),
+                "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+            ),
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
 
-    docs = load_table(spark, SRC, "documents")
-    max_did = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    fan(
-        docs,
-        lambda d: d.select(
-            (F.col("doc_id") + F.col("rep") * max_did).alias("doc_id"),
-            "text", "lang", "source", "n_chars",
-        ),
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    if "documents" in wanted:
+        docs = load_table(spark, SRC, "documents")
+        max_did = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        fan(
+            docs,
+            lambda d: d.select(
+                (F.col("doc_id") + F.col("rep") * max_did).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            ),
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
-    emb = load_table(spark, SRC, "embeddings")
-    max_vid = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    fan(
-        emb,
-        lambda d: d.select(
-            (F.col("vec_id") + F.col("rep") * max_vid).alias("vec_id"),
-            "embedding",
-            "label",
-        ),
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    if "embeddings" in wanted:
+        emb = load_table(spark, SRC, "embeddings")
+        max_vid = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+        fan(
+            emb,
+            lambda d: d.select(
+                (F.col("vec_id") + F.col("rep") * max_vid).alias("vec_id"),
+                "embedding",
+                "label",
+            ),
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
-    for small in ("region", "nation", "customer", "supplier", "part"):
+    if "customer" in wanted:
+        # r11 (verdict item 5): customer replicates too, so the ER/
+        # customer-statistics cohort carries real scale signal. Names
+        # get a per-(custkey, rep) md5 suffix: every replica's name is
+        # DISTINCT from every other's by ~6 random hex chars, so
+        # lev<=2 matched pairs stay near zero instead of the n-copies
+        # quadratic-by-construction hazard — the probe times candidate
+        # generation + verify volume, which is the scale question.
+        cust = load_table(spark, SRC, "customer")
+        max_ck = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+        other = [c for c in cust.columns if c not in ("c_custkey", "c_name")]
+        fan(
+            cust,
+            lambda d: d.select(
+                (F.col("c_custkey") + F.col("rep") * max_ck).alias("c_custkey"),
+                F.concat(
+                    F.col("c_name"),
+                    F.lit("-"),
+                    F.substring(
+                        F.md5(F.concat_ws("#", "c_custkey", "rep")), 1, 6
+                    ),
+                ).alias("c_name"),
+                *other,
+            ),
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "customer.parquet"))
+
+    replicated_big = {t for t in
+                      ("events", "orders", "lineitem", "documents",
+                       "embeddings", "customer") if t in wanted}
+    if "orders" in wanted or "lineitem" in wanted:
+        replicated_big |= {"orders", "lineitem"}
+    copy_1x = [t for t in ("region", "nation", "customer", "supplier", "part",
+                           "events", "orders", "lineitem", "documents",
+                           "embeddings") if t not in replicated_big]
+    for small in copy_1x:
         src = os.path.join(SRC, f"{small}.parquet")
         dst = os.path.join(out_dir, f"{small}.parquet")
         # single-file parquet (testdata layout) or directory-style
@@ -273,7 +330,7 @@ def replicate(spark, out_dir: str, n: int) -> dict[str, int]:
             shutil.copytree(src, dst, dirs_exist_ok=True)
         else:
             shutil.copy(src, dst)
-    for t in ("events", "orders", "lineitem", "documents", "embeddings"):
+    for t in sorted(replicated_big):
         counts[t] = spark.read.parquet(os.path.join(out_dir, f"{t}.parquet")).count()
     return counts
 
