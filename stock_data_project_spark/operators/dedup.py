@@ -12,6 +12,7 @@ ops.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -909,7 +910,17 @@ def edit_prefix_candidates(
     no interpreted HOFs per the repo rule), two uniform-key windows
     (per-(id,gram) occurrence index, per-id prefix rank), one
     frequency groupBy, one self-join on (block, gram) whose buckets
-    are rare-gram-sized, then a pair distinct."""
+    are rare-gram-sized, then a pair distinct.
+
+    BRANCH REUSE: ``grams`` feeds both the frequency groupBy and the
+    prefix join, and the keyed prefix feeds BOTH sides of the
+    self-join — without a persist each branch recomputes the whole
+    explode+window subtree (measured ~2× wall at the 240× smoke:
+    224s → the persisted shape). These are HASH exchanges (value-
+    deterministic, so correctness never depends on the persist — the
+    rank.py range-exchange rule does not apply); the persist is pure
+    compute reuse. MEMORY_AND_DISK: the gram frame is ~n·(L−q+1)
+    narrow rows and may exceed executor memory at smoke scales."""
     short_len = q + k * q + k
     prefix_sz = k * q + 1
     bcols = [F.col(c) for c in block_cols]
@@ -931,7 +942,7 @@ def edit_prefix_candidates(
         .select(
             *block_cols, "_id", F.concat_ws("#", "_g", F.col("_occ").cast("string")).alias("_go")
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     freq = grams.groupBy("_go").agg(F.count(F.lit(1)).alias("_f"))
     prefix = (
         grams.join(freq, "_go")
@@ -945,7 +956,7 @@ def edit_prefix_candidates(
     short = base.filter(F.col("_len") <= short_len).select(
         *block_cols, "_id", F.lit("#SHORT#").alias("_key")
     )
-    keyed = prefix.unionByName(short)
+    keyed = prefix.unionByName(short).persist(StorageLevel.MEMORY_AND_DISK)
     a = keyed.alias("a")
     b = keyed.alias("b")
     join_cond = F.col("a._key") == F.col("b._key")
@@ -960,3 +971,25 @@ def edit_prefix_candidates(
         )
         .distinct()
     )
+
+
+# SCALE CHARACTERISTICS of the prefix filter (measured, scale_smoke
+# r11):
+# 1. q SIZING — candidate volume is Σ_buckets C(c,2) with c = names
+#    sharing a rare gram (× block). Buckets stay O(1) only while the
+#    DISCRIMINATIVE-character gram space |alphabet|^q dwarfs the
+#    per-block corpus; q=5 gives hex-alphabet names 16× the space of
+#    q=4. Losslessness then requires strings of length ≥ q + k·q
+#    (shorter ones take the SHORT fallback).
+# 2. NEAR-DUPLICATE FAMILIES — a corpus where names come in large
+#    mid-similarity families (N siblings sharing most characters AND
+#    the block) has candidate volume quadratic in the family size for
+#    ANY lossless edit filter: family members genuinely share their
+#    rare grams (count filtering doesn't help — siblings sharing 14
+#    of 21 grams pass the ≥ G−k·q bound), and only the verify stage
+#    can tell lev 6 from lev 2. Measured: a hash-suffix replica
+#    corpus (18 of 25 chars shared) hit 15k·C(240,2) candidates
+#    (565s); rebuilding replicas as distinct entities restored the
+#    linear band. Production answer, same as minhash: COLLAPSE
+#    exact/near families first (exact_duplicates / minhash), run ER
+#    on representatives.

@@ -48,13 +48,19 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nationkey"),
         F.col("c_mktsegment").alias("mktsegment"),
     ).agg(F.count(F.lit(1)).alias("_n"))
+    # q=5: gram-space must dwarf corpus/blocks for rare-gram buckets
+    # to stay small (candidate volume is Σ C(bucket,2)) — the 240×
+    # smoke measured q=4 going quadratic once low-entropy suffixes
+    # saturated the 16⁴ gram space. Losslessness needs names ≥
+    # q+k·q = 15 chars (TPC-H names are 18); shorter ones take the
+    # SHORT fallback inside the operator either way.
     cand = edit_prefix_candidates(
         cust,
         "c_custkey",
         "c_name",
         ("c_nationkey", "c_mktsegment"),
         k=_ER_MAX_LEV,
-        q=4,
+        q=5,
     )
     names = cust.select("c_custkey", "c_name")
     matched = (

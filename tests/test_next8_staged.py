@@ -228,11 +228,14 @@ def test_entity_resolution_invariants(spark):
     assert int(pdf["n_block_pairs"].sum()) == want
 
 
-def test_edit_prefix_candidates_lossless(spark):
+@pytest.mark.parametrize("q", [4, 5])
+def test_edit_prefix_candidates_lossless(spark, q):
     """The Ed-Join prefix filter must surface EVERY within-block pair
     at edit distance <= k — verified against the naive enumeration on
     a frame that exercises the SHORT fallback (lengths < q + k*q),
-    the gram path, and cross-length pairs."""
+    the gram path, and cross-length pairs. q=4 and q=5 both run: the
+    plan ships q=5 (gram-space sizing, see operators/dedup), and the
+    SHORT threshold moves with q so both fallback splits are pinned."""
     from stock_data_project_spark.operators.dedup import edit_prefix_candidates
 
     rows = [
@@ -250,7 +253,7 @@ def test_edit_prefix_candidates_lossless(spark):
     cand = {
         (r["id_a"], r["id_b"])
         for r in edit_prefix_candidates(
-            df, "id", "name", ("blk",), k=2, q=4
+            df, "id", "name", ("blk",), k=2, q=q
         ).collect()
     }
     import itertools

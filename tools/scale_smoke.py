@@ -289,12 +289,22 @@ def replicate(spark, out_dir: str, n: int) -> dict[str, int]:
 
     if "customer" in wanted:
         # r11 (verdict item 5): customer replicates too, so the ER/
-        # customer-statistics cohort carries real scale signal. Names
-        # get a per-(custkey, rep) md5 suffix: every replica's name is
-        # DISTINCT from every other's by ~6 random hex chars, so
-        # lev<=2 matched pairs stay near zero instead of the n-copies
-        # quadratic-by-construction hazard — the probe times candidate
-        # generation + verify volume, which is the scale question.
+        # customer-statistics cohort carries real scale signal. The
+        # name's WHOLE discriminative region is rebuilt from a
+        # per-(custkey, rep) md5 — replicas are distinct ENTITIES
+        # sharing only the constant "Customer#" prefix (whose grams
+        # are corpus-frequent and never enter a rarest-gram prefix).
+        # The first cut kept the base name and appended a 6-hex
+        # suffix: that builds a corpus where every name has N-1
+        # near-duplicate SIBLINGS (18 of 25 chars + the block shared)
+        # — and for a LOSSLESS edit filter, mid-similarity families
+        # are genuine candidates (only the verify stage can tell
+        # lev 6 from lev 2), so candidate volume was quadratic in N
+        # BY CONSTRUCTION of the corpus (measured 15k·C(N,2): 565s at
+        # 240×) — the dedup_minhash_raw hazard transposed to ER. Real
+        # pipelines collapse exact/near families FIRST (dedup_exact /
+        # minhash), then run ER on representatives; this probe times
+        # the filter on the distinct-entity shape that remains.
         cust = load_table(spark, SRC, "customer")
         max_ck = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
         other = [c for c in cust.columns if c not in ("c_custkey", "c_name")]
@@ -303,10 +313,9 @@ def replicate(spark, out_dir: str, n: int) -> dict[str, int]:
             lambda d: d.select(
                 (F.col("c_custkey") + F.col("rep") * max_ck).alias("c_custkey"),
                 F.concat(
-                    F.col("c_name"),
-                    F.lit("-"),
+                    F.lit("Customer#"),
                     F.substring(
-                        F.md5(F.concat_ws("#", "c_custkey", "rep")), 1, 6
+                        F.md5(F.concat_ws("#", "c_custkey", "rep")), 1, 16
                     ),
                 ).alias("c_name"),
                 *other,
