@@ -26,79 +26,72 @@ from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 # set is reviewable as one diff. Keys beyond the list follow in module
 # order. New keys MUST debut inside the list in their round.
 #
-# r11 window (50), per the SURVEY §5 r11 commitment as amended by the
-# r10 verdict (item 1: fill the re-grade slots with the staged
-# statistical batch instead — DRAIN the never-graded backlog): exactly
-# the 50 keys with zero driver rows across CORRECTNESS_r01–r10.
-# Leads with the seventeen late-r9 debuts in commitment order, then
-# the thirty r10-built keys in the §5 r12-commitment order, then the
-# three r10-close keys. All 50 are fully parity-proven in-repo at
-# sf0.001/0.01 (test_next9..13_staged.py + test_oracle_parity.py) and
-# sf0.1 (tools/parity_sweep.py r10-close record); 12 of them were
-# independently judge-spot-checked green in r10.
-# Named r11→r12 deferrals (unchanged r7-evidence cohort, module
-# order): olap sessionize..pivot_returnflag, olap_next
-# tpch_q2/q8/q9/q11/q15/q16/q20/q21, sql_segment_revenue,
-# sql_star_query, stream_quantile, stock_next3 ema_cross/roc_momentum,
-# llm_next3 stratified_sample/topk_rollup, olap_next4
-# tpch_q18/cohort_ltv/frequent_pairs/triangle_count.
+# r12 window (50), per the SURVEY §5 r12 commitment and the r11
+# verdict (item 1): lead with stream_incremental_star (the ONLY key
+# with zero driver rows across r01–r11), then drain the ENTIRE
+# r7-evidence cohort — measured programmatically against
+# CORRECTNESS_r01..r11 it is 47 keys, not the 22 the deferral note
+# estimated, and all 47 fit — in module order, then the r11-re-planned
+# entity_resolution (its Ed-Join plan postdates its r10 green row),
+# then one r8-evidence re-grade (top_movers, oldest in registry
+# order). 1 + 47 + 1 + 1 = 50. After this window no key's evidence is
+# older than r8 and the never-graded backlog stays at zero.
 _GRADE_ORDER = [
-    # late-r9 debuts: stock_next7
-    "ultimate_oscillator",
-    "vortex",
-    "ichimoku",
-    "heikin_ashi",
-    "parabolic_sar",
-    # late-r9 debuts: llm_next9
-    "embedding_kmeans",
-    "embedding_outliers",
-    "quality_classifier",
-    "source_mix_report",
-    "retrieval_ndcg",
-    # late-r9 debuts: olap_next9 / olap_next10
-    "kcore_decomposition",
-    "item_similarity",
-    "ks_statistic",
-    "gini_coefficient",
-    "benford_deviation",
-    "categorical_association",
-    # late-r9 debuts: stream_next8
-    "stream_left_join",
-    # r10 batch (§5 r12-commitment order)
-    "ann_recall_eval",
-    "stream_full_join",
-    "stream_chained_agg",
-    "acf_returns",
-    "seasonal_decompose",
-    "holt_forecast",
-    "cusum_anomaly",
-    "theil_sen_slope",
-    "welch_ttest",
-    "kruskal_wallis",
-    "mann_whitney_u",
-    "event_transition_matrix",
-    "spearman_corr",
-    "holt_winters",
-    "kendall_tau",
-    "dsir_importance",
-    "vocab_growth",
-    "runs_test",
-    "ljung_box",
-    "jarque_bera",
-    "sharpe_sortino",
-    "hurst_exponent",
-    "one_way_anova",
-    "herfindahl_index",
-    "zipf_slope",
-    "flesch_reading_ease",
-    "containment_pairs",
-    "variance_ratio",
-    "seasonality_strength",
-    "event_mutual_info",
-    # r10-close batch
-    "changepoint_detect",
-    "lead_lag_corr",
-    "minhash_recall_eval",
+    # the last never-driver-graded key (built r11, oracled)
+    "stream_incremental_star",
+    # r7-evidence cohort (47 keys, module order: stock, llm, olap,
+    # sql_api, stream)
+    "ema_cross",
+    "roc_momentum",
+    "stratified_sample",
+    "topk_rollup",
+    "sessionize",
+    "tumbling_window_agg",
+    "tpch_q19",
+    "tpch_q22",
+    "funnel",
+    "weekly_retention",
+    "active_customer_overlap",
+    "unpivot_ohlc",
+    "value_histogram",
+    "word_frequency",
+    "cube_sales",
+    "big_orders",
+    "balance_distribution",
+    "nation_segments",
+    "ntile_deciles",
+    "asof_join",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "props_extract",
+    "price_quantiles",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_customers_per_nation",
+    "pivot_returnflag",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q18",
+    "cohort_ltv",
+    "frequent_pairs",
+    "triangle_count",
+    "sql_segment_revenue",
+    "sql_star_query",
+    "stream_quantile",
+    # re-planned r11 AFTER its last green row (r10) — fresh evidence
+    "entity_resolution",
+    # oldest r8-evidence re-grade (registry order)
+    "top_movers",
 ]
 
 _MODULES = (stock, llm, olap, sql_api, stream)

@@ -32,6 +32,40 @@ def test_rows_only_queries_are_documented():
         assert "rows-only" in line, f"{k} lacks a rows-only annotation in SURVEY §2"
 
 
+def test_driver_evidence_staleness():
+    """r11 verdict item 3: the r7-evidence cohort went four rounds
+    stale silently. Every queries() key must either have a driver row
+    at most MAX_AGE rounds older than the newest CORRECTNESS artifact,
+    or sit inside the committed next window (plans._GRADE_ORDER) so
+    fresh evidence is already scheduled."""
+    import glob
+    import json
+
+    from stock_data_project_spark.plans import _GRADE_ORDER
+
+    latest: dict[str, int] = {}
+    rounds = []
+    for p in sorted(glob.glob("CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", p).group(1))
+        rounds.append(r)
+        for k in json.load(open(p)):
+            latest[k] = r
+    if not rounds:  # fresh clone without driver artifacts
+        return
+    newest = max(rounds)
+    MAX_AGE = 4  # a key graded r8 is acceptable while r12 is newest
+    window = set(_GRADE_ORDER)
+    offenders = sorted(
+        k
+        for k in entrymod.queries()
+        if k not in window and newest - latest.get(k, -10**9) > MAX_AGE
+    )
+    assert not offenders, (
+        f"driver evidence older than {MAX_AGE} rounds and not in the "
+        f"committed window: {offenders}"
+    )
+
+
 def test_every_graded_survey_row_has_a_query():
     """Tightened r11 invariant (r10 verdict item 4): §2 graded-key
     rows == queries() EXACTLY — a graded-format row (backticked key,
