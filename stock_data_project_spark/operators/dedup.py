@@ -873,6 +873,109 @@ def dedup_clusters(
     return members.union(roots)
 
 
+def collapse_exact_families(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact-duplicate family collapse for ER candidate generation:
+    one row per distinct (``block_cols``, ``str_col``) with
+    ``rep_id`` = min(``id_col``) and ``_m`` = member count.
+
+    This is the minhash collapse-exact-first default transposed to
+    edit-distance ER (see the SCALE CHARACTERISTICS note below):
+    near-duplicate FAMILIES are quadratic for ANY lossless edit
+    filter, and the dominant production family class is exact
+    replicas — collapsing them first makes the prefix filter see one
+    representative per family while the caller expands match counts
+    algebraically (an exact-family pair is lev 0; a verified rep
+    pair (a, b) stands for m_a·m_b member pairs at the same lev), so
+    the result stays EXACTLY equal to the full enumeration."""
+    return df.groupBy(*block_cols, str_col).agg(
+        F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("_m")
+    )
+
+
+def er_candidates(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    block_cols: tuple[str, ...] = (),
+    k: int = 2,
+    q: int = 4,
+    naive_block_max: int = 4096,
+    guard_ratio: float | None = None,
+) -> DataFrame:
+    """Adaptive ER candidate generation: per-BLOCK strategy choice
+    between full within-block pair enumeration and Ed-Join q-gram
+    prefix filtering (``edit_prefix_candidates``). Both are lossless
+    (every within-block pair at edit distance <= k is emitted), so
+    the choice is pure cost:
+
+    - Blocks of <= ``naive_block_max`` rows enumerate directly —
+      bounded C(n_b, 2) work per block, one hash-shuffle self-join,
+      no gram explode/windows/persists. On low-entropy keys the
+      prefix filter can cost MORE than enumeration (measured on
+      sf0.1 TPC-H names: 6.0M raw prefix-join rows vs 0.89M naive
+      pairs, 6.7× — zero-padded digit names put ~6 corpus-frequent
+      structural grams into every 11-gram rarest-first prefix), so
+      small blocks should never pay it.
+    - Larger blocks route to the prefix filter, whose rare-gram
+      buckets stay bounded when the discriminative gram space dwarfs
+      the per-block corpus — the shape that survives 100 TB, where a
+      fixed block domain (nation × segment = 125) makes per-block
+      rows grow linearly with the data. ``guard_ratio`` (forwarded)
+      fails loud past the documented quadratic knee.
+
+    The block-size probe is one bounded aggregate (block-key domain
+    sized, collect-free: a limit(1) existence check routes the plan).
+    Precondition: ``id_col`` unique per block (same as
+    ``edit_prefix_candidates``)."""
+    if not block_cols:
+        # no blocking — strategy is global; treat the corpus as one
+        # block and size it with a cheap count
+        n = df.count()
+        if n <= naive_block_max:
+            a, b = df.alias("a"), df.alias("b")
+            return a.join(
+                b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+            ).select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+        return edit_prefix_candidates(
+            df, id_col, str_col, block_cols, k=k, q=q, guard_ratio=guard_ratio
+        )
+    sizes = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    big_blocks = sizes.filter(F.col("_bn") > naive_block_max).drop("_bn")
+    has_big = big_blocks.limit(1).count() > 0
+    bkeys = list(block_cols)
+    if has_big:
+        bb = F.broadcast(big_blocks)
+        big = df.join(bb, bkeys, "left_semi")
+        small = df.join(bb, bkeys, "left_anti")
+    else:
+        big, small = None, df
+    a, b = small.alias("a"), small.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    naive = a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(c) for c in block_cols],
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    if big is None:
+        return naive
+    filtered = edit_prefix_candidates(
+        big, id_col, str_col, block_cols, k=k, q=q, guard_ratio=guard_ratio
+    )
+    # edit_prefix_candidates aliases ids to id_a/id_b already; blocks
+    # are disjoint between the two paths so a plain union is exact
+    return naive.unionByName(filtered)
+
+
 def edit_prefix_candidates(
     df: DataFrame,
     id_col: str,
@@ -880,6 +983,7 @@ def edit_prefix_candidates(
     block_cols: tuple[str, ...] = (),
     k: int = 2,
     q: int = 4,
+    guard_ratio: float | None = None,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs guaranteed to contain EVERY pair
     within edit distance <= k (that also agrees on ``block_cols``) —
@@ -920,7 +1024,27 @@ def edit_prefix_candidates(
     deterministic, so correctness never depends on the persist — the
     rank.py range-exchange rule does not apply); the persist is pure
     compute reuse. MEMORY_AND_DISK: the gram frame is ~n·(L−q+1)
-    narrow rows and may exceed executor memory at smoke scales."""
+    narrow rows and may exceed executor memory at smoke scales.
+    The result is localCheckpoint(eager=True)-materialized so both
+    persisted intermediates can be UNPERSISTED before returning (a
+    long-lived session otherwise leaks storage blocks per call); on
+    a cluster where executor loss must be survivable, swap for a
+    reliable checkpoint() like the dedup_clusters note says.
+
+    ``guard_ratio``: if set, the expected self-join candidate volume
+    Σ_buckets C(c, 2) is measured from the persisted key frame
+    BEFORE the self-join runs, and the call fails LOUD (RuntimeError)
+    when it exceeds ``guard_ratio × rows`` — the documented
+    near-duplicate-family / gram-space-saturation knee where every
+    lossless edit filter goes quadratic. The fix at that point is
+    data prep, not parameters: collapse exact/near families first
+    (``collapse_exact_families`` / minhash) and run ER on
+    representatives.
+
+    Precondition: ``id_col`` must be unique within each block — the
+    occurrence-index and prefix-rank windows key on (block, id), so a
+    cross-block id reuse is fine, but a duplicate id INSIDE a block
+    would interleave two strings' grams and break losslessness."""
     short_len = q + k * q + k
     prefix_sz = k * q + 1
     bcols = [F.col(c) for c in block_cols]
@@ -937,7 +1061,9 @@ def edit_prefix_candidates(
         )
         .withColumn(
             "_occ",
-            F.row_number().over(Window.partitionBy("_id", "_g").orderBy("_p")),
+            F.row_number().over(
+                Window.partitionBy(*block_cols, "_id", "_g").orderBy("_p")
+            ),
         )
         .select(
             *block_cols, "_id", F.concat_ws("#", "_g", F.col("_occ").cast("string")).alias("_go")
@@ -948,7 +1074,9 @@ def edit_prefix_candidates(
         grams.join(freq, "_go")
         .withColumn(
             "_r",
-            F.row_number().over(Window.partitionBy("_id").orderBy("_f", "_go")),
+            F.row_number().over(
+                Window.partitionBy(*block_cols, "_id").orderBy("_f", "_go")
+            ),
         )
         .filter(F.col("_r") <= prefix_sz)
         .select(*block_cols, "_id", F.col("_go").alias("_key"))
@@ -957,12 +1085,36 @@ def edit_prefix_candidates(
         *block_cols, "_id", F.lit("#SHORT#").alias("_key")
     )
     keyed = prefix.unionByName(short).persist(StorageLevel.MEMORY_AND_DISK)
+    if guard_ratio is not None:
+        # one cheap agg over the (already needed) persisted key frame:
+        # Σ C(bucket, 2) IS the self-join's output volume, so the
+        # quadratic knee is detected before any quadratic work runs
+        n_rows = base.count()
+        (exp_pairs,) = (
+            keyed.groupBy(*block_cols, "_key")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum(F.expr("_c * (_c - 1) div 2")).alias("p"))
+            .collect()[0]
+        )
+        if exp_pairs is not None and exp_pairs > guard_ratio * max(n_rows, 1):
+            grams.unpersist()
+            keyed.unpersist()
+            raise RuntimeError(
+                f"edit_prefix_candidates: expected candidate volume "
+                f"{exp_pairs} exceeds guard_ratio={guard_ratio} × "
+                f"{n_rows} rows — the corpus is past the documented "
+                f"near-duplicate-family / gram-space-saturation knee "
+                f"where every lossless edit filter is quadratic. "
+                f"Collapse exact/near families first "
+                f"(collapse_exact_families / minhash) and run ER on "
+                f"representatives."
+            )
     a = keyed.alias("a")
     b = keyed.alias("b")
     join_cond = F.col("a._key") == F.col("b._key")
     for c in block_cols:
         join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
+    out = (
         a.join(b, join_cond & (F.col("a._id") < F.col("b._id")))
         .select(
             *[F.col(f"a.{c}").alias(c) for c in block_cols],
@@ -970,7 +1122,14 @@ def edit_prefix_candidates(
             F.col("b._id").alias("id_b"),
         )
         .distinct()
+        # materialize so the intermediates can be released NOW (the
+        # advice-flagged per-call storage leak); candidates are the
+        # small end of the funnel so the stored blocks are bounded
+        .localCheckpoint(eager=True)
     )
+    grams.unpersist()
+    keyed.unpersist()
+    return out
 
 
 # SCALE CHARACTERISTICS of the prefix filter (measured, scale_smoke

@@ -357,3 +357,104 @@ def test_cci_matches_pandas_reference(spark):
                 assert have is None or np.isnan(have)
             else:
                 assert abs(have - want) < 1e-3, (key, t, have, want)
+
+
+# --------------------------------------------- r12: ER family collapse
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_entity_resolution_exact_family_collapse_is_exact(spark, tmp_path):
+    """r11 verdict item 2: the collapse-exact-first pre-pass must keep
+    the output EQUAL to the full within-block enumeration on a corpus
+    with real exact families (TPC-H names are all-distinct, so the
+    graded path never exercises the expansion arithmetic — this
+    planted corpus does: lev-0 family pairs, cross-family lev-1
+    matches weighted m_a*m_b, and the min_matched_lev=0 branch)."""
+    from stock_data_project_spark.plans import olap_next8
+
+    rows = [
+        # block (1, 'A'): two exact families + a near name + a far name
+        (1, "Customer#000000001", 1, "A"),
+        (2, "Customer#000000001", 1, "A"),
+        (3, "Customer#000000001", 1, "A"),
+        (4, "Customer#000000002", 1, "A"),  # lev 1 vs family 1
+        (5, "Customer#000000002", 1, "A"),
+        (6, "Customer#000099002", 1, "A"),  # lev 3 vs 002, lev 3 vs 001
+        # block (2, 'B'): no exact dups, one lev-2 pair
+        (7, "Customer#000000010", 2, "B"),
+        (8, "Customer#000000943", 2, "B"),
+        (9, "Customer#000011010", 2, "B"),  # lev 2 vs id 7
+        # block (3, 'C'): singleton — no pairs at all
+        (10, "Customer#000000099", 3, "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey int, c_name string, c_nationkey int, c_mktsegment string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {
+        (r["nationkey"], r["mktsegment"]): r
+        for r in olap_next8.q_entity_resolution(spark, str(tmp_path)).collect()
+    }
+    # brute-force expectation
+    import itertools
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for cid, name, nk, seg in rows:
+        blocks[(nk, seg)].append(name)
+    for bk, names in blocks.items():
+        pairs = list(itertools.combinations(names, 2))
+        levs = [_lev(a, b) for a, b in pairs]
+        matched = [d for d in levs if d <= 2]
+        r = got[bk]
+        assert r["n_block_pairs"] == len(pairs), bk
+        assert r["n_matched_pairs"] == len(matched), (bk, r)
+        want_min = min(matched) if matched else None
+        assert r["min_matched_lev"] == want_min, (bk, r)
+
+
+def test_collapse_exact_families_contract(spark):
+    from stock_data_project_spark.operators.dedup import collapse_exact_families
+
+    df = spark.createDataFrame(
+        [(5, "x", "B"), (2, "x", "B"), (9, "y", "B"), (1, "x", "C")],
+        "id int, s string, blk string",
+    )
+    got = {
+        (r["blk"], r["s"]): (r["rep_id"], r["_m"])
+        for r in collapse_exact_families(df, "id", "s", ("blk",)).collect()
+    }
+    assert got == {("B", "x"): (2, 2), ("B", "y"): (9, 1), ("C", "x"): (1, 1)}
+
+
+def test_edit_prefix_guard_trips_on_family_corpus(spark):
+    """The guard_ratio loud-fail: a near-duplicate family corpus
+    (shared 20-char prefix, 1-char suffix variation — members
+    genuinely share their rare grams, so NO lossless filter can prune
+    them) must raise instead of silently going quadratic."""
+    from stock_data_project_spark.operators.dedup import edit_prefix_candidates
+
+    rows = [(i, "B", f"SharedPrefix_Family_X{i % 7}{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, blk string, name string")
+    with pytest.raises(RuntimeError, match="collapse"):
+        edit_prefix_candidates(
+            df, "id", "name", ("blk",), k=2, q=5, guard_ratio=2.0
+        )
+    # and the same corpus passes with the guard sized above its volume
+    assert (
+        edit_prefix_candidates(
+            df, "id", "name", ("blk",), k=2, q=5, guard_ratio=10_000.0
+        ).count()
+        > 0
+    )
