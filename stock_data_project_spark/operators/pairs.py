@@ -57,7 +57,16 @@ def series_pairs(
     the series key itself.
     """
     wn = Window.partitionBy(key_col)
-    base = df.withColumn("_n", F.count(F.lit(1)).over(wn))
+    # base feeds BOTH sides of the exact self-join AND the sampled
+    # branch (ids + two endpoint fetches) — the multi-consumer rule:
+    # without a materialization every consumer re-executes the whole
+    # upstream bars subtree. localCheckpoint (eager) instead of
+    # persist: the frame is n small rows, the stored blocks replace
+    # the plan (no recompute, no unpersist bookkeeping — the
+    # edit_prefix_candidates leak fix applied at the source).
+    base = df.withColumn("_n", F.count(F.lit(1)).over(wn)).localCheckpoint(
+        eager=True
+    )
 
     def side(name: str, src: DataFrame) -> DataFrame:
         return src.select(

