@@ -178,6 +178,13 @@ HEADLINE = (
     "changepoint_detect",
     "lead_lag_corr",
     "minhash_recall_eval",
+    # r12 corpus-governance builds (r13-window debuts): segment-grain
+    # first-occurrence dedup, Lee-et-al exact-substring runs, source
+    # quality gate, deterministic per-source token quota
+    "segment_dedup",
+    "exact_substring_spans",
+    "source_quality_gate",
+    "source_quota_resample",
 )
 
 

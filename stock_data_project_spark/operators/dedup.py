@@ -88,24 +88,33 @@ def shingle_rows(
     right when a downstream broadcast join prunes the rows before any
     dedup matters (ngram_contamination: the join hits are tiny, so
     count_distinct after the join beats a full-corpus distinct
-    before it)."""
-    tok = df.select(F.col(id_col), F.posexplode(words(text_col)).alias("pos", "w"))
-    win = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("w", i).over(win).alias(f"_l{i}") for i in range(1, k)]
-    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    out = (
-        tok.withColumn("_n", n)
-        .select(
-            F.col(id_col),
-            "pos",
-            "_n",
-            F.concat_ws(" ", F.col("w"), *leads).alias("sh"),
-        )
-        .filter(
-            (F.col("pos") + (k - 1) < F.col("_n"))
-            | ((F.col("_n") < k) & (F.col("pos") == 0))
-        )
-        .select(id_col, "sh")
+    before it).
+
+    r12 construction upgrade: explode shingle START INDICES and
+    slice+array_join the token array — every expression is a codegen
+    scalar in ONE map stage, no shuffle and no sort. The previous
+    window-lead form (posexplode + lead(w,i)×(k−1) over the per-doc
+    window) was itself the 11.8× fix over interpreted zip_with, but
+    WindowExec is not whole-stage-codegen'd and its doc-keyed
+    shuffle+sort buys nothing: the slice form measured 2.6s → 0.4s
+    warm for the sf0.1 10-gram frame (llm_next14 probe). Outputs are
+    bit-identical: slice past the array end returns the shorter tail,
+    and for n < k the single pos-0 slice IS the whole-text fallback
+    (array_join of non-null tokens == the old concat_ws)."""
+    base = df.select(F.col(id_col), words(text_col).alias("_ws")).withColumn(
+        "_n", F.size("_ws")
+    )
+    out = base.select(
+        F.col(id_col),
+        F.explode(
+            # greatest guards short docs: sequence(0, negative) would
+            # generate a DESCENDING sequence, not an empty one
+            F.sequence(F.lit(0), F.greatest(F.lit(0), F.col("_n") - k))
+        ).alias("_p"),
+        "_ws",
+    ).select(
+        F.col(id_col),
+        F.array_join(F.slice("_ws", F.col("_p") + 1, k), " ").alias("sh"),
     )
     return out.distinct() if distinct else out
 

@@ -94,6 +94,21 @@ _GRADE_ORDER = [
     "top_movers",
 ]
 
+# Keys built THIS round that debut in the NEXT round's committed
+# window (SURVEY §5 rotation): never driver-graded yet by design.
+# tests/test_contract.py::test_driver_evidence_staleness requires
+# every never-graded key to be either in _GRADE_ORDER or listed here
+# — a key can't sit ungraded silently (the stream_incremental_star
+# class); the next rotation MUST pull these into _GRADE_ORDER.
+STAGED_DEBUTS = frozenset(
+    {
+        "segment_dedup",
+        "exact_substring_spans",
+        "source_quality_gate",
+        "source_quota_resample",
+    }
+)
+
 _MODULES = (stock, llm, olap, sql_api, stream)
 
 

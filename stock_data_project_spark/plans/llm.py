@@ -711,3 +711,14 @@ from stock_data_project_spark.plans.llm_next13 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT13)
 ORACLE.update(ORACLE_NEXT13)
+
+# r12 corpus-governance batch (r11 verdict item 6), staged for the
+# r13 window: segment-grain dedup, exact-substring spans, source
+# quality gate, deterministic source token quota
+from stock_data_project_spark.plans.llm_next14 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT14,
+    QUERIES_NEXT as QUERIES_NEXT14,
+)
+
+QUERIES.update(QUERIES_NEXT14)
+ORACLE.update(ORACLE_NEXT14)

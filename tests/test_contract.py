@@ -41,7 +41,7 @@ def test_driver_evidence_staleness():
     import glob
     import json
 
-    from stock_data_project_spark.plans import _GRADE_ORDER
+    from stock_data_project_spark.plans import _GRADE_ORDER, STAGED_DEBUTS
 
     latest: dict[str, int] = {}
     rounds = []
@@ -58,11 +58,25 @@ def test_driver_evidence_staleness():
     offenders = sorted(
         k
         for k in entrymod.queries()
-        if k not in window and newest - latest.get(k, -10**9) > MAX_AGE
+        if k not in window
+        and (
+            # never graded: must be an explicitly declared staged
+            # debut for the next window
+            k not in STAGED_DEBUTS
+            if k not in latest
+            else newest - latest[k] > MAX_AGE
+        )
     )
     assert not offenders, (
-        f"driver evidence older than {MAX_AGE} rounds and not in the "
-        f"committed window: {offenders}"
+        f"driver evidence older than {MAX_AGE} rounds (or never-graded "
+        f"without a STAGED_DEBUTS declaration) and not in the committed "
+        f"window: {offenders}"
+    )
+    # a staged debut that already has evidence is a stale declaration
+    stale_staged = sorted(STAGED_DEBUTS & set(latest))
+    assert not stale_staged, (
+        f"STAGED_DEBUTS keys already driver-graded (rotate them into "
+        f"_GRADE_ORDER and drop the declaration): {stale_staged}"
     )
 
 
