@@ -185,6 +185,9 @@ HEADLINE = (
     "exact_substring_spans",
     "source_quality_gate",
     "source_quota_resample",
+    # r12 graph-ANN: NN-Descent kNN graph (the offline graph-ANN
+    # build step; bounded candidate volume per round)
+    "knn_graph",
 )
 
 

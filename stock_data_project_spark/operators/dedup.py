@@ -993,6 +993,7 @@ def edit_prefix_candidates(
     k: int = 2,
     q: int = 4,
     guard_ratio: float | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs guaranteed to contain EVERY pair
     within edit distance <= k (that also agrees on ``block_cols``) —
@@ -1034,11 +1035,17 @@ def edit_prefix_candidates(
     rank.py range-exchange rule does not apply); the persist is pure
     compute reuse. MEMORY_AND_DISK: the gram frame is ~n·(L−q+1)
     narrow rows and may exceed executor memory at smoke scales.
-    The result is localCheckpoint(eager=True)-materialized so both
+    ``materialize=True`` localCheckpoints the candidate set so both
     persisted intermediates can be UNPERSISTED before returning (a
-    long-lived session otherwise leaks storage blocks per call); on
-    a cluster where executor loss must be survivable, swap for a
-    reliable checkpoint() like the dedup_clusters note says.
+    long-lived session otherwise retains their storage blocks per
+    call until the frames are GC'd). It is OFF by default: the eager
+    checkpoint measured 4.6× the lazy pipeline at the 120× smoke
+    (63.8s vs 13.9s — storing millions of candidate rows and cutting
+    the pipelined exchange costs far more than the bounded block
+    retention it frees). Turn it on only for long-lived sessions
+    that invoke the operator repeatedly at small scale; on a cluster
+    where executor loss must be survivable, swap for a reliable
+    checkpoint() like the dedup_clusters note says.
 
     ``guard_ratio``: if set, the expected self-join candidate volume
     Σ_buckets C(c, 2) is measured from the persisted key frame
@@ -1131,13 +1138,14 @@ def edit_prefix_candidates(
             F.col("b._id").alias("id_b"),
         )
         .distinct()
+    )
+    if materialize:
         # materialize so the intermediates can be released NOW (the
         # advice-flagged per-call storage leak); candidates are the
         # small end of the funnel so the stored blocks are bounded
-        .localCheckpoint(eager=True)
-    )
-    grams.unpersist()
-    keyed.unpersist()
+        out = out.localCheckpoint(eager=True)
+        grams.unpersist()
+        keyed.unpersist()
     return out
 
 

@@ -106,6 +106,7 @@ STAGED_DEBUTS = frozenset(
         "exact_substring_spans",
         "source_quality_gate",
         "source_quota_resample",
+        "knn_graph",
     }
 )
 

@@ -722,3 +722,13 @@ from stock_data_project_spark.plans.llm_next14 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT14)
 ORACLE.update(ORACLE_NEXT14)
+
+# r12 graph-ANN: NN-Descent kNN graph, the algorithm replayed
+# exactly by an unrolled-iteration DuckDB oracle
+from stock_data_project_spark.plans.llm_next15 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT15,
+    QUERIES_NEXT as QUERIES_NEXT15,
+)
+
+QUERIES.update(QUERIES_NEXT15)
+ORACLE.update(ORACLE_NEXT15)
