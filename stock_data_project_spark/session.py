@@ -32,6 +32,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # shuffle partitions = core count at test scale. A fixed count
+        # IS a measured scale cliff — tpch_q5 at the 240× smoke (144M
+        # lineitem rows) ran 98.8s with 32 shuffle partitions (4.5M-row
+        # spilling partitions) vs 44.7s/32.7s at 128/256 — and AQE only
+        # coalesces DOWN (never splits outside skew-join), so cluster
+        # deployments must raise initialPartitionNum ∝ data volume via
+        # extra_conf (tools/scale_smoke.py does exactly that per
+        # replication factor). Raising the DEFAULT here was measured a
+        # net loss at test scale: bench A/B 145.8s → 181.5s (median
+        # per-key 1.13×) with initialPartitionNum=8×cores — the AQE
+        # re-planning and task floor tax every small shuffle.
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

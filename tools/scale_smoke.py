@@ -358,7 +358,24 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown smoke keys: {sorted(unknown)}")
         QUERIES = tuple(wanted)
-    spark = get_spark("scale_smoke", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    # model a cluster sized to its data: shuffle partitions scale with
+    # the replication factor (the tpch_q5 240× probe: 98.8s at 32
+    # partitions — 4.5M-row spilling sorts — vs 32.7s at a hard 256;
+    # initialPartitionNum=256 + AQE coalesce recovered only part of it,
+    # 76.8s, because AQE coalesces back toward the 64MB advisory). The
+    # same conf raised at TEST scale measured a 1.13× median per-key
+    # loss (bench A/B 145.8→181.5s), so the default session keeps
+    # partitions = cores and the smoke carries the data-proportional
+    # override — exactly what a cluster deployment does via extra_conf.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scaled_parts = cpus * max(1, min(8, n // 30))
+    spark = get_spark(
+        "scale_smoke",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.shuffle.partitions": str(scaled_parts),
+        },
+    )
     out_dir = tempfile.mkdtemp(prefix="scale_smoke_")
     try:
         t0 = time.perf_counter()
