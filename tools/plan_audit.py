@@ -163,6 +163,9 @@ def main() -> None:
         # aggregates onto the 1-row MI aggregate — the documented
         # constant-cost scalar-bind class
         "event_mutual_info",
+        # source_quality_gate binds the 1-row corpus-token total for
+        # the token_share denominator — the source_mix_report class
+        "source_quality_gate",
     }
     flagged = [
         k
