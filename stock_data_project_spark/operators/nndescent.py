@@ -176,6 +176,11 @@ def knn_graph(
             .filter(F.col("_r") <= k)
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        # sym feeds both sides of the NoN self-join (multi-consumer
+        # rule). localCheckpoint, NOT persist: the persist variant
+        # measured 19-22s vs 7.2s for the full build at sf0.1 — the
+        # InMemoryRelation blocks AQE's runtime re-planning of the
+        # self-join, while the checkpointed scan keeps it
         sym = fwd.union(rev).distinct().localCheckpoint(eager=True)
         non = (
             sym.alias("x")
