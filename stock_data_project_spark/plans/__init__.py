@@ -26,72 +26,71 @@ from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 # set is reviewable as one diff. Keys beyond the list follow in module
 # order. New keys MUST debut inside the list in their round.
 #
-# r12 window (50), per the SURVEY §5 r12 commitment and the r11
-# verdict (item 1): lead with stream_incremental_star (the ONLY key
-# with zero driver rows across r01–r11), then drain the ENTIRE
-# r7-evidence cohort — measured programmatically against
-# CORRECTNESS_r01..r11 it is 47 keys, not the 22 the deferral note
-# estimated, and all 47 fit — in module order, then the r11-re-planned
-# entity_resolution (its Ed-Join plan postdates its r10 green row),
-# then one r8-evidence re-grade (top_movers, oldest in registry
-# order). 1 + 47 + 1 + 1 = 50. After this window no key's evidence is
-# older than r8 and the never-graded backlog stays at zero.
+# r13 window (50), per the SURVEY §5 r13 commitment and the r12
+# verdict (item 1): lead with the 5 r12 staged debuts (judge-verified
+# at sf0.01, zero driver rows by window mechanics), then drain the
+# r8-evidence cohort — measured programmatically against
+# CORRECTNESS_r01..r12 it is 49 keys for 45 slots, so 4 rows-only
+# keys are deferred to r14 (wilder_rsi, ann_ivfpq, hll_rollup,
+# stream_running_stats — each pandas/parity-pinned in-repo and
+# driver-smoke-checked every round; ann_pq stays IN-window despite
+# being rows-only because it carries the r12 bench-regression flag
+# and needs fresh evidence). 5 + 45 = 50. After this window those 4
+# deferrals are the only keys with evidence older than r9.
 _GRADE_ORDER = [
-    # the last never-driver-graded key (built r11, oracled)
-    "stream_incremental_star",
-    # r7-evidence cohort (47 keys, module order: stock, llm, olap,
+    # r12 staged debuts (never driver-graded, by window mechanics)
+    "segment_dedup",
+    "exact_substring_spans",
+    "source_quality_gate",
+    "source_quota_resample",
+    "knn_graph",
+    # r8-evidence cohort (45 of 49; module order: stock, llm, olap,
     # sql_api, stream)
-    "ema_cross",
-    "roc_momentum",
-    "stratified_sample",
-    "topk_rollup",
-    "sessionize",
-    "tumbling_window_agg",
-    "tpch_q19",
-    "tpch_q22",
-    "funnel",
-    "weekly_retention",
-    "active_customer_overlap",
-    "unpivot_ohlc",
-    "value_histogram",
-    "word_frequency",
-    "cube_sales",
-    "big_orders",
-    "balance_distribution",
-    "nation_segments",
-    "ntile_deciles",
-    "asof_join",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "props_extract",
-    "price_quantiles",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "top_customers_per_nation",
-    "pivot_returnflag",
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q18",
-    "cohort_ltv",
-    "frequent_pairs",
-    "triangle_count",
-    "sql_segment_revenue",
-    "sql_star_query",
-    "stream_quantile",
-    # re-planned r11 AFTER its last green row (r10) — fresh evidence
-    "entity_resolution",
-    # oldest r8-evidence re-grade (registry order)
-    "top_movers",
+    "hourly_profile",
+    "weekly_bars",
+    "return_correlation",
+    "rolling_correlation",
+    "gap_fill",
+    "range_window_avg",
+    "market_beta",
+    "dim_date",
+    "dim_entity",
+    "fact_build",
+    "adj_close_returns",
+    "atr",
+    "stochastic",
+    "obv",
+    "donchian",
+    "zscore_anomaly",
+    "pivot_points",
+    "vwap",
+    "pii_scrub",
+    "line_dedup",
+    "dedup_clusters",
+    "unigram_logprob",
+    "near_dup_removal",
+    "dup_span_coverage",
+    "ann_pq",
+    "semantic_dedup",
+    "grouping_sets_sales",
+    "revenue_share",
+    "monthly_running_revenue",
+    "range_join_clicks",
+    "props_variant",
+    "conversion_lag",
+    "funnel_attribution",
+    "skew_report",
+    "bloom_join_prune",
+    "sql_above_avg_orders",
+    "stream_window_counts",
+    "stream_sessionize",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_interval_join",
+    "stream_ingest_dedup",
+    "stream_ohlc_bars",
+    "stream_topk",
+    "stream_late_data",
 ]
 
 # Keys built THIS round that debut in the NEXT round's committed
@@ -100,15 +99,7 @@ _GRADE_ORDER = [
 # every never-graded key to be either in _GRADE_ORDER or listed here
 # — a key can't sit ungraded silently (the stream_incremental_star
 # class); the next rotation MUST pull these into _GRADE_ORDER.
-STAGED_DEBUTS = frozenset(
-    {
-        "segment_dedup",
-        "exact_substring_spans",
-        "source_quality_gate",
-        "source_quota_resample",
-        "knn_graph",
-    }
-)
+STAGED_DEBUTS: frozenset[str] = frozenset()
 
 _MODULES = (stock, llm, olap, sql_api, stream)
 
