@@ -47,6 +47,7 @@ def distributed_ntile(
     buckets: int,
     order_cols: list[Column],
     out_col: str = "ntile",
+    release: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = SQL ntile(buckets) over a global order,
     computed with two parallel shuffles (range exchange + tiny
@@ -59,9 +60,12 @@ def distributed_ntile(
     Cache ownership: the ranged input stays persisted after the call
     (see the correctness note below — unpersisting inside this
     function would let the branches recompute against re-sampled
-    boundaries). A long-lived session calling this repeatedly should
-    ``spark.catalog.clearCache()`` (or unpersist the returned frame's
-    lineage) once the result has been fully consumed.
+    boundaries). Pass ``release`` (a list) to receive the persisted
+    frame: once the result has been FULLY consumed (collected or
+    checkpointed — operators/cache.checkpoint_release does both
+    steps), unpersist every frame in the list. Callers that skip
+    ``release`` own the cleanup via ``spark.catalog.clearCache()``
+    (the persist-leak class, r12 verdict finding 1).
     """
     spark = df.sparkSession
     sc = spark.sparkContext
@@ -83,6 +87,8 @@ def distributed_ntile(
     # MEMORY_AND_DISK spills to executor disks, which is the
     # tera-sort intermediate this construction mirrors anyway.
     ranged = df.repartitionByRange(n_parts, *order_cols).persist()
+    if release is not None:
+        release.append(ranged)
     local = (
         ranged.sortWithinPartitions(*order_cols)
         .select("*", F.monotonically_increasing_id().alias("_mid"))

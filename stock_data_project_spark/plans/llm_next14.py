@@ -63,6 +63,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.cache import checkpoint_release
 from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 from stock_data_project_spark.operators.textops import STOPWORDS, words
 
@@ -131,7 +132,8 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # segs feeds the winner election AND the flag join — the
     # multi-consumer persist rule (hash plan, pure compute reuse; the
     # subtree is map-only and cheap, but the persisted frame is also
-    # the join build input twice at 100 TB)
+    # the join build input twice at 100 TB). Released below via
+    # checkpoint_release (the r12-verdict persist-leak fix).
     segs = segs.persist()
     winners = segs.groupBy("seg_text").agg(
         F.min(
@@ -148,7 +150,7 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("kept"),
     )
-    return (
+    out = (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
@@ -167,6 +169,8 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # per-doc aggregate (bounded) — materialize, release segs
+    return checkpoint_release(out, segs)
 
 
 _SEGMENT_DEDUP_SQL = f"""
@@ -254,7 +258,7 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = docs.select("doc_id", "n")
-    return base.join(runs, "doc_id", "left").select(
+    out = base.join(runs, "doc_id", "left").select(
         "doc_id",
         F.col("n").cast("long").alias("n_tokens"),
         F.coalesce(F.col("_n_runs"), F.lit(0).cast("long")).alias("n_dup_runs"),
@@ -268,6 +272,8 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coalesce(_dup_tokens, 0) * 1000000", "CAST(n AS BIGINT)"
         ).alias("dup_fraction"),
     )
+    # per-doc aggregate (bounded) — materialize, release sh
+    return checkpoint_release(out, sh)
 
 
 _EXACT_SUBSTRING_SQL = f"""
@@ -327,14 +333,12 @@ _EXACT_SUBSTRING_SQL = f"""
 
 def q_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _tok(spark, sf_dir)
-    stop = [F.lit(s) for s in STOPWORDS["en"]]
     per_doc = tok.groupBy("doc_id", "source", "n").agg(
         F.countDistinct("w").alias("_d"),
-        F.sum(F.col("w").isin([s for s in STOPWORDS["en"]]).cast("long")).alias(
+        F.sum(F.col("w").isin(list(STOPWORDS["en"])).cast("long")).alias(
             "_sw"
         ),
     )
-    del stop
     agg = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n").cast("long")).alias("total_tokens"),
@@ -446,7 +450,8 @@ _QUOTA_SQL = f"""
     WITH docs AS (
         SELECT doc_id, source,
                CAST(len({_TOKEN_SPLIT_SQL}) AS BIGINT) AS n_tokens,
-               ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+               ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                * 2654435761) % 4294967296 AS h
         FROM documents
     ), cum AS (
         SELECT doc_id, source, n_tokens,

@@ -54,13 +54,24 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _score_rank_sql(cand: str, k: int) -> str:
     """Score a candidate CTE against the vector table and keep the
     per-source top-k — the shared tail of every round."""
+    # NaN-null the degenerate (zero-norm) case: DuckDB's
+    # list_cosine_similarity returns NaN there, which sorts ABOVE all
+    # reals and passes IS NOT NULL — while the Spark kernel
+    # (pair_cosine) maps the same row to NULL and drops it. CASE-null
+    # keeps both engines excluding degenerate rows identically
+    # (r12 ADVICE; current testdata has no zero vectors, so this is
+    # a regeneration-proofing guard).
+    sim = (
+        "CASE WHEN isnan(list_cosine_similarity(a.v, b.v)) THEN NULL "
+        "ELSE round(list_cosine_similarity(a.v, b.v), 6) END"
+    )
     return f"""
     SELECT src, dst, sim FROM (
         SELECT c.src, c.dst,
-               round(list_cosine_similarity(a.v, b.v), 6) AS sim,
+               {sim} AS sim,
                row_number() OVER (
                    PARTITION BY c.src
-                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6)
+                   ORDER BY {sim}
                        DESC NULLS LAST, c.dst ASC) AS r
         FROM {cand} c JOIN ev a ON c.src = a.id JOIN ev b ON c.dst = b.id
     ) WHERE r <= {k} AND sim IS NOT NULL"""
@@ -76,8 +87,10 @@ def _knn_graph_sql(k: int, iters: int) -> str:
         SELECT greatest(1, count(*) // {k + 1}) AS nb FROM ev
     ), bk AS MATERIALIZED (
         SELECT id,
-               ((id % 2147483648) * {_SALT_A}) % 4294967296 % nb AS b1,
-               ((id % 2147483648) * {_SALT_B}) % 4294967296 % nb AS b2
+               ((((id % 2147483648) + 2147483648) % 2147483648)
+                * {_SALT_A}) % 4294967296 % nb AS b1,
+               ((((id % 2147483648) + 2147483648) % 2147483648)
+                * {_SALT_B}) % 4294967296 % nb AS b2
         FROM ev, params
     ), cand0 AS (
         SELECT a.id AS src, b.id AS dst

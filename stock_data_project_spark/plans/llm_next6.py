@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.cache import checkpoint_release
 from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 from stock_data_project_spark.operators.textops import words
 from stock_data_project_spark.plans.llm import _NORM
@@ -86,8 +87,8 @@ def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of recomputing the explode per branch (10.5s → ~4s at sf0.1).
     # Hash exchanges are value-deterministic so recompute would be
     # CORRECT (unlike the range-exchange rule), just 3× the scan.
-    # Cache ownership follows rank.py: a long-lived session sweeps
-    # via spark.catalog.clearCache().
+    # Released below via checkpoint_release — the top-k output is
+    # |Q|·k rows, bounded (the r12-verdict persist-leak fix).
     w = _weights(docs).persist()
     # squared norms: decimal sums of per-term rounded squares
     wd = F.col("w_d").cast("double")
@@ -139,11 +140,12 @@ def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
-    return (
+    out = (
         cos.withColumn("rank", F.row_number().over(rk).cast("int"))
         .filter(F.col("rank") <= _TOPK)
         .select("query_id", "rank", "doc_id", "cosine")
     )
+    return checkpoint_release(out, w)
 
 
 _TFIDF_SQL = f"""

@@ -113,6 +113,16 @@ def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _final_assignment_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = _vals(spark, sf_dir).persist()
+    try:
+        return _kmeans_rounds(vals)
+    finally:
+        # release even when a round fails (exception-path variant of
+        # the r12 persist-leak class); on success the result is
+        # already checkpointed so the unpersist costs nothing
+        vals.unpersist()
+
+
+def _kmeans_rounds(vals: DataFrame) -> DataFrame:
     init_ids = (
         vals.select("vec_id")
         .distinct()
@@ -157,9 +167,7 @@ def _final_assignment_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    result = asg.localCheckpoint(eager=True)
-    vals.unpersist()
-    return result
+    return asg.localCheckpoint(eager=True)
 
 
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

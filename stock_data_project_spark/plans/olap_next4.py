@@ -190,10 +190,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # inner join, not semi: e0 is distinct on (a, b), so each wedge
     # closes at most once and the match count IS the triangle count
-    n_tri = wedges.join(e0, ["a", "b"], "inner").count()
-    n_nodes = deg.count()
-    n_edges = e0.count()
-    e0.unpersist()
+    try:
+        n_tri = wedges.join(e0, ["a", "b"], "inner").count()
+        n_nodes = deg.count()
+        n_edges = e0.count()
+    finally:
+        # release even when a count fails mid-way (the r12 verdict's
+        # exception-path variant of the persist-leak class)
+        e0.unpersist()
     return spark.createDataFrame(
         [(int(n_nodes), int(n_edges), int(n_tri))],
         "n_nodes long, n_edges long, n_triangles long",

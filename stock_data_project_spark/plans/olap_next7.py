@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.cache import checkpoint_release
 from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 
 # ------------------------------------------------------- rfm_segmentation
@@ -71,9 +72,15 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the dedup_clusters plan-growth class: 84 range exchanges in
     # the chained physical plan vs ~6 here, measured by
     # tools/plan_audit.py); independent scores also run in parallel
+    ranged_frames: list[DataFrame] = []
+
     def score(metric_col, order_cols, out_col):
         return distributed_ntile(
-            rfm.select("custkey", metric_col), 5, order_cols, out_col=out_col
+            rfm.select("custkey", metric_col),
+            5,
+            order_cols,
+            out_col=out_col,
+            release=ranged_frames,
         ).select("custkey", out_col)
 
     r = score("recency_days", [F.asc("recency_days"), F.asc("custkey")], "r_score")
@@ -85,7 +92,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # power-of-two segment size puts round(sum/n, 6) exactly on the
     # 5e-7 tie where the engines disagree). Bounds: segment revenue
     # ≤ ~2e10 → 2·units ≤ 4e16, well inside BIGINT.
-    return (
+    out = (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -100,6 +107,9 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_avg6_expr("_units", "n_customers").alias("avg_monetary"),
         )
     )
+    # ≤125-row segment rollup — materialize, release rfm + the three
+    # ntile range materializations (r12-verdict persist-leak fix)
+    return checkpoint_release(out, rfm, *ranged_frames)
 
 
 _RFM_SQL = """
@@ -245,7 +255,7 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside BIGINT; a 100 TB run would move lift units to
     # DECIMAL(38,0) (support/conf stay BIGINT at any scale since
     # pc ≤ q there).
-    return out.select(
+    res = out.select(
         "brand_a",
         "brand_b",
         "pair_count",
@@ -253,6 +263,9 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_avg6_expr("pair_count * 1000000", "_sa").alias("conf_a_to_b"),
         exact_avg6_expr("pair_count * _n * 1000000", "_sa * _sb").alias("lift"),
     )
+    # brand-pair rollup (bounded by |brands|²) — materialize, release
+    # the persisted order-brand frame (r12-verdict persist-leak fix)
+    return checkpoint_release(res, ob)
 
 
 _BASKET_SQL = """

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.cache import checkpoint_release
 from stock_data_project_spark.operators.dedup import (
     collapse_exact_families,
     er_candidates,
@@ -93,6 +94,13 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_ER_MAX_LEV,
         q=5,
         naive_block_max=4096,
+        # loud-fail past the quadratic knee (r12 ADVICE: the guard
+        # was documented but never ENABLED here). Calibration: the
+        # r12 240× ladder measured 0.4–1.6 candidates/row on
+        # healthy high-entropy names (SURVEY §6); the knee class
+        # (gram-space saturation / near-dup families) is hundreds+
+        # per row, so 64 is loud without tripping legitimate scale.
+        guard_ratio=64.0,
     )
     names = reps.select("rep_id", "c_name", "_m")
     matched = (
@@ -127,7 +135,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lev").cast("int").alias("_min_cross_lev"),
         )
     )
-    return blocks.join(matched, ["nationkey", "mktsegment"], "left").select(
+    out = blocks.join(matched, ["nationkey", "mktsegment"], "left").select(
         "nationkey",
         "mktsegment",
         F.expr("_n * (_n - 1) div 2").alias("n_block_pairs"),
@@ -139,6 +147,11 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("min_matched_lev"),
     )
+    # ≤|blocks|-row rollup — materialize, release reps; the operator's
+    # internal gram/prefix persists become unreachable here and are
+    # ContextCleaner-freed on GC (their lazy retention is the
+    # documented 4.6×-measured trade-off in operators/dedup.py)
+    return checkpoint_release(out, reps)
 
 
 _ER_SQL = f"""

@@ -39,12 +39,21 @@ def q_stream_incremental_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tmp, f"spark_graft_incr_star_{tag}_{os.getpid()}")
     # sweep stale scratch dirs left by OTHER pids (ADVICE r11: the
     # same-pid rmtree below never reclaims them, so checkpoint + two
-    # kept fact dirs per process accumulated indefinitely); a live
-    # concurrent process loses its scratch only if it shares the
-    # graded temp dir — the single-driver contract here
+    # kept fact dirs per process accumulated indefinitely). Only
+    # reclaim dirs whose owning pid is DEAD (r12 ADVICE: bench.py
+    # alongside pytest is a real concurrency mode here — an
+    # unconditional sweep would rip a live sibling's streaming
+    # checkpoint out mid-query)
     for d in os.listdir(tmp):
-        if d.startswith("spark_graft_incr_star_") and d != os.path.basename(out):
+        if not d.startswith("spark_graft_incr_star_") or d == os.path.basename(out):
+            continue
+        try:
+            owner = int(d.rsplit("_", 1)[-1])
+            os.kill(owner, 0)  # raises if the pid is gone
+        except (ValueError, ProcessLookupError):
             shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
     # fresh run every call: stale state from a different testdata
     # generation must never leak into the graded observable
     shutil.rmtree(out, ignore_errors=True)

@@ -56,14 +56,18 @@ def _ordered_drops(spark: SparkSession, df: DataFrame, root: str) -> list[str]:
     the harness sort otherwise and tied timestamps could migrate
     between quartiles across re-executions (rank.py / CLAUDE.md)."""
     ranked = df.withColumn("_q", F.ntile(_DROPS).over(Window.orderBy("ts"))).persist()
-    ranked.count()
-    stages = []
-    for k in range(1, _DROPS + 1):
-        stage = os.path.join(root, f"stage_{k}")
-        ranked.filter(F.col("_q") == k).drop("_q").coalesce(1).write.parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        stages.append(os.path.join(stage, part))
-    ranked.unpersist()
+    try:
+        ranked.count()
+        stages = []
+        for k in range(1, _DROPS + 1):
+            stage = os.path.join(root, f"stage_{k}")
+            ranked.filter(F.col("_q") == k).drop("_q").coalesce(1).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            stages.append(os.path.join(stage, part))
+    finally:
+        # release even when a stage write fails (exception-path
+        # variant of the r12 persist-leak class)
+        ranked.unpersist()
     return stages
 
 

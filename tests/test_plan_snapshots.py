@@ -62,7 +62,24 @@ def test_asof_join_single_keyed_shuffle(spark):
 
 
 def test_ntile_deciles_no_global_window(spark):
-    plan = _plan(olap.QUERIES["ntile_deciles"](spark, SF_SMOKE))
+    # the plan KEY returns a checkpoint scan since the r13 leak fix
+    # (operators/cache.py) — guard the underlying construction, which
+    # is exactly what q_ntile_deciles builds before the checkpoint
+    from stock_data_project_spark.catalog import load_table
+    from stock_data_project_spark.operators.rank import distributed_ntile
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    frames = []
+    out = distributed_ntile(
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        buckets=10,
+        order_cols=[F.desc("c_acctbal"), F.asc("c_custkey")],
+        out_col="balance_decile",
+        release=frames,
+    )
+    plan = _plan(out)
+    for f in frames:
+        f.unpersist()
     assert "rangepartitioning" in plan.lower()
     # the data-path window partitions by _pid; a regression to a
     # global ntile would show a Window with an empty partition spec
