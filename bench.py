@@ -11,6 +11,7 @@ just a count's pruned subset.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -210,6 +211,13 @@ def main() -> None:
     # throughput the benchmark compares
     for name in HEADLINE:
         run(name)
+    # drop py4j refs to per-key checkpoint blocks so the ContextCleaner
+    # can reap them between passes (the r12 ann_pq 2.49× regression was
+    # session-state accumulation: 14 pinned RDDs pre-fix vs 2 after the
+    # r13 persist-leak removal in the same contended probe). A full
+    # clearCache() would also evict the fit memos and change what the
+    # bench measures; GC only releases what nothing references.
+    gc.collect()
 
     # median of N measured runs per query: the shared host's CPU
     # availability swings single runs up to ~2× (SURVEY §6), which made
@@ -222,6 +230,7 @@ def main() -> None:
     for _ in range(runs):
         for name in HEADLINE:
             samples[name].append(run(name))
+        gc.collect()  # see the warmup-pass note
 
     def median(xs: list[float | None]) -> float | None:
         ok = sorted(x for x in xs if x is not None)

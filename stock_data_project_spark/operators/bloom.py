@@ -117,6 +117,19 @@ def bloom_build(
         hit = _BITMAP_CACHE.get(memo)
         if hit is not None:
             return list(hit)
+    bitmap = _bloom_build_uncached(build, key_col, num_bits, k)
+    if memo is not None:
+        if len(_BITMAP_CACHE) >= _BITMAP_CACHE_MAX:
+            _BITMAP_CACHE.pop(next(iter(_BITMAP_CACHE)))
+        _BITMAP_CACHE[memo] = list(bitmap)
+    return bitmap
+
+
+def _bloom_build_uncached(
+    build: DataFrame, key_col: str, num_bits: int, k: int
+) -> list[int]:
+    """The fit job proper — separate so the memo-amortization test
+    can spy that steady-state probes never re-run it."""
     key = F.col(key_col)
     pos = F.explode(F.array(*bloom_positions(key, num_bits, k))).alias("_pos")
     words = (
@@ -133,10 +146,6 @@ def bloom_build(
     bitmap = [0] * (num_bits // 64)
     for r in words:
         bitmap[int(r["_word"])] = int(r["_bits"])
-    if memo is not None:
-        if len(_BITMAP_CACHE) >= _BITMAP_CACHE_MAX:
-            _BITMAP_CACHE.pop(next(iter(_BITMAP_CACHE)))
-        _BITMAP_CACHE[memo] = list(bitmap)
     return bitmap
 
 
