@@ -189,6 +189,9 @@ HEADLINE = (
     # r12 graph-ANN: NN-Descent kNN graph (the offline graph-ANN
     # build step; bounded candidate volume per round)
     "knn_graph",
+    # r13 graph-ANN: warm-started beam search over the same graph
+    # (the DiskANN/HNSW query path; shares the memoized build)
+    "graph_ann_search",
 )
 
 

@@ -1,0 +1,134 @@
+"""Graph-ANN SEARCH: batched best-first (beam) search over a kNN
+graph — the query-time half of the graph-ANN capability whose offline
+half is ``operators/nndescent.knn_graph`` (the r12 verdict's one
+named LLM-family gap: "only the kNN-graph BUILD exists; the
+graph-SEARCH layer is not yet a key").
+
+The sequential algorithm (DiskANN/Vamana's GreedySearch, HNSW's
+layer-0 search) keeps a priority queue per query and expands one
+node at a time. The data-parallel re-expression expands the WHOLE
+beam each round — the standard batched relaxation of best-first
+search (one frontier join per round instead of |beam|·rounds
+sequential steps), which preserves the invariant that matters for
+quality (the beam always holds the best B scored nodes) while making
+every step a uniform hash join:
+
+  scored_0 = { (q, entry) } ∪ { (q, w) : (q, w) ∈ graph }
+  round t:  frontier = beam_{t-1} (top-B of scored_{t-1})
+            nbrs     = frontier ⋈ graph  (hash join on node id)
+            new      = nbrs ∖ scored_{t-1} (anti-join — each (q, node)
+                        pair is scored AT MOST ONCE, like the visited
+                        set of the sequential algorithm)
+            scored_t = scored_{t-1} ∪ score(new)
+  answer:   per-query top-k of scored_R, self-match excluded
+
+The warm start (seeding scored_0 with the query's OWN adjacency when
+the query is an in-corpus vector) is the DiskANN-style refinement
+search: it guarantees search recall ≥ graph recall by construction —
+the final top-k ranks over a superset of the query's graph edges —
+and it is what makes the search correct on clustered corpora whose
+kNN graph is DISCONNECTED (tight clusters keep all k edges
+in-cluster; a single global entry could never cross components, the
+exact failure Vamana's long-range α-pruned edges and HNSW's upper
+layers exist to prevent). Out-of-corpus queries have no adjacency
+row and fall back to entry-only seeding — the honest limitation of a
+graph with no long-range edges.
+
+Everything is deterministic and engine-replayable (same recipe as
+the graph build): cosine rounded to 6dp BEFORE ranking (np unit-row
+dot — ``pair_cosine``), ties break by ascending node id, the entry
+point is min(id) (the deterministic stand-in for DiskANN's medoid),
+degenerate (zero-norm/NULL) vectors score NULL and never enter the
+beam. The self-pair (q, q) IS scored and MAY sit in the beam — its
+expansion seeds the search with q's own graph neighbors, exactly
+what a medoid-entry search wants — but is excluded from the final
+top-k (a query is not its own neighbor).
+
+Scale shape: per round the frontier join produces ≤ |Q|·B·k rows,
+the anti-join keys are uniform (query, node) pairs, and the scoring
+kernel is the same Arrow row-wise dot as the build — no corpus GEMM,
+no n² anywhere; |Q| queries cost |Q|·B·k·R pair scores total. The
+accumulated scored set is localCheckpoint-truncated each round
+(it feeds both the anti-join and the union — the iterative
+plan-growth rule, dedup_clusters class; reliable checkpoint() on a
+cluster if executor loss mid-loop matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stock_data_project_spark.operators.nndescent import pair_cosine
+
+
+def graph_beam_search(
+    graph: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query top-k (query_id, node id, sim) found by batched
+    best-first search over ``graph`` (rows (src, dst), typically the
+    ``knn_graph`` output). ``queries`` is a one-column frame of query
+    ids drawn from ``vectors``; the search never scans the corpus —
+    only graph-adjacent candidates are ever scored."""
+    entry = vectors.agg(F.min(id_col).alias("_eid"))
+    adj = graph.select("src", "dst")
+    q = queries.select(F.col(id_col).alias("qid"))
+    seed = (
+        q.crossJoin(F.broadcast(entry))
+        .select("qid", F.col("_eid").alias("id"))
+        .unionByName(
+            q.join(adj, q["qid"] == adj["src"]).select(
+                "qid", F.col("dst").alias("id")
+            )
+        )
+        .distinct()
+    )
+    scored = pair_cosine(
+        seed,
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        src_col="qid",
+        dst_col="id",
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        beam_f = _beam(scored, beam)
+        nbrs = (
+            beam_f.join(adj, beam_f["id"] == adj["src"])
+            .select("qid", F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = nbrs.join(scored, ["qid", "id"], "left_anti")
+        scored = scored.unionByName(
+            pair_cosine(
+                new,
+                vectors,
+                id_col=id_col,
+                vec_col=vec_col,
+                src_col="qid",
+                dst_col="id",
+            )
+        ).localCheckpoint(eager=True)
+    w = Window.partitionBy("qid").orderBy(F.desc_nulls_last("sim"), F.asc("id"))
+    return (
+        scored.filter(F.col("qid") != F.col("id"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter((F.col("_r") <= k) & F.col("sim").isNotNull())
+        .select("qid", "id", "sim", F.col("_r").cast("int").alias("rank"))
+    )
+
+
+def _beam(scored: DataFrame, beam: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc_nulls_last("sim"), F.asc("id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter((F.col("_r") <= beam) & F.col("sim").isNotNull())
+        .select("qid", "id")
+    )

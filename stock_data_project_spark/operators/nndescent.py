@@ -188,7 +188,15 @@ def knn_graph(
             .filter(F.col("x.src") != F.col("y.dst"))
             .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
         )
-        cand = fwd.union(non).distinct()
-        edges = _topk(pair_cosine(cand, vectors, id_col, vec_col), k)
+        # score only the NEW pairs: fwd edges already carry their sim
+        # (scoring is deterministic, so carrying equals re-scoring —
+        # saves |E| dot products per round; r12 verdict minor 3)
+        new_pairs = (
+            non.distinct().join(fwd, ["src", "dst"], "left_anti")
+        )
+        scored = edges.select("src", "dst", "sim").unionByName(
+            pair_cosine(new_pairs, vectors, id_col, vec_col)
+        )
+        edges = _topk(scored, k)
         edges = edges.localCheckpoint(eager=True)
     return edges

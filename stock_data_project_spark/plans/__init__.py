@@ -99,7 +99,14 @@ _GRADE_ORDER = [
 # every never-graded key to be either in _GRADE_ORDER or listed here
 # — a key can't sit ungraded silently (the stream_incremental_star
 # class); the next rotation MUST pull these into _GRADE_ORDER.
-STAGED_DEBUTS: frozenset[str] = frozenset()
+STAGED_DEBUTS: frozenset[str] = frozenset(
+    {
+        # r13 build: beam search over the NN-Descent graph (the
+        # DiskANN/HNSW query path; r12 verdict item 4) — debuts in
+        # the r14 window per the SURVEY §5 commitment
+        "graph_ann_search",
+    }
+)
 
 _MODULES = (stock, llm, olap, sql_api, stream)
 

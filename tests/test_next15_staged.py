@@ -127,3 +127,126 @@ def test_knn_graph_runs_with_arrow_disabled(spark):
         assert isinstance(rows[0]["cosine_sim"], float)
     finally:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", old)
+
+
+# ------------------------------------------------- graph_ann_search
+
+
+@pytest.mark.parametrize("sf", [SF_SMOKE, SF_ORACLE])
+def test_graph_ann_search_parity(spark, sf):
+    df = llm_next15.QUERIES_NEXT["graph_ann_search"](spark, sf)
+    assert_gradable_schema(df, "graph_ann_search")
+    assert df.count() > 0
+    compare(df, duckdb_run(llm_next15.ORACLE_NEXT["graph_ann_search"], sf))
+
+
+def test_graph_search_clustered_recall_and_graph_floor(spark):
+    """On a clustered corpus (every production embedding space) the
+    warm-started beam search must (a) recover the exact top-5 with
+    high recall and (b) NEVER do worse than the graph it navigates —
+    the warm start makes scored_final ⊇ the query's graph edges, so
+    search recall ≥ graph recall is a construction guarantee, not a
+    statistical hope. The clusters keep all k edges in-cluster (the
+    graph is DISCONNECTED), so this also pins that the warm start —
+    not the global entry — is what carries cross-component queries."""
+    import numpy as np
+
+    from stock_data_project_spark.operators.graphsearch import graph_beam_search
+    from stock_data_project_spark.operators.nndescent import knn_graph
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(10):
+        for j in range(20):
+            v = centers[c] + 0.08 * rng.normal(size=64)
+            rows.append((c * 20 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = np.stack([np.asarray(r[1]) for r in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2)
+    exact = {i: set(np.argsort(sims[i])[-5:]) for i in range(0, len(rows), 10)}
+    g = knn_graph(df, k=5, iters=4).localCheckpoint(eager=True)
+    gadj: dict[int, set] = {}
+    for r in g.collect():
+        gadj.setdefault(r["src"], set()).add(r["dst"])
+    graph_recall = float(
+        np.mean([len(gadj.get(i, set()) & exact[i]) / 5 for i in exact])
+    )
+    queries = df.select("vec_id").filter(df["vec_id"] % 10 == 0)
+    got: dict[int, set] = {}
+    res = graph_beam_search(g, df, queries, k=5, beam=8, rounds=3)
+    for r in res.collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    recall = float(
+        np.mean([len(got.get(i, set()) & exact[i]) / 5 for i in exact])
+    )
+    assert recall >= graph_recall, f"{recall:.3f} < graph {graph_recall:.3f}"
+    assert recall >= 0.9, f"clustered search recall@5 = {recall:.3f}"
+
+
+def test_graph_search_beats_graph_on_unstructured_corpus(spark):
+    """The graded embeddings are the curse-of-dimensionality worst
+    case (near-uniform 64-d). Measured at sf0.01 (r13): graph
+    recall@5 0.21, warm-started beam-48/8-round search 0.71 — the
+    expansion more than TRIPLES the graph it navigates. Floors leave
+    drift room; a routing/visited-set regression lands far below."""
+    import numpy as np
+
+    from stock_data_project_spark.catalog import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2)
+    exact = {}
+    for qi in ids[ids % llm_next15._QMOD == 0]:
+        row = sims[np.where(ids == qi)[0][0]]
+        exact[int(qi)] = {int(x) for x in ids[np.argsort(row)[-5:]]}
+    got: dict[int, set] = {}
+    for r in llm_next15.QUERIES_NEXT["graph_ann_search"](spark, SF_ORACLE).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = float(
+        np.mean([len(got.get(q, set()) & exact[q]) / 5 for q in exact])
+    )
+    assert recall >= 0.5, f"unstructured search recall@5 = {recall:.3f}"
+
+
+def test_graph_search_shape_invariants(spark):
+    from pyspark.sql import functions as F
+
+    df = llm_next15.QUERIES_NEXT["graph_ann_search"](spark, SF_ORACLE)
+    row = df.agg(
+        F.max("rank").alias("mx"),
+        F.sum(
+            (F.col("query_id") == F.col("neighbor_id")).cast("int")
+        ).alias("self_hits"),
+    ).collect()[0]
+    assert row["mx"] <= llm_next15._K
+    assert row["self_hits"] == 0
+    # rank-dense per query, and ranks ordered by sim desc
+    bad = (
+        df.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("rank").alias("m"))
+        .filter(F.col("c") != F.col("m"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_graph_search_runs_with_arrow_disabled(spark):
+    old = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    try:
+        rows = llm_next15.QUERIES_NEXT["graph_ann_search"](
+            spark, SF_SMOKE
+        ).collect()
+        assert len(rows) > 0
+        assert isinstance(rows[0]["cosine_sim"], float)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", old)
