@@ -192,6 +192,11 @@ HEADLINE = (
     # r13 graph-ANN: warm-started beam search over the same graph
     # (the DiskANN/HNSW query path; shares the memoized build)
     "graph_ann_search",
+    # r13 calibration batch: the quality classifier's threshold-sweep
+    # operating-point audit (stream_ingest_neardup is streaming-driven
+    # and stays out of the bench like every stream_* key — pinned by
+    # tests/test_next16_staged.py)
+    "classifier_calibration",
 )
 
 

@@ -1169,3 +1169,142 @@ def edit_prefix_candidates(
 #    linear band. Production answer, same as minhash: COLLAPSE
 #    exact/near families first (exact_duplicates / minhash), run ER
 #    on representatives.
+
+
+# ---------------------------------------------------------------------------
+# Engine-neutral MinHash bands (the streaming LSH ingest gate's
+# signature — r13). dedup_minhash stays on xxhash64 (faster, but
+# rows-only: no DuckDB twin); this variant derives every hash from
+# md5, which BOTH engines evaluate bit-identically, so a gate built
+# on it is FULLY oracle-able:
+#   base  h0(s) = first 15 hex chars of md5(s) parsed as BIGINT
+#            Spark: conv(substr(md5(s),1,15),16,10)  (60-bit, >= 0)
+#           DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT
+#   perm  h_i(s) = (a_i * (h0 % 2^31) + b_i) % 2^32   (plain BIGINT
+#           arithmetic; a_i < 2^31 keeps the product < 2^62 under
+#           ANSI, all operands non-negative so DuckDB's % == pmod)
+#   band  sig_b = md5(m_{rb} || '-' || ... || m_{rb+r-1})
+# Public constants: Murmur/FNV/xxhash primes (a_i) and Knuth/xxhash
+# mixers (b_i).
+
+_NEUTRAL_PERM_SALTS: tuple[tuple[int, int], ...] = (
+    (1540483477, 2654435761),
+    (16777619, 2246822519),
+    (1000000007, 3266489917),
+    (998244353, 2166136261),
+    (1073741827, 4101842887),
+    (19349663, 2870177450),
+    (83492791, 3141592653),
+    (1299709, 2718281829),
+)
+NEUTRAL_BANDS = 4
+NEUTRAL_ROWS_PER_BAND = 2
+
+
+def neutral_minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = NEUTRAL_BANDS,
+    rows_per_band: int = NEUTRAL_ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, band_idx, band_sig) — ``bands`` LSH band signatures per
+    non-NULL-text document from an md5-derived (engine-neutral)
+    MinHash over distinct k-word shingles. One shingle scan, one
+    partial-aggregatable per-doc min-aggregation, one map-side band
+    projection — the linear LSH cost shape at any corpus size.
+    NULL-text docs are excluded (absent content is not duplicate
+    content — the exact-dedup rule)."""
+    n_perms = bands * rows_per_band
+    if n_perms > len(_NEUTRAL_PERM_SALTS):
+        raise ValueError("not enough fixed salts for the requested bands")
+    sh = shingle_rows(
+        df.filter(F.col(text_col).isNotNull()), k=k, id_col=id_col,
+        text_col=text_col,
+    )
+    h0 = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    mins = (
+        sh.select(F.col(id_col), h0.alias("_h0"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min(
+                    F.expr(
+                        f"pmod({a} * pmod(_h0, 2147483648) + {b}, 4294967296)"
+                    )
+                ).alias(f"_m{i}")
+                for i, (a, b) in enumerate(_NEUTRAL_PERM_SALTS[:n_perms])
+            ]
+        )
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"_m{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    return mins.select(
+        F.col(id_col),
+        F.explode(F.array(*band_structs)).alias("_b"),
+    ).select(id_col, F.col("_b.band_idx"), F.col("_b.band_sig"))
+
+
+def lsh_gate(
+    batch: DataFrame,
+    history_bands: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """One micro-batch of the streaming NEAR-dup ingest gate:
+
+    (a) a doc is rejected if ANY of its band signatures collides with
+        the committed ``history_bands`` store (a banded-LSH candidate
+        against already-admitted content);
+    (b) among (a)-passers, each (band_idx, band_sig) bucket elects
+        min(id) and a doc is rejected if any of its bands is claimed
+        by a SMALLER (a)-passing doc. The comparison set is the FIXED
+        (a)-passing set — not the admitted set — so admission is one
+        groupBy + join with NO sequential cascade: the distributed
+        batch semantics (documented; a sequential scan would differ
+        on chains A<B<C where B collides with A and C only with B).
+
+    Returns (admitted ids, admitted band rows, (a)-rejected ids,
+    (b)-rejected ids). Deterministic and engine-replayable; the
+    caller owns materialization and the epoch commit."""
+    bands_df = neutral_minhash_bands(batch, id_col=id_col, text_col=text_col)
+    if history_bands is not None:
+        rej_hist = (
+            bands_df.join(
+                history_bands, ["band_idx", "band_sig"], "left_semi"
+            )
+            .select(id_col)
+            .distinct()
+        )
+        passers = bands_df.join(rej_hist, id_col, "left_anti")
+    else:
+        rej_hist = bands_df.select(id_col).limit(0)
+        passers = bands_df
+    winners = passers.groupBy("band_idx", "band_sig").agg(
+        F.min(id_col).alias("_w")
+    )
+    ok = (
+        passers.join(winners, ["band_idx", "band_sig"])
+        .groupBy(id_col)
+        .agg(
+            F.min((F.col(id_col) == F.col("_w")).cast("int")).alias("_ok")
+        )
+    )
+    admitted = ok.filter(F.col("_ok") == 1).select(id_col)
+    rej_batch = ok.filter(F.col("_ok") == 0).select(id_col)
+    admitted_bands = bands_df.join(admitted, id_col, "left_semi")
+    return admitted, admitted_bands, rej_hist, rej_batch

@@ -105,6 +105,12 @@ STAGED_DEBUTS: frozenset[str] = frozenset(
         # DiskANN/HNSW query path; r12 verdict item 4) — debuts in
         # the r14 window per the SURVEY §5 commitment
         "graph_ann_search",
+        # r13 build: the quality classifier's operating-point audit
+        # (threshold sweep; r12 verdict item 7)
+        "classifier_calibration",
+        # r13 build: streaming NEAR-dup ingest gate (banded-LSH twin
+        # of stream_ingest_dedup; r12 verdict item 7)
+        "stream_ingest_neardup",
     }
 )
 

@@ -732,3 +732,13 @@ from stock_data_project_spark.plans.llm_next15 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT15)
 ORACLE.update(ORACLE_NEXT15)
+
+# r13 calibration batch (r12 verdict item 7): the quality
+# classifier's operating-point audit (threshold sweep)
+from stock_data_project_spark.plans.llm_next16 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT16,
+    QUERIES_NEXT as QUERIES_NEXT16,
+)
+
+QUERIES.update(QUERIES_NEXT16)
+ORACLE.update(ORACLE_NEXT16)

@@ -224,3 +224,14 @@ from stock_data_project_spark.plans.stream_next11 import (  # noqa: E402
 
 QUERIES.update(QUERIES_NEXT11)
 ORACLE.update(ORACLE_NEXT11)
+
+# r13 build, r14 debut: the streaming NEAR-dup ingest gate — the
+# banded-LSH twin of stream_ingest_dedup's exact gate, fully oracled
+# via engine-neutral md5-derived MinHash
+from stock_data_project_spark.plans.stream_next12 import (  # noqa: E402
+    ORACLE_NEXT as ORACLE_NEXT12,
+    QUERIES_NEXT as QUERIES_NEXT12,
+)
+
+QUERIES.update(QUERIES_NEXT12)
+ORACLE.update(ORACLE_NEXT12)

@@ -602,6 +602,142 @@ def stream_ingest_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(counts, "epoch int, n_admitted bigint")
 
 
+# --- streaming NEAR-dup ingest gate (banded LSH at the door) --------
+#
+# The exact gate above admits a doc unless its md5 content
+# fingerprint was seen; this twin rejects NEAR-duplicates too: a doc
+# is rejected when any of its engine-neutral MinHash LSH bands
+# (operators/dedup.neutral_minhash_bands) collides with the
+# committed band store — the continuous corpus-ingest shape of the
+# batch dedup_minhash family (r12 verdict item 7). Same crash-safe
+# epoch-dir + pointer-rename commit as the exact gate; the band
+# store is the same append-only family incremental_dedup documents
+# (compact + bucket periodically at scale; the pointer swap stays
+# the commit).
+
+
+def ingest_neardup_batch(batch: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """One micro-batch of the near-dup gate: LSH-gate the batch
+    against the committed band store (operators/dedup.lsh_gate —
+    history rejection first, then deterministic min-id winner
+    election per band bucket WITHIN the batch), commit survivors +
+    their band rows + the epoch's gate stats behind one atomic
+    pointer rename. Replay-safe exactly like ``ingest_dedup_batch``:
+    epoch-named overwrite dirs, history reads only ≤ pointer,
+    replayed epochs ≤ pointer are no-ops."""
+    from stock_data_project_spark.operators.dedup import lsh_gate
+
+    committed = _dedup_committed(out_dir)
+    if epoch_id <= committed:
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    sp = batch.sparkSession
+    hist_dirs = _dedup_epoch_dirs(out_dir, "bands_epoch_", committed)
+    history = sp.read.parquet(*hist_dirs) if hist_dirs else None
+    admitted, admitted_bands, rej_hist, rej_batch = lsh_gate(batch, history)
+    # admitted feeds the doc filter, the band-store write AND the
+    # stats count — one bounded (ids-only) materialization
+    admitted = admitted.localCheckpoint(eager=True)
+    batch.join(admitted, "doc_id", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, f"docs_epoch_{epoch_id}"))
+    admitted_bands.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"bands_epoch_{epoch_id}")
+    )
+    stats = [
+        (
+            int(epoch_id),
+            int(admitted.count()),
+            int(rej_hist.count()),
+            int(rej_batch.count()),
+        )
+    ]
+    sp.createDataFrame(
+        stats,
+        "epoch int, n_admitted bigint, n_rejected_history bigint, "
+        "n_rejected_batch bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"stats_epoch_{epoch_id}")
+    )
+    ptr_tmp = os.path.join(out_dir, f".{_DEDUP_POINTER}.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(str(epoch_id))
+    os.rename(ptr_tmp, os.path.join(out_dir, _DEDUP_POINTER))  # THE commit
+
+
+def run_ingest_neardup(
+    spark: SparkSession, in_dir: str, out_dir: str, checkpoint: str
+) -> None:
+    """Streaming near-dup gate over a documents drop directory —
+    the ``run_ingest_dedup`` driver with the LSH batch gate."""
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: ingest_neardup_batch(b, e, out_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def stream_ingest_neardup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded wrapper for the streaming near-dup gate: three
+    deterministic drops (doc_id % 3) streamed in order, per-epoch
+    gate stats returned from the committed stats dirs — literal data
+    with no lineage into the (deleted) sink, like the exact-gate
+    wrapper. Every count is deterministic (md5-derived MinHash, fixed
+    salts, min-id winner election), so the whole three-epoch replay
+    is expressible in SQL and the key is FULLY oracled."""
+    import shutil
+    import tempfile
+
+    from stock_data_project_spark.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="ingest_neardup_")
+    try:
+        in_dir = os.path.join(root, "drops")
+        out_dir = os.path.join(root, "ingested")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(in_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        for k in range(3):
+            stage = os.path.join(root, f"stage_{k}")
+            docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            shutil.copy(
+                os.path.join(stage, part),
+                os.path.join(in_dir, f"drop_{k}.parquet"),
+            )
+            run_ingest_neardup(spark, in_dir, out_dir, ckpt)
+        rows = []
+        for d in sorted(os.listdir(out_dir)):
+            if d.startswith("stats_epoch_"):
+                r = spark.read.parquet(os.path.join(out_dir, d)).collect()[0]
+                rows.append(
+                    (
+                        int(r["epoch"]),
+                        int(r["n_admitted"]),
+                        int(r["n_rejected_history"]),
+                        int(r["n_rejected_batch"]),
+                    )
+                )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "epoch int, n_admitted bigint, n_rejected_history bigint, "
+        "n_rejected_batch bigint",
+    )
+
+
 def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per series through the real streaming engine:
     file stream → 1-hour watermark → tumbling-window ``min_by``/

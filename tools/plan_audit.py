@@ -103,6 +103,11 @@ def main() -> None:
     # every engine's global-agg shape, not a serialization hazard.
     # The hazards worth failing on are unhinted cross products.
     expected_bnl = {
+        # classifier_calibration joins the 9-row threshold grid to
+        # the ≤(T+1)·2-row bin rollup on a literal-true condition
+        # (suffix sums over metadata) — a broadcast of 9 rows, the
+        # triangular-offsets class
+        "classifier_calibration",
         # distributed_ntile's triangular offsets: a <=-inequality
         # join against the 32-row per-partition-count table — a
         # deliberate metadata-sized broadcast (test_rank pins it)
