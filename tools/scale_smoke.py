@@ -211,6 +211,26 @@ QUERIES = (
     # the provable-recall grade runs on unreplicated testdata only.
     "changepoint_detect",
     "lead_lag_corr",
+    # r12 corpus-governance builds: aligned-segment winner election
+    # (replication plants real cross-replica boilerplate — the
+    # min-struct election is partial-aggregatable, so duplicate mass
+    # collapses map-side, never quadratic), exact-substring runs
+    # (every replicated position is duplicated ⇒ the dup join carries
+    # ALL positions — linear and maximal, the honest stress), source
+    # rollups and the per-source quota window (both uniform-key).
+    "segment_dedup",
+    "exact_substring_spans",
+    "source_quality_gate",
+    "source_quota_resample",
+    # r12/r13 graph-ANN: NN-Descent build + warm-started beam search.
+    # Replication copies vectors (ann_recall_eval caveat: top-k fills
+    # with sim-1.0 replicas, so these time the PLAN — bounded NoN
+    # candidates, per-round checkpoints, beam joins — not recall;
+    # recall grades run on unreplicated testdata only).
+    "knn_graph",
+    "graph_ann_search",
+    # r13 calibration sweep: one tokenize scan + metadata rollup
+    "classifier_calibration",
 )
 
 
