@@ -26,13 +26,26 @@ from tests.oracle_utils import compare, duckdb_run  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
+    # args: [sf_dir] [key ...] — a leading path-looking arg selects the
+    # SF dir; any further args restrict the sweep to those keys (the
+    # per-change verification loop of an optimization round shouldn't
+    # pay the full 237-key sweep for a one-operator diff)
+    args = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if args and ("/" in args[0] or os.path.isdir(args[0])):
+        sf_dir = args[0]
+        args = args[1:]
+    only = set(args)
     spark = get_spark(
         "parity_sweep", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     qs, oq = all_queries(), all_oracles()
+    if only:
+        unknown = only - set(oq)
+        if unknown:
+            print(f"unknown/or not oracled keys: {sorted(unknown)}")
+            return 1
+        oq = {k: v for k, v in oq.items() if k in only}
     # staged *_next keys sweep too — they are one round from debut,
     # and this sweep (not sf0.01) is what catches the
     # sampling-dependent class (distributed_ntile, r3).
