@@ -850,7 +850,10 @@ def dedup_clusters(
         # plan with the stored blocks — the GraphFrames iteration
         # idiom. On a cluster use reliable checkpoint() (HDFS/S3 dir)
         # instead if executor loss during the loop must be survivable.
-        new_e = _canon(large.union(small)).localCheckpoint(eager=True)
+        # lazy: the fixpoint-signature agg right below is the round's
+        # one action and materializes the blocks — an eager checkpoint
+        # would add a second full job per round for the same blocks
+        new_e = _canon(large.union(small)).localCheckpoint(eager=False)
         # fixpoint when the canonical edge SET is unchanged: one
         # aggregate job per round — (count, order-independent hash
         # sum); both steps are deterministic so equal signatures on

@@ -84,11 +84,17 @@ def graph_beam_search(
     entry = vectors.agg(F.min(id_col).alias("_eid"))
     adj = graph.select("src", "dst")
     q = queries.select(F.col(id_col).alias("qid"))
+    # Every query-side frame in this search is bounded by the query
+    # panel (|Q|·B·k rows at ANY corpus size), while adj and vectors
+    # are corpus-sized — so each join below broadcasts the query side
+    # explicitly (guide §3.1: post-checkpoint size estimates are
+    # useless, so the planner would otherwise shuffle BOTH sides; the
+    # hints leave the corpus un-shuffled, one streamed scan per join).
     seed = (
         q.crossJoin(F.broadcast(entry))
         .select("qid", F.col("_eid").alias("id"))
         .unionByName(
-            q.join(adj, q["qid"] == adj["src"]).select(
+            F.broadcast(q).join(adj, q["qid"] == adj["src"]).select(
                 "qid", F.col("dst").alias("id")
             )
         )
@@ -104,31 +110,49 @@ def graph_beam_search(
     #            at-most-once-scoring anti-join set
     # The per-round window then runs over |Q|·(B + B·k) rows instead
     # of the whole history, and the checkpointed state shrinks ~6×.
+    # ONE eager checkpoint per round (the beam) instead of three: the
+    # beam job already materializes that round's `new` (scored_new
+    # feeds the beam), so `new` and the visited union go LAZY — the
+    # LogicalRDD still truncates the plan at call time (the k^rounds
+    # rule) while their blocks are written as a side effect of the
+    # beam job and re-read by the next round's anti-join; the visited
+    # union itself is a narrow op over cached blocks. All-lazy was
+    # measured SLOWER (8.9s → 11.1s solo at sf0.1): with no action
+    # per round the final job runs independent stages over the same
+    # un-materialized checkpoint concurrently and duplicates their
+    # whole subtrees. 3 eager → 1 eager measured 8.9s → 4.5s.
     beam_sc = _topn(
         pair_cosine(
             seed, vectors, id_col=id_col, vec_col=vec_col,
-            src_col="qid", dst_col="id",
+            src_col="qid", dst_col="id", broadcast_pairs=True,
         ),
         beam,
     ).localCheckpoint(eager=True)
-    visited = seed.localCheckpoint(eager=True)
+    visited = seed.localCheckpoint(eager=False)
     for _ in range(rounds):
         nbrs = (
-            beam_sc.join(adj, beam_sc["id"] == adj["src"])
+            F.broadcast(beam_sc).join(adj, beam_sc["id"] == adj["src"])
             .select("qid", F.col("dst").alias("id"))
             .distinct()
         )
-        new = nbrs.join(visited, ["qid", "id"], "left_anti").localCheckpoint(
-            eager=True
-        )
+        # anti-join against the (query-bounded) visited set: broadcast
+        # the RIGHT side — BroadcastHashJoin LeftAnti, no exchange
+        new = nbrs.join(
+            F.broadcast(visited), ["qid", "id"], "left_anti"
+        ).localCheckpoint(eager=False)
         scored_new = pair_cosine(
             new, vectors, id_col=id_col, vec_col=vec_col,
-            src_col="qid", dst_col="id",
+            src_col="qid", dst_col="id", broadcast_pairs=True,
         )
         beam_sc = _topn(
             beam_sc.select("qid", "id", "sim").unionByName(scored_new), beam
         ).localCheckpoint(eager=True)
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        # plain union, no checkpoint: the chain is a FLAT union of
+        # already-checkpointed LogicalRDDs (linear plan growth, not
+        # k^rounds), and each round's anti-join reads the cached
+        # blocks narrowly — re-storing the growing set every round
+        # would cost O(rounds²) block writes for nothing
+        visited = visited.unionByName(new)
     # final top-k == top-k of the final beam minus self: with B ≥ k+1,
     # any row among the top-k of (scored ∖ self) has at most k rows of
     # scored above it, so it sits in the top-(k+1) ⊆ beam

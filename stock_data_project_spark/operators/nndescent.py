@@ -70,6 +70,7 @@ def pair_cosine(
     vec_col: str = "embedding",
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """(src, dst, sim) for each pair row: cosine rounded to 6dp via
     the ann_cosine_topk recipe (np float64 unit rows + row-wise dot).
@@ -77,7 +78,17 @@ def pair_cosine(
     rank last and age out of every top-k. Joins fetch both endpoint
     vectors (uniform hash joins on ids); the kernel is map-only
     Arrow batches — numpy output values are safe here (the
-    mapInPandas path is always Arrow)."""
+    mapInPandas path is always Arrow).
+
+    ``broadcast_pairs=True`` hints the PAIRS side of both vector
+    fetches broadcast (guide §3.1: size estimates are useless after
+    checkpoints, so the planner would shuffle both sides): right for
+    callers whose pair set is bounded (graph search — |Q|·B·k rows at
+    any corpus size), leaving the corpus un-shuffled — one streamed
+    scan per join instead of a corpus-wide exchange. The NN-Descent
+    build keeps the default: its pair volume is n·(2k)², corpus-sized,
+    and must stay a hash join. Physical strategy only — row semantics
+    (and the per-ROW Arrow kernel) are unchanged either way."""
     import numpy as np
     import pandas as pd
 
@@ -89,9 +100,14 @@ def pair_cosine(
     vb = vectors.select(
         F.col(id_col).alias(dst_col), F.col(vec_col).alias("_vb")
     )
-    joined = pairs.join(va, src_col).join(vb, dst_col).select(
-        src_col, dst_col, "_va", "_vb"
-    )
+    if broadcast_pairs:
+        joined = F.broadcast(F.broadcast(pairs).join(va, src_col)).join(
+            vb, dst_col
+        ).select(src_col, dst_col, "_va", "_vb")
+    else:
+        joined = pairs.join(va, src_col).join(vb, dst_col).select(
+            src_col, dst_col, "_va", "_vb"
+        )
     id_type = vectors.schema[id_col].dataType
     out_schema = T.StructType(
         [

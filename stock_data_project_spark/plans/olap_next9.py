@@ -68,10 +68,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lazy checkpoints throughout: the count() that drives the
+    # fixpoint is each round's one action and materializes the blocks
+    # — eager would pay a second full job per round for the same data
     edges = (
         _copurchase_edges(spark, sf_dir)
         .select("a", "b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_edges = edges.count()
     for _ in range(_ROUNDS):
@@ -88,7 +91,7 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_next = edges.count()
         if n_next == n_edges:
