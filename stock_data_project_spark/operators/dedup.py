@@ -193,7 +193,13 @@ def minhash_candidates(
         )
         df = df.join(reps, id_col, "left_semi")
     rows_per_band = num_perms // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perms)
+    # both band-join sides scan the signatures; the tokenize+minhash
+    # aggregation is the expensive subtree and the r13 before-plan
+    # showed it computed twice (once per join side) — one eager
+    # materialization instead (multi-consumer rule, GC-scoped blocks)
+    sigs = minhash_signatures(df, id_col, text_col, num_perms).localCheckpoint(
+        eager=True
+    )
     band_cols = F.array(
         *[
             F.struct(
@@ -298,9 +304,15 @@ def banded_hamming_pairs(
             f"silently never collide"
         )
     band_bits = bits // bands
+    # both self-join sides scan this frame, and the upstream that
+    # produces the hashes is the expensive part for every caller
+    # (simhash token aggregation, pHash/audio Arrow decode kernels) —
+    # eager localCheckpoint materializes it once; the r13 before-plan
+    # of dedup_simhash showed the whole subtree duplicated under the
+    # join's broadcast side (multi-consumer rule, GC-scoped blocks)
     sh = hashes.select(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("_h64")
-    )
+    ).localCheckpoint(eager=True)
     band_arr = F.array(
         *[
             F.struct(

@@ -42,12 +42,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Range-partition sizing (r13, guide §2: derive partitioning from the
+# data, never from a constant tuned for one deployment). Below
+# _MIN_ROWS_PER_PART extra partitions are pure task/scheduling
+# overhead; _MAX_ROWS_PER_PART keeps a partition's narrow (key,
+# metric) rows in the 50-100 MB band the shuffle guide targets, so
+# the count GROWS past core width with the data instead of pinning at
+# defaultParallelism (which under-splits a 100 TB column and
+# over-splits a 10k-row one 32 ways — measured 2724 tasks for the
+# three ntiles of rfm_segmentation at sf0.1 before this change).
+_MIN_ROWS_PER_PART = 65_536
+_MAX_ROWS_PER_PART = 2_000_000
+
+
+def range_partition_count(n_rows: int, parallelism: int) -> int:
+    """Data-derived range-partition count: 1 partition while the data
+    is small (no task-floor tax), up to ``parallelism`` once rows
+    justify ~_MIN_ROWS_PER_PART per task, and GROWING past the core
+    count at ceil(n/_MAX_ROWS_PER_PART) so a 100 TB column never pins
+    at a deployment constant. ntile output is invariant to this count
+    (total order)."""
+    return max(
+        1,
+        min(parallelism, -(-n_rows // _MIN_ROWS_PER_PART)),
+        -(-n_rows // _MAX_ROWS_PER_PART),
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     buckets: int,
     order_cols: list[Column],
     out_col: str = "ntile",
-    release: list[DataFrame] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = SQL ntile(buckets) over a global order,
     computed with two parallel shuffles (range exchange + tiny
@@ -55,21 +82,21 @@ def distributed_ntile(
 
     ``order_cols`` must define a total order (include a unique
     tie-breaker) so ranks are deterministic regardless of where the
-    sampled range boundaries fall.
+    sampled range boundaries fall — and regardless of the partition
+    count, which is derived from the input size (pass ``n_rows`` when
+    the caller already knows it to skip the sizing count).
 
-    Cache ownership: the ranged input stays persisted after the call
-    (see the correctness note below — unpersisting inside this
-    function would let the branches recompute against re-sampled
-    boundaries). Pass ``release`` (a list) to receive the persisted
-    frame: once the result has been FULLY consumed (collected or
-    checkpointed — operators/cache.checkpoint_release does both
-    steps), unpersist every frame in the list. Callers that skip
-    ``release`` own the cleanup via ``spark.catalog.clearCache()``
-    (the persist-leak class, r12 verdict finding 1).
+    The ranged frame is localCheckpoint-ed (eager), not persisted:
+    blocks release with the frame's GC scope (no unpersist
+    bookkeeping, the r12 persist-leak class) and downstream stages
+    run over a checkpointed scan AQE can still re-plan (the knn_graph
+    persist-vs-checkpoint measurement).
     """
     spark = df.sparkSession
     sc = spark.sparkContext
-    n_parts = max(sc.defaultParallelism, 1)
+    if n_rows is None:
+        n_rows = df.count()
+    n_parts = range_partition_count(n_rows, sc.defaultParallelism)
     # CORRECTNESS depends on the data branch and the counts branch
     # seeing the SAME sampled range boundaries. ReuseExchange is NOT
     # a sufficient guarantee: it dedupes the two range exchanges only
@@ -79,16 +106,15 @@ def distributed_ntile(
     # side only → two independently-sampled exchanges → local ranks
     # vs counts disagree → silent mis-bucketing: 377/15000 rows at
     # sf0.1, caught by the r3 full-SF parity sweep; the r2 ADVICE
-    # conf-off variant was the same failure at 15%/200k). Persisting
-    # the ranged frame pins every branch to ONE materialization
-    # regardless of reuse — correctness by construction. The cache
-    # costs one extra copy of the (already shuffled) data and lives
-    # until the caller's session drops it; at fact-table scale
-    # MEMORY_AND_DISK spills to executor disks, which is the
+    # conf-off variant was the same failure at 15%/200k). The eager
+    # localCheckpoint pins every branch to ONE materialization
+    # regardless of reuse — correctness by construction. It costs one
+    # copy of the (already shuffled) data, GC-scoped; at fact-table
+    # scale the blocks spill to executor disks, which is the
     # tera-sort intermediate this construction mirrors anyway.
-    ranged = df.repartitionByRange(n_parts, *order_cols).persist()
-    if release is not None:
-        release.append(ranged)
+    ranged = df.repartitionByRange(n_parts, *order_cols).localCheckpoint(
+        eager=True
+    )
     local = (
         ranged.sortWithinPartitions(*order_cols)
         .select("*", F.monotonically_increasing_id().alias("_mid"))

@@ -339,12 +339,19 @@ def q_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_sw"
         ),
     )
+    # agg feeds both the corpus-total rollup AND the output projection
+    # — without a materialization the whole tokenize pipeline runs
+    # twice (the r13 before-plan duplicated the full subtree under the
+    # total's BroadcastExchange; ReuseExchange does not fire across
+    # the agg boundary). |sources| = 20 rows, so an eager
+    # localCheckpoint is metadata-sized and the downstream (broadcast
+    # + projection) has no parallelism to lose.
     agg = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n").cast("long")).alias("total_tokens"),
         F.sum("_d").alias("_dist"),
         F.sum("_sw").alias("_sw_occ"),
-    )
+    ).localCheckpoint(eager=True)
     total = agg.agg(F.sum("total_tokens").alias("_corpus_tokens"))
     out = agg.crossJoin(F.broadcast(total)).select(
         "source",

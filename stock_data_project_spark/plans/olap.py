@@ -550,22 +550,17 @@ def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed two-level rank (range exchange + parallel local
     row_number + tiny offset join) — no single-partition window, so
     the same plan holds on a 100 TB fact column. See operators/rank.py."""
-    from stock_data_project_spark.operators.cache import checkpoint_release
     from stock_data_project_spark.operators.rank import distributed_ntile
 
     cust = load_table(spark, sf_dir, "customer")
-    ranged_frames: list[DataFrame] = []
-    out = distributed_ntile(
+    # the ranged frame inside is localCheckpoint-ed (GC-scoped), so no
+    # release bookkeeping and no extra output materialization pass
+    return distributed_ntile(
         cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
         buckets=10,
         order_cols=[F.desc("c_acctbal"), F.asc("c_custkey")],
         out_col="balance_decile",
-        release=ranged_frames,
     )
-    # per-customer output ≈ the (already materialized) ranged frame in
-    # size — the checkpoint swaps one bounded copy for the other and
-    # releases the cache-registry-pinned one (r12 persist-leak fix)
-    return checkpoint_release(out, *ranged_frames)
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,7 +40,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
-from stock_data_project_spark.operators.cache import checkpoint_release
 from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 
 # ------------------------------------------------------- rfm_segmentation
@@ -63,16 +62,21 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ref))
         .withColumn("recency_days", F.datediff("_ref", "_last").cast("int"))
         .drop("_ref", "_last")
-        # three ntile consumers hang off this frame — one
-        # materialization, not three recomputes of the orders groupBy
-        .persist()
+        # four consumers (three ntile slices + the scored join) — one
+        # materialization, not four recomputes of the orders groupBy;
+        # eager localCheckpoint over persist so the blocks release
+        # with GC (no unpersist bookkeeping) and downstream joins
+        # stay AQE-replannable (the knn_graph measurement)
+        .localCheckpoint(eager=True)
     )
+    # one count over the checkpointed blocks sizes all three range
+    # exchanges (each slice has exactly |rfm| rows)
+    n_cust = rfm.count()
     # three INDEPENDENT ntiles joined back on custkey — CHAINING the
     # calls wraps each plan around the previous one ~4× per call
     # (the dedup_clusters plan-growth class: 84 range exchanges in
     # the chained physical plan vs ~6 here, measured by
     # tools/plan_audit.py); independent scores also run in parallel
-    ranged_frames: list[DataFrame] = []
 
     def score(metric_col, order_cols, out_col):
         return distributed_ntile(
@@ -80,7 +84,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
             order_cols,
             out_col=out_col,
-            release=ranged_frames,
+            n_rows=n_cust,
         ).select("custkey", out_col)
 
     r = score("recency_days", [F.asc("recency_days"), F.asc("custkey")], "r_score")
@@ -107,9 +111,9 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_avg6_expr("_units", "n_customers").alias("avg_monetary"),
         )
     )
-    # ≤125-row segment rollup — materialize, release rfm + the three
-    # ntile range materializations (r12-verdict persist-leak fix)
-    return checkpoint_release(out, rfm, *ranged_frames)
+    # every intermediate is a GC-scoped localCheckpoint now — nothing
+    # to release, and the ≤125-row rollup needs no materialization
+    return out
 
 
 _RFM_SQL = """
@@ -228,8 +232,11 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .distinct()
         # four consumers (n_orders, supports, both pair sides) — one
-        # materialization of the lineitem⋈part distinct
-        .persist()
+        # materialization of the lineitem⋈part distinct; eager
+        # localCheckpoint over persist so downstream joins stay
+        # AQE-replannable and the blocks release with GC (659 tasks →
+        # re-planned/coalesced at sf0.1)
+        .localCheckpoint(eager=True)
     )
     n_orders = ob.agg(F.countDistinct("l_orderkey").alias("_n"))
     supp = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("supp"))
@@ -263,9 +270,9 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_avg6_expr("pair_count * 1000000", "_sa").alias("conf_a_to_b"),
         exact_avg6_expr("pair_count * _n * 1000000", "_sa * _sb").alias("lift"),
     )
-    # brand-pair rollup (bounded by |brands|²) — materialize, release
-    # the persisted order-brand frame (r12-verdict persist-leak fix)
-    return checkpoint_release(res, ob)
+    # ob is GC-scoped now; the |brands|²-bounded rollup needs no
+    # extra materialization pass
+    return res
 
 
 _BASKET_SQL = """

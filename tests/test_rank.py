@@ -9,7 +9,10 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from stock_data_project_spark.operators.rank import distributed_ntile
+from stock_data_project_spark.operators.rank import (
+    distributed_ntile,
+    range_partition_count,
+)
 
 
 def _table(spark, n):
@@ -36,16 +39,40 @@ def test_distributed_ntile_matches_window_ntile(spark, n, k):
     assert got == want
 
 
-def test_distributed_ntile_no_single_partition_exchange_on_data(spark):
-    """The only SinglePartition anything in the plan may touch the
-    ~num_partitions-row metadata side, never the ranked data: the
-    data path must go through a range exchange."""
+def test_distributed_ntile_no_single_partition_window_on_data(spark):
+    """The data path must never funnel through a partitionless global
+    window. The ranged frame is materialized through a range exchange
+    inside the operator (an eager localCheckpoint, so the returned
+    plan starts at Scan ExistingRDD); what remains observable — and
+    what the scale guarantee needs — is (a) no Window without the
+    per-partition _pid spec and (b) the partition-count policy, which
+    must GROW with rows past the core count instead of pinning at a
+    deployment constant (r13: the fixed defaultParallelism count
+    range-shuffled 10k customers 32 ways — 2724 tasks for one
+    rfm_segmentation run — and would under-split a 100 TB column)."""
     df = _table(spark, 10_000)
-    plan = distributed_ntile(df, 10, [F.desc("v"), F.asc("k")])._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    plan = (
+        distributed_ntile(df, 10, [F.desc("v"), F.asc("k")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     # Spark's global-window shape would show a sort over SinglePartition
     # feeding a Window with no partition spec; ours partitions by _pid
     assert "Window" not in plan or "_pid" in plan
+    # the checkpointed ranged frame is the data source of the rank path
+    assert "ExistingRDD" in plan
+
+
+def test_range_partition_count_policy():
+    # tiny inputs take ONE partition (no 32-way shuffle of 10k rows)
+    assert range_partition_count(10_000, 32) == 1
+    # mid-size climbs toward core width at ~64k rows/partition
+    assert range_partition_count(1_000_000, 32) == 16
+    assert range_partition_count(64_000_000, 32) == 32
+    # ...and GROWS past the core count with the data (2M rows/part)
+    assert range_partition_count(1_000_000_000, 32) == 500
+    assert range_partition_count(0, 32) == 1
 
 
 def test_distributed_ntile_correct_with_pruned_payload_columns(spark):
@@ -68,9 +95,11 @@ def test_distributed_ntile_correct_with_pruned_payload_columns(spark):
             ).collect()
         }
         assert got == want
-        # and every branch reads the one persisted materialization
+        # and every branch reads the ONE checkpointed materialization
+        # (Scan ExistingRDD — the eager localCheckpoint of the ranged
+        # frame; r13 swapped the persist for it)
         plan = res._jdf.queryExecution().executedPlan().toString()
-        assert "InMemoryTableScan" in plan
+        assert "ExistingRDD" in plan
     finally:
         spark.catalog.clearCache()
 
