@@ -53,6 +53,18 @@ def convert_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# PLAN-level memo: the analyzed scan DataFrame per (application,
+# sf_dir, table). spark.read.parquet re-reads the footer (a driver-
+# side file read + schema resolve) on EVERY call, and a bench pass
+# makes ~10³ load_table calls; caching the lazy DataFrame is the
+# register_views amortization applied to the DataFrame API. This
+# memoizes an UNEVALUATED plan — schema + file listing of an
+# immutable snapshot — never data or results: every action on it
+# still scans parquet. Keyed by applicationId so a stopped session's
+# plans can never leak into a new one (operators/memo.py contract).
+_SCAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Parquet carries the schema; Catalyst prunes.
 
@@ -66,12 +78,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Date/window results must be reproducible against a UTC-naive
-    # DuckDB oracle regardless of the caller's session defaults.
+    # DuckDB oracle regardless of the caller's session defaults — the
+    # conf reset stays on EVERY call (memo hits included): execution
+    # reads the session zone at run time, and a caller may have
+    # changed it since the plan was memoized.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    hit = _SCAN_MEMO.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return convert_nanos_ts(spark.read.parquet(table_path(sf_dir, name)))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = convert_nanos_ts(spark.read.parquet(table_path(sf_dir, name)))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    _SCAN_MEMO[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -66,11 +66,18 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == _TGT_LANG).alias("is_tgt"),
         F.explode(words("text")).alias("tok"),
     )
-    dt = toks.groupBy("doc_id", "is_tgt", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # dt feeds the vocab rollup AND the doc-scoring join; vocab feeds
+    # the totals AND the weight projection — without materialization
+    # the tokenize ran three times (r13 before-plan, 6 scans)
+    dt = (
+        toks.groupBy("doc_id", "is_tgt", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     vocab = dt.groupBy("tok").agg(
         F.sum("c").alias("c_raw"),
         F.sum(F.when(F.col("is_tgt"), F.col("c")).otherwise(F.lit(0))).alias("c_tgt"),
-    )
+    ).localCheckpoint(eager=True)
     totals = vocab.agg(
         F.sum("c_raw").alias("t_raw"),
         F.sum("c_tgt").alias("t_tgt"),
@@ -100,6 +107,11 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # toks feeds per-doc counts AND first-seen election; a
+    # materialization was TRIED in r13 and measured a net LOSS
+    # (storing the exploded token rows costs more than the second
+    # tokenize pass — explode is cheap to recompute, large to store),
+    # so the duplicate scan deliberately stays
     toks = docs.select("doc_id", F.explode(words("text")).alias("tok"))
     per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
     first_seen = (

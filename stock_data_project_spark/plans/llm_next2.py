@@ -88,12 +88,19 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(words("text")).alias("pos", "_w")
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
+    # bigrams feeds the count rollup AND the final doc-scoring join —
+    # one eager materialization instead of running the tokenize +
+    # per-doc lead window twice (r13 before-plan: the whole subtree
+    # duplicated, 6 scans); c2 likewise feeds c1 and lp
     bigrams = (
         tok.withColumn("_nx", F.lead("_w").over(win))
         .filter(F.col("_nx").isNotNull())
         .select("doc_id", F.concat_ws(" ", "_w", "_nx").alias("bg"))
+        .localCheckpoint(eager=True)
     )
-    c2 = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2")).localCheckpoint(
+        eager=True
+    )
     c1 = (
         c2.withColumn("w1", F.substring_index("bg", " ", 1))
         .groupBy("w1")

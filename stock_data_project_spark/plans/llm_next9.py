@@ -388,11 +388,16 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars_total"),
     )
+    # toks (20 rows) feeds the total rollup AND the report join — the
+    # r13 before-plan ran the tokenize twice (once under the total's
+    # broadcast); eager checkpoint = one tokenize pass, nothing
+    # downstream has parallelism to lose (source_quality_gate twin)
     toks = (
         docs.select("source", F.explode(words("text")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .localCheckpoint(eager=True)
     )
     total = toks.agg(F.sum("n_tokens").alias("_tot"))
     return (

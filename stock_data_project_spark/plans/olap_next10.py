@@ -69,6 +69,11 @@ def _seg_cents(spark: SparkSession, sf_dir: str, seg: str) -> DataFrame:
 def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _seg_cents(spark, sf_dir, _KS_SEG_A).withColumn("is_a", F.lit(1))
     b = _seg_cents(spark, sf_dir, _KS_SEG_B).withColumn("is_a", F.lit(0))
+    # pts (distinct cents values, small) feeds the cumulative window
+    # AND supplies both sample sizes: n = Σna and m = Σnb EXACTLY, so
+    # the two extra customer scans the separate a.count()/b.count()
+    # actions paid (r13 before-plan: 8 scans) collapse into one agg
+    # over the checkpointed rollup.
     pts = (
         a.unionByName(b)
         .groupBy("cents")
@@ -76,13 +81,14 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_a").alias("na"),
             F.sum(1 - F.col("is_a")).alias("nb"),
         )
+        .localCheckpoint(eager=True)
     )
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     cum = pts.select(
         F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
     )
-    n = a.count()
-    m = b.count()
+    sizes = pts.agg(F.sum("na").alias("n"), F.sum("nb").alias("m")).collect()[0]
+    n, m = int(sizes["n"] or 0), int(sizes["m"] or 0)
     out = cum.agg(
         F.max(F.abs(F.col("ca") * m - F.col("cb") * n)).alias("d_num")
     )

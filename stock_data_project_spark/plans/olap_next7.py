@@ -157,11 +157,17 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nationkey"), "n_name"
     )
+    # rev feeds the nation-total rollup AND the ranking window — one
+    # eager materialization instead of re-running the orders groupBy +
+    # joins per consumer (r13 before-plan: 12 scans, the whole triple
+    # duplicated 4×); the window's n_name shuffle re-spreads
+    # parallelism right after the checkpoint
     rev = (
         orders.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.round(F.sum("o_totalprice"), 2).cast("decimal(18,6)").alias("rev_d"))
         .join(cust, "custkey")
         .join(F.broadcast(nation), "c_nationkey")
+        .localCheckpoint(eager=True)
     )
     tot = rev.groupBy("n_name").agg(F.sum("rev_d").alias("tot_d"))
     w = (
@@ -335,7 +341,16 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = ["event_type", "week"]
     med = _exact_median(ev, keys, "value", "event_id", "med")
-    dev = ev.join(med, keys).withColumn("_dev", F.abs(F.col("value") - F.col("med")))
+    # dev feeds the second median's rank+count branches AND the final
+    # flag join — without materialization the ev⋈med subtree (itself
+    # containing the first median's window) re-ran per consumer: the
+    # r13 before-plan scanned events 18×. One eager checkpoint; the
+    # downstream key-partitioned windows re-spread parallelism.
+    dev = (
+        ev.join(med, keys)
+        .withColumn("_dev", F.abs(F.col("value") - F.col("med")))
+        .localCheckpoint(eager=True)
+    )
     mad = _exact_median(dev, keys, "_dev", "event_id", "mad")
     flagged = dev.join(mad, keys)
     # outlier_rate = round(n_outliers/n_rows, 6) via exact-integer

@@ -319,8 +319,15 @@ def _rs_per_block(r: DataFrame, m: int) -> DataFrame:
 def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _returns(spark, sf_dir)
     wo = Window.partitionBy("series_key").orderBy("date")
-    ranked = r.withColumn("rn", F.row_number().over(wo)).withColumn(
-        "u", F.expr("CAST(r_d * 1000000 AS BIGINT)")
+    # ranked feeds BOTH block-size R/S pipelines — one eager
+    # materialization instead of running the returns+rank window
+    # twice (r13 before-plan: the whole 5-window subtree duplicated
+    # under the join's broadcast side); the per-series window
+    # shuffles downstream re-spread parallelism
+    ranked = (
+        r.withColumn("rn", F.row_number().over(wo))
+        .withColumn("u", F.expr("CAST(r_d * 1000000 AS BIGINT)"))
+        .localCheckpoint(eager=True)
     )
     a = _rs_per_block(ranked, _M8)
     b = _rs_per_block(ranked, _M16)
