@@ -62,28 +62,29 @@ def test_asof_join_single_keyed_shuffle(spark):
 
 
 def test_ntile_deciles_no_global_window(spark):
-    # the plan KEY returns a checkpoint scan since the r13 leak fix
-    # (operators/cache.py) — guard the underlying construction, which
-    # is exactly what q_ntile_deciles builds before the checkpoint
+    # since the r13 rank.py rework the ranged frame materializes
+    # through a range exchange INSIDE the operator (eager GC-scoped
+    # localCheckpoint — one sampled boundary set for every branch),
+    # so the returned plan starts at an ExistingRDD scan; what stays
+    # observable is that no partitionless global window computes the
+    # decile (the test_rank.py twin, asserted here on the real
+    # customer input q_ntile_deciles uses)
     from stock_data_project_spark.catalog import load_table
     from stock_data_project_spark.operators.rank import distributed_ntile
 
     cust = load_table(spark, SF_SMOKE, "customer")
-    frames = []
     out = distributed_ntile(
         cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
         buckets=10,
         order_cols=[F.desc("c_acctbal"), F.asc("c_custkey")],
         out_col="balance_decile",
-        release=frames,
     )
     plan = _plan(out)
-    for f in frames:
-        f.unpersist()
-    assert "rangepartitioning" in plan.lower()
-    # the data-path window partitions by _pid; a regression to a
-    # global ntile would show a Window with an empty partition spec
-    # downstream of a SinglePartition exchange feeding the full scan
+    # the checkpointed ranged frame is the data source of the rank path
+    assert "ExistingRDD" in plan
+    # a regression to a global ntile would show a Window with an empty
+    # partition spec downstream of a SinglePartition exchange
+    assert "Window" not in plan or "_pid" in plan
     for mt in re.finditer(r"Window \[[^\]]*ntile", plan):
         raise AssertionError(f"global ntile window reappeared: {mt.group(0)}")
 
