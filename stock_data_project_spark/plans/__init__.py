@@ -26,71 +26,73 @@ from stock_data_project_spark.plans import llm, olap, sql_api, stock, stream
 # set is reviewable as one diff. Keys beyond the list follow in module
 # order. New keys MUST debut inside the list in their round.
 #
-# r13 window (50), per the SURVEY §5 r13 commitment and the r12
-# verdict (item 1): lead with the 5 r12 staged debuts (judge-verified
-# at sf0.01, zero driver rows by window mechanics), then drain the
-# r8-evidence cohort — measured programmatically against
-# CORRECTNESS_r01..r12 it is 49 keys for 45 slots, so 4 rows-only
-# keys are deferred to r14 (wilder_rsi, ann_ivfpq, hll_rollup,
-# stream_running_stats — each pandas/parity-pinned in-repo and
-# driver-smoke-checked every round; ann_pq stays IN-window despite
-# being rows-only because it carries the r12 bench-regression flag
-# and needs fresh evidence). 5 + 45 = 50. After this window those 4
-# deferrals are the only keys with evidence older than r9.
+# r14 window (50), per the SURVEY §5 r14 commitment and the r13
+# verdict (item 8): lead with the four named r13→r14 deferrals (the
+# only keys whose driver evidence predates r9 — the staleness
+# contract's offenders after CORRECTNESS_r13 landed), then the three
+# r13-built staged debuts (fully oracled, sf0.001/0.01 parity +
+# semantic pins in tests/test_next15_staged.py /
+# test_next16_staged.py), then knn_graph KEPT in-window (r13 verdict
+# item 8: its output memo is removed this round — the fix needs
+# fresh driver verification), then re-grades oldest-evidence-first
+# from the r9-evidence cohort (42 of its 56 keys, module order;
+# the remainder carries r9 evidence, age 4 ≤ MAX_AGE at newest=13).
 _GRADE_ORDER = [
-    # r12 staged debuts (never driver-graded, by window mechanics)
-    "segment_dedup",
-    "exact_substring_spans",
-    "source_quality_gate",
-    "source_quota_resample",
+    # r13→r14 deferrals (r8 evidence; rows-only, pandas/parity-pinned)
+    "wilder_rsi",
+    "ann_ivfpq",
+    "hll_rollup",
+    "stream_running_stats",
+    # r13 staged debuts (never driver-graded, by window mechanics)
+    "graph_ann_search",
+    "classifier_calibration",
+    "stream_ingest_neardup",
+    # r13 verdict item 8: memo removal needs fresh driver evidence
     "knn_graph",
-    # r8-evidence cohort (45 of 49; module order: stock, llm, olap,
+    # r9-evidence cohort (42 of 56; module order: stock, llm, olap,
     # sql_api, stream)
-    "hourly_profile",
-    "weekly_bars",
-    "return_correlation",
-    "rolling_correlation",
-    "gap_fill",
-    "range_window_avg",
-    "market_beta",
-    "dim_date",
-    "dim_entity",
-    "fact_build",
-    "adj_close_returns",
-    "atr",
-    "stochastic",
-    "obv",
-    "donchian",
-    "zscore_anomaly",
-    "pivot_points",
-    "vwap",
-    "pii_scrub",
-    "line_dedup",
-    "dedup_clusters",
-    "unigram_logprob",
-    "near_dup_removal",
-    "dup_span_coverage",
-    "ann_pq",
-    "semantic_dedup",
-    "grouping_sets_sales",
-    "revenue_share",
-    "monthly_running_revenue",
-    "range_join_clicks",
-    "props_variant",
-    "conversion_lag",
-    "funnel_attribution",
-    "skew_report",
-    "bloom_join_prune",
-    "sql_above_avg_orders",
-    "stream_window_counts",
-    "stream_sessionize",
-    "stream_dedup",
-    "stream_enrich",
-    "stream_interval_join",
-    "stream_ingest_dedup",
-    "stream_ohlc_bars",
-    "stream_topk",
-    "stream_late_data",
+    "daily_return",
+    "log_return",
+    "rolling_volatility",
+    "filter_range",
+    "annual_join",
+    "ohlc_daily",
+    "sma_cross",
+    "cumulative_return",
+    "drawdown",
+    "bollinger",
+    "rsi",
+    "incremental_watermark",
+    "mfi",
+    "ulcer_index",
+    "linear_interp",
+    "aroon",
+    "cmf",
+    "keltner",
+    "trix",
+    "adx",
+    "frequent_tokens",
+    "contamination_flags",
+    "bigram_logprob",
+    "token_entropy",
+    "ann_range_search",
+    "quality_percentile_gate",
+    "bm25_rank",
+    "doc_compression_ratio",
+    "ngram_novelty",
+    "tfidf_retrieval",
+    "embedding_dim_stats",
+    "scd2_dim",
+    "scd2_asof",
+    "session_concurrency",
+    "data_quality_audit",
+    "expectation_gate",
+    "user_influence",
+    "snapshot_delta",
+    "salted_join_revenue",
+    "quantile_rollup",
+    "skew_salted_revenue",
+    "order_gap_stats",
 ]
 
 # Keys built THIS round that debut in the NEXT round's committed
@@ -99,20 +101,11 @@ _GRADE_ORDER = [
 # every never-graded key to be either in _GRADE_ORDER or listed here
 # — a key can't sit ungraded silently (the stream_incremental_star
 # class); the next rotation MUST pull these into _GRADE_ORDER.
-STAGED_DEBUTS: frozenset[str] = frozenset(
-    {
-        # r13 build: beam search over the NN-Descent graph (the
-        # DiskANN/HNSW query path; r12 verdict item 4) — debuts in
-        # the r14 window per the SURVEY §5 commitment
-        "graph_ann_search",
-        # r13 build: the quality classifier's operating-point audit
-        # (threshold sweep; r12 verdict item 7)
-        "classifier_calibration",
-        # r13 build: streaming NEAR-dup ingest gate (banded-LSH twin
-        # of stream_ingest_dedup; r12 verdict item 7)
-        "stream_ingest_neardup",
-    }
-)
+# r14: empty — all three r13 builds (graph_ann_search,
+# classifier_calibration, stream_ingest_neardup) debuted into
+# _GRADE_ORDER above; r14 is an optimization round and builds no
+# new keys.
+STAGED_DEBUTS: frozenset[str] = frozenset()
 
 _MODULES = (stock, llm, olap, sql_api, stream)
 
