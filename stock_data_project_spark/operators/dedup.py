@@ -16,6 +16,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from stock_data_project_spark.operators.ckpt import loop_checkpoint
 from stock_data_project_spark.operators.textops import normalized, words
 
 NUM_PERMS = 32  # minhash permutations
@@ -858,14 +859,15 @@ def dedup_clusters(
         # times, so the logical plan grows ~4^round — Catalyst
         # re-analysis, not execution, becomes the cost (persist cuts
         # recompute but not plan size; measured minutes by round ~6).
-        # localCheckpoint materializes the round and replaces the
+        # loop_checkpoint materializes the round and replaces the
         # plan with the stored blocks — the GraphFrames iteration
-        # idiom. On a cluster use reliable checkpoint() (HDFS/S3 dir)
-        # instead if executor loss during the loop must be survivable.
+        # idiom (reliable checkpoint() behind the
+        # SPARK_GRAFT_RELIABLE_CHECKPOINT policy knob if executor
+        # loss during the loop must be survivable — operators/ckpt).
         # lazy: the fixpoint-signature agg right below is the round's
         # one action and materializes the blocks — an eager checkpoint
         # would add a second full job per round for the same blocks
-        new_e = _canon(large.union(small)).localCheckpoint(eager=False)
+        new_e = loop_checkpoint(_canon(large.union(small)), eager=False)
         # fixpoint when the canonical edge SET is unchanged: one
         # aggregate job per round — (count, order-independent hash
         # sum); both steps are deterministic so equal signatures on

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from stock_data_project_spark.operators.ckpt import loop_checkpoint
+
 # Above this many rows in the BIGGEST event_type stream, the plain
 # per-key window (one sort task per key) loses to the chunked
 # split-and-stitch lag, whose parallelism is keys × days. Below it,
@@ -118,11 +120,14 @@ def pagerank(
     # stage re-reads the blocks instead of re-running the subtree
     # (lazy, not persist: blocks release with the RDD, no unpersist
     # bookkeeping; lazy, not eager: no extra materialization job)
-    e0 = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        F.col(weight_col).cast("double").alias("w"),
-    ).localCheckpoint(eager=False)
+    e0 = loop_checkpoint(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        ),
+        eager=False,
+    )
     nodes = e0.select(F.col("src").alias("node")).distinct()
     # Zero-weight SELF-LOOP per node: contributes exactly 0 rank mass
     # and 0 out-weight, but guarantees every node appears as a dst —
@@ -144,7 +149,7 @@ def pagerank(
     outw = e0.groupBy("src").agg(F.sum("w").alias("w_out"))
     # e feeds all `iters` round-joins; lazy checkpoint — computed
     # once inside the single final job, cached, re-read per round
-    e = e0.unionByName(loops).join(outw, "src").localCheckpoint(eager=False)
+    e = loop_checkpoint(e0.unionByName(loops).join(outw, "src"), eager=False)
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty edge list")
@@ -172,7 +177,7 @@ def pagerank(
     # while materialization folds into the one consumer action — one
     # Spark job for the whole trajectory instead of iters+1 eager
     # checkpoint jobs (r13: user_influence 7.4s → 3.3s solo at sf0.1)
-    ranks = ranks.localCheckpoint(eager=False)
+    ranks = loop_checkpoint(ranks, eager=False)
     for _ in range(iters):
         ranks = (
             ranks.join(e, ranks.node == e.src)
@@ -183,5 +188,5 @@ def pagerank(
                 F.round(F.lit(base) + damping * F.col("s"), 6).alias("rank"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = loop_checkpoint(ranks, eager=False)
     return ranks

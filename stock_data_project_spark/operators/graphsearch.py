@@ -59,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from stock_data_project_spark.operators.ckpt import loop_checkpoint
 from stock_data_project_spark.operators.nndescent import pair_cosine
 
 
@@ -121,14 +122,17 @@ def graph_beam_search(
     # per round the final job runs independent stages over the same
     # un-materialized checkpoint concurrently and duplicates their
     # whole subtrees. 3 eager → 1 eager measured 8.9s → 4.5s.
-    beam_sc = _topn(
-        pair_cosine(
-            seed, vectors, id_col=id_col, vec_col=vec_col,
-            src_col="qid", dst_col="id", broadcast_pairs=True,
+    beam_sc = loop_checkpoint(
+        _topn(
+            pair_cosine(
+                seed, vectors, id_col=id_col, vec_col=vec_col,
+                src_col="qid", dst_col="id", broadcast_pairs=True,
+            ),
+            beam,
         ),
-        beam,
-    ).localCheckpoint(eager=True)
-    visited = seed.localCheckpoint(eager=False)
+        eager=True,
+    )
+    visited = loop_checkpoint(seed, eager=False)
     for _ in range(rounds):
         nbrs = (
             F.broadcast(beam_sc).join(adj, beam_sc["id"] == adj["src"])
@@ -137,16 +141,21 @@ def graph_beam_search(
         )
         # anti-join against the (query-bounded) visited set: broadcast
         # the RIGHT side — BroadcastHashJoin LeftAnti, no exchange
-        new = nbrs.join(
-            F.broadcast(visited), ["qid", "id"], "left_anti"
-        ).localCheckpoint(eager=False)
+        new = loop_checkpoint(
+            nbrs.join(F.broadcast(visited), ["qid", "id"], "left_anti"),
+            eager=False,
+        )
         scored_new = pair_cosine(
             new, vectors, id_col=id_col, vec_col=vec_col,
             src_col="qid", dst_col="id", broadcast_pairs=True,
         )
-        beam_sc = _topn(
-            beam_sc.select("qid", "id", "sim").unionByName(scored_new), beam
-        ).localCheckpoint(eager=True)
+        beam_sc = loop_checkpoint(
+            _topn(
+                beam_sc.select("qid", "id", "sim").unionByName(scored_new),
+                beam,
+            ),
+            eager=True,
+        )
         # plain union, no checkpoint: the chain is a FLAT union of
         # already-checkpointed LogicalRDDs (linear plan growth, not
         # k^rounds), and each round's anti-join reads the cached
