@@ -96,6 +96,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# footer metadata memo: (sf_dir, table) -> num_rows. A parquet footer
+# read is driver-side milliseconds and never a Spark job.
+_ROWS_MEMO: dict[tuple[str, str], int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet FOOTER — a driver-side
+    metadata read (no Spark job), for data-derived sizing decisions
+    (guide §2.2: derive partitioning from the data, never from a
+    deployment constant). The testdata snapshots are immutable per
+    sf_dir, so the memo can never go stale within a process."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    key = (os.path.abspath(sf_dir), name)
+    hit = _ROWS_MEMO.get(key)
+    if hit is None:
+        path = table_path(sf_dir, name)
+        # testdata snapshots are single files; Spark-written fixtures
+        # (tests) are directories of part files — sum their footers
+        files = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        hit = _ROWS_MEMO[key] = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in files
+        )
+    return hit
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API. Skips the
     work (10 parquet footer reads) when this session already has views

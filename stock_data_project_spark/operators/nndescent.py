@@ -50,6 +50,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from stock_data_project_spark.operators.ckpt import loop_checkpoint
+
 # public multiplicative-hash constants (Knuth; xxhash 32-bit prime 2)
 _SALT_A = 2654435761
 _SALT_B = 2246822519
@@ -154,11 +156,15 @@ def knn_graph(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """NN-Descent kNN graph: (src, dst, sim) with at most ``k``
     neighbors per source, sims 6dp, fully deterministic (see module
-    docstring). ``vectors`` must have unique ids."""
-    n = vectors.count()
+    docstring). ``vectors`` must have unique ids. Pass ``n_rows``
+    when the caller already knows the exact count (parquet footer —
+    catalog.table_rows) to skip the sizing job; it only sizes the
+    init buckets, so it must equal count(vectors) exactly."""
+    n = vectors.count() if n_rows is None else n_rows
     n_buckets = max(1, n // (k + 1))
     ids = vectors.select(F.col(id_col).alias("id"))
     bucketed = ids.select(
@@ -180,7 +186,7 @@ def knn_graph(
         .distinct()
     )
     edges = _topk(pair_cosine(init_pairs, vectors, id_col, vec_col), k)
-    edges = edges.localCheckpoint(eager=True)
+    edges = loop_checkpoint(edges, eager=True)
     bucketed.unpersist()
     for _ in range(iters):
         fwd = edges.select("src", "dst")
@@ -196,8 +202,13 @@ def knn_graph(
         # rule). localCheckpoint, NOT persist: the persist variant
         # measured 19-22s vs 7.2s for the full build at sf0.1 — the
         # InMemoryRelation blocks AQE's runtime re-planning of the
-        # self-join, while the checkpointed scan keeps it
-        sym = fwd.union(rev).distinct().localCheckpoint(eager=True)
+        # self-join, while the checkpointed scan keeps it. LAZY (r14):
+        # the concurrent-consumer duplication this risks is one cheap
+        # window+distinct over the checkpointed edges, while the eager
+        # job it saves is a whole scheduling floor — interleaved A/B
+        # 8.48/6.30s (eager) vs 7.61/5.75s (lazy) per full build at
+        # sf0.1; the plan still truncates at call time either way
+        sym = loop_checkpoint(fwd.union(rev).distinct(), eager=False)
         non = (
             sym.alias("x")
             .join(sym.alias("y"), F.col("x.dst") == F.col("y.src"))
@@ -214,5 +225,5 @@ def knn_graph(
             pair_cosine(new_pairs, vectors, id_col, vec_col)
         )
         edges = _topk(scored, k)
-        edges = edges.localCheckpoint(eager=True)
+        edges = loop_checkpoint(edges, eager=True)
     return edges

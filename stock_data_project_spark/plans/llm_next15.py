@@ -32,9 +32,14 @@ returning each query's top-5 discovered neighbors. The search is the
 DiskANN/HNSW query path batched relationally (whole-beam expansion
 per round, (q, node) pairs scored at most once via an anti-join
 visited set); it too is replayed exactly by the oracle — the graph
-CTEs above extended with unrolled search rounds. The two keys share ONE memoized graph build per
-(session, sf_dir) — operators/memo.py, the kmeans-final-assignment
-precedent for a bounded (n·k-row, checkpointed) memo value.
+CTEs above extended with unrolled search rounds. Both keys build the
+graph INSIDE every invocation (r14): the graph is knn_graph's
+declared OUTPUT, so memoizing it across bench runs replayed a cached
+result instead of timing the computation (r13 verdict, gaming
+finding 1). graph_ann_search therefore times build + search; the
+split is recorded in OPTIMIZATION_r14.md. The fit-memo family
+(operators/memo.py) remains only for metadata-sized MODEL artifacts
+(IVF centroids, PQ codebooks) — never a query's own result.
 
 Approximation quality (recall vs exact brute force) is a statistical
 property, not an oracle-able one — pinned in
@@ -46,9 +51,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.catalog import load_table, table_rows
 from stock_data_project_spark.operators.graphsearch import graph_beam_search
-from stock_data_project_spark.operators.memo import session_memo
 from stock_data_project_spark.operators.nndescent import _SALT_A, _SALT_B, knn_graph
 
 _K = 5
@@ -79,15 +83,21 @@ def _sim_sql(a: str, b: str) -> str:
 
 
 def _graph(spark: SparkSession, sf_dir: str):
-    """(embeddings, built graph) with the graph build memoized per
-    (session, sf_dir, k, iters) — knn_graph's output is already
-    localCheckpoint-ed, so the memo holds a bounded n·k-row frame and
-    both graph keys (and repeated bench passes) pay ONE build."""
+    """(embeddings, built graph), built fresh on every call. The
+    graph is knn_graph's declared output — r13's session memo here
+    meant a timed bench run after warmup replayed a cached RDD
+    (0.17s vs the ~3s real build; r13 verdict gaming finding 1), so
+    every invocation now pays the build. The knn_graph output is
+    localCheckpoint-ed, so within ONE invocation downstream consumers
+    (graph_ann_search's rounds) still read one materialization."""
     emb = load_table(spark, sf_dir, "embeddings")
-    g = session_memo(
-        spark,
-        ("knn_graph", sf_dir, _K, _ITERS),
-        lambda: knn_graph(emb, k=_K, iters=_ITERS),
+    g = knn_graph(
+        emb,
+        k=_K,
+        iters=_ITERS,
+        # exact footer count (driver-side, no job) — sizes the init
+        # buckets identically to count(embeddings)
+        n_rows=table_rows(sf_dir, "embeddings"),
     )
     return emb, g
 
