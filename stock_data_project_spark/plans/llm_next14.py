@@ -81,10 +81,16 @@ _TOKEN_SPLIT_SQL = (
 def _docs_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, ws, n) — one fan-out-guarded scan with the
     token array and its length."""
+    from stock_data_project_spark.catalog import table_rows
     from stock_data_project_spark.plans.llm_next7 import _fan_out
 
     return (
-        _fan_out(spark, load_table(spark, sf_dir, "documents"))
+        _fan_out(
+            spark,
+            load_table(spark, sf_dir, "documents"),
+            rows_hint=table_rows(sf_dir, "documents"),
+            rows_per_task=1024,  # tokenize+explode: codegen µs/row
+        )
         .select("doc_id", "source", words("text").alias("ws"))
         .withColumn("n", F.size("ws"))
     )

@@ -49,9 +49,15 @@ _THRESHOLDS = (-200, -150, -100, -50, 0, 50, 100, 150, 200)
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, label, s): the quality_classifier score_per_token
     (exact 6dp) plus the language proxy label — one tokenize scan."""
+    from stock_data_project_spark.catalog import table_rows
     from stock_data_project_spark.plans.llm_next7 import _fan_out
 
-    docs = _fan_out(spark, load_table(spark, sf_dir, "documents"))
+    docs = _fan_out(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        rows_hint=table_rows(sf_dir, "documents"),
+        rows_per_task=1024,  # tokenize+md5 per word: codegen µs/row
+    )
     toks = docs.select(
         "doc_id", "lang", F.explode(words("text")).alias("word")
     ).filter(F.col("word") != "")

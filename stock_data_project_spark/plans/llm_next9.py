@@ -375,6 +375,7 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, both ratios through the exact-integer HALF_UP identity.
     One tokenize scan + two tiny groupBys + a broadcast scalar; at
     100 TB this is a map-side-combinable shuffle of ~|sources| keys."""
+    from stock_data_project_spark.catalog import table_rows
     from stock_data_project_spark.plans.llm_next7 import _fan_out
 
     # tokenize+explode under-splits when the documents scan arrives
@@ -383,7 +384,12 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under-parallelizes it — measured 3.7×/doubling at the 60× smoke
     # without the guard. Hash-keyed aggs only: partitioning can't
     # change results.
-    docs = _fan_out(spark, load_table(spark, sf_dir, "documents"))
+    docs = _fan_out(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        rows_hint=table_rows(sf_dir, "documents"),
+        rows_per_task=1024,  # tokenize+explode: codegen µs/row
+    )
     per_doc = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars_total"),
