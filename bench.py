@@ -213,6 +213,15 @@ def main() -> None:
         except Exception as e:  # one broken query must not kill the report
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             return None
+        finally:
+            # per-KEY release (r13 verdict item 4): drop py4j refs to
+            # this key's checkpoint blocks OUTSIDE the timer, so the
+            # ContextCleaner reaps them before the next key runs
+            # instead of at end-of-pass — the r12/r13 ann_pq
+            # driver-vs-solo gap was session-state accumulation
+            # across the 129-key pass. Untimed by construction
+            # (t0/elapsed are captured before the finally runs).
+            gc.collect()
 
     # one unmeasured warmup iteration: codegen compilation and file
     # indexing are fixed one-time costs, irrelevant to the steady-state
@@ -240,6 +249,35 @@ def main() -> None:
             samples[name].append(run(name))
         gc.collect()  # see the warmup-pass note
 
+    # COLD-FIT numbers for the fit-memo family (r13 verdict item 2:
+    # "the bench should also report a cold-fit number so the
+    # steady-state claim is checkable"). Each listed key memoizes a
+    # metadata-sized MODEL artifact (IVF centroids / PQ codebook /
+    # k-means assignment / Bloom bitmap) per session; the warm
+    # numbers above measure the steady state. Here the model memos
+    # are cleared before EVERY run, so `<key>_coldfit` = search+fit
+    # from the parquet inputs. Added entries only — no existing key
+    # is renamed or re-timed; the headline total now includes them
+    # (disclosed in OPTIMIZATION_r14.md).
+    COLD_FIT = ("ann_ivf", "ann_pq", "embedding_kmeans", "bloom_join_prune")
+
+    def _clear_model_memos() -> None:
+        from stock_data_project_spark.operators import bloom, memo
+
+        memo._MEMO.clear()
+        bloom._BITMAP_CACHE.clear()
+
+    cold_samples: dict[str, list[float | None]] = {
+        f"{name}_coldfit": [] for name in COLD_FIT
+    }
+    for _ in range(runs):
+        for name in COLD_FIT:
+            _clear_model_memos()
+            cold_samples[f"{name}_coldfit"].append(run(name))
+    # the cold runs re-populated the memos, so later sessions (none
+    # today, but the loop order must not matter) stay warm-consistent
+    samples.update(cold_samples)
+
     def median(xs: list[float | None]) -> float | None:
         ok = sorted(x for x in xs if x is not None)
         if not ok:
@@ -255,7 +293,7 @@ def main() -> None:
     timings = {
         name: median(samples[name])
         for name in sorted(
-            HEADLINE, key=lambda n: (median(samples[n]) is None, median(samples[n]) or 0.0)
+            samples, key=lambda n: (median(samples[n]) is None, median(samples[n]) or 0.0)
         )
     }
 

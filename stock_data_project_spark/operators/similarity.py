@@ -208,9 +208,14 @@ def lsh_topk(
     # 64 codegen'd per-projection sums re-evaluated the hash per
     # exploded element (~8M evals per banding at sf0.1); here each
     # batch's projections are ONE GEMM against this matrix.
+    # Session-memoized (r14): the matrix is a pure function of
+    # (tables, planes, dim) — it depends on NO input data at all, so
+    # caching it is even safer than the fit-memo family (IVF
+    # centroids); it saves one driver job per invocation.
     spark = embeddings.sparkSession
     d = dim or 0
-    if d:
+
+    def _plane_matrix():
         idx = spark.range(tables * planes * d).select(
             (F.col("id") / (planes * d)).cast("int").alias("_t"),
             ((F.col("id") / d).cast("long") % planes).cast("int").alias("_p"),
@@ -226,7 +231,14 @@ def lsh_topk(
             .alias("_s")
         ).toPandas()["_s"].to_numpy()
         # column c = t*planes + p; row j — (d, tables*planes)
-        planes_w = signs.reshape(tables * planes, d).T
+        return signs.reshape(tables * planes, d).T
+
+    if d:
+        from stock_data_project_spark.operators.memo import session_memo
+
+        planes_w = session_memo(
+            spark, ("lsh_planes", tables, planes, d), _plane_matrix
+        )
     else:
         planes_w = np.zeros((0, 0))
     bit_weights = 1 << np.arange(planes)

@@ -108,8 +108,13 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts bought together: distinct (order, part) incidence,
     apriori-pruned to frequent parts, self-joined within order to
     canonical pairs (a < b), kept at min support."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # shared input-size-driven materialization of the incidence
+    # frame (olap_next9._order_part_incidence: recompute at test SF,
+    # one eager checkpoint above 10M lineitem rows — measured
+    # crossover, see the note there)
+    from stock_data_project_spark.plans.olap_next9 import _order_part_incidence
+
+    op = _order_part_incidence(spark, sf_dir)
     # apriori monotonicity: a pair's support <= either part's support,
     # so parts below min support cannot appear in any kept pair —
     # prune them BEFORE the quadratic step

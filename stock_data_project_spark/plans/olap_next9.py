@@ -37,18 +37,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stock_data_project_spark.catalog import load_table
+from stock_data_project_spark.operators.ckpt import loop_checkpoint
 from stock_data_project_spark.operators.rounding import exact_avg6_expr, exact_avg6_sql
 
 _K = 2
 _ROUNDS = 6
 _MIN_SUPPORT = 2
 
+# Materialize-vs-recompute for the (order, part) incidence frame
+# (r13 verdict item 6, made input-size-driven): the distinct
+# incidence feeds 2-3 consumers (frequency agg, semi probe, both
+# pair-join sides — and item_similarity's df_ rollup), and column
+# pruning defeats ReuseExchange at those consumers, so the
+# lineitem scan + distinct re-runs per consumer. Interleaved A/B on
+# replicated lineitem (one eager localCheckpoint of op vs recompute):
+# 6M rows a wash (11.2/12.1s rec vs 13.4/11.2s mat), 18M rows
+# materialize wins ~1.8x (50.4/41.5s rec vs 34.6/20.7s mat) — the
+# crossover sits between, so the switch engages at 10M rows (footer
+# count, no job). sf0.1 (600k rows) keeps the recompute plan.
+INCIDENCE_MATERIALIZE_ROWS = 10_000_000
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected part pairs co-occurring in >= _MIN_SUPPORT
-    orders (apriori-pruned before the quadratic step)."""
+
+def _order_part_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) incidence, eagerly
+    materialized above INCIDENCE_MATERIALIZE_ROWS (see note)."""
+    from stock_data_project_spark.catalog import table_rows
+
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
+    if table_rows(sf_dir, "lineitem") >= INCIDENCE_MATERIALIZE_ROWS:
+        op = op.localCheckpoint(eager=True)
+    return op
+
+
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, op: DataFrame | None = None
+) -> DataFrame:
+    """Distinct undirected part pairs co-occurring in >= _MIN_SUPPORT
+    orders (apriori-pruned before the quadratic step)."""
+    if op is None:
+        op = _order_part_incidence(spark, sf_dir)
     freq = (
         op.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -71,10 +99,8 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy checkpoints throughout: the count() that drives the
     # fixpoint is each round's one action and materializes the blocks
     # — eager would pay a second full job per round for the same data
-    edges = (
-        _copurchase_edges(spark, sf_dir)
-        .select("a", "b")
-        .localCheckpoint(eager=False)
+    edges = loop_checkpoint(
+        _copurchase_edges(spark, sf_dir).select("a", "b"), eager=False
     )
     n_edges = edges.count()
     for _ in range(_ROUNDS):
@@ -87,11 +113,11 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= _K).select("node")
-        edges = (
+        edges = loop_checkpoint(
             edges.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-            .select("a", "b")
-            .localCheckpoint(eager=False)
+            .select("a", "b"),
+            eager=False,
         )
         n_next = edges.count()
         if n_next == n_edges:
@@ -117,15 +143,16 @@ ITEM_DF_BROADCAST_MAX = 5_000_000
 
 
 def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # ONE incidence frame shared by df_ and the edge construction —
+    # above the materialize threshold both read one checkpointed copy
+    op = _order_part_incidence(spark, sf_dir)
     df_ = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("df"))
     hint = (
         F.broadcast
         if load_table(spark, sf_dir, "part").count() <= ITEM_DF_BROADCAST_MAX
         else (lambda d: d)
     )
-    pairs = _copurchase_edges(spark, sf_dir)
+    pairs = _copurchase_edges(spark, sf_dir, op)
     return (
         pairs.join(
             hint(df_.select(F.col("l_partkey").alias("a"), F.col("df").alias("df_a"))),

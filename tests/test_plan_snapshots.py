@@ -82,9 +82,13 @@ def test_ntile_deciles_no_global_window(spark):
     plan = _plan(out)
     # the checkpointed ranged frame is the data source of the rank path
     assert "ExistingRDD" in plan
-    # a regression to a global ntile would show a Window with an empty
-    # partition spec downstream of a SinglePartition exchange
-    assert "Window" not in plan or "_pid" in plan
+    # a regression to a global ntile would show a Window with an EMPTY
+    # partition spec downstream of a SinglePartition exchange. Assert
+    # that failure shape directly — the old `"_pid" in plan` disjunct
+    # was vacuous (the _pid column name always appears in the join
+    # keys/projections, r13 ADVICE)
+    m = re.search(r"Window \[[^\]]*\], \[\]", plan)
+    assert m is None, f"empty-partition-spec window reappeared: {m.group(0)}"
     for mt in re.finditer(r"Window \[[^\]]*ntile", plan):
         raise AssertionError(f"global ntile window reappeared: {mt.group(0)}")
 
